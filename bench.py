@@ -1,0 +1,69 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {"q": sec, ...}, "sf": ...}
+
+Each query executes to completion through the noop sink (full pipeline,
+no driver-side collect cost). One warmup run amortizes JVM/codegen
+startup out of the numbers, mirroring how a long-lived cluster session
+behaves.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from flink_kakfa_spark.registry import all_queries
+from flink_kakfa_spark.session import get_spark
+
+HEADLINE = [
+    "wordcount",                # flagship: tokenize+explode+agg
+    "agg_pricing_summary",      # TPC-H Q1 shape: scan-heavy agg
+    "q5_regional_revenue",      # star join + broadcast dims
+    "q3_shipping_priority",     # 3-way join + top-k
+    "join_range_event_pairs",   # range join
+    "window_topk_orders",       # analytic window
+    "dedup_ngram_jaccard",      # shingle-join near-dup
+    "sim_cosine_topk",          # vector similarity
+    "text_quality_score",       # HOF text analysis
+    "scalar_json_extract",      # JSON extraction
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("bench")
+    queries = all_queries()
+
+    def run(name: str) -> float:
+        t0 = time.time()
+        queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        return time.time() - t0
+
+    run("wordcount")  # warmup: JVM/codegen/file-index startup
+    timings = {name: round(run(name), 3) for name in HEADLINE}
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

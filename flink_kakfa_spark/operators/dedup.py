@@ -1,0 +1,287 @@
+"""Deduplication operators for LLM training-data pipelines (E1/E2 +
+driver mandate: exact, MinHash-LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup).
+
+Scale notes (100 TB):
+- Exact dedup is a hash-groupBy on a 128-bit content digest — the
+  shuffle key is 16 bytes/doc, not the document text.
+- N-gram Jaccard uses the inverted-index (shingle-join) formulation:
+  candidates are generated only for docs sharing a shingle, never the
+  O(n²) cross product. Hot shingles are the skew risk — AQE skew-join
+  plus the DISTINCT-before-join keeps the blowup bounded; a production
+  run would also drop top-frequency shingles (stop-shingles).
+- MinHash-LSH (banding) is the sub-quadratic path: fixed-size
+  signatures (k hashes/doc) → band buckets → join on bucket. Cost is
+  O(n·k) + bucket collisions, independent of pair count.
+- SimHash packs a document into one 64-bit word; near-dup = Hamming
+  distance on an integer — the cheapest candidate filter of all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_kakfa_spark.registry import query
+from flink_kakfa_spark.sources.tables import load_table
+
+SHINGLE_K = 3  # words per shingle
+
+
+def _shingles(df: DataFrame) -> DataFrame:
+    """doc_id + exploded DISTINCT 3-word shingles (docs with ≥3 tokens)."""
+    t = F.split(F.col("text"), " ")
+    sh = F.transform(
+        F.sequence(F.lit(1), F.size(t) - (SHINGLE_K - 1)),
+        lambda i: F.concat_ws(
+            " ", F.element_at(t, i), F.element_at(t, i + 1), F.element_at(t, i + 2)
+        ),
+    )
+    return (
+        df.filter(F.size(t) >= SHINGLE_K)
+        .select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle"))
+    )
+
+
+@query(
+    "dedup_exact_stats",
+    oracle="""
+    SELECT
+      COUNT(*) AS n_docs,
+      COUNT(DISTINCT md5(text)) AS n_unique,
+      COUNT(*) - COUNT(DISTINCT md5(text)) AS n_dupes
+    FROM documents
+    """,
+)
+def q_dedup_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1: corpus-level exact-duplicate census via content digest."""
+    d = load_table(spark, "documents", sf_dir)
+    fp = F.md5(F.col("text").cast("binary"))
+    return d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(fp).alias("n_unique"),
+        (F.count(F.lit(1)) - F.countDistinct(fp)).alias("n_dupes"),
+    )
+
+
+@query(
+    "dedup_exact_keep_first",
+    oracle="""
+    SELECT md5(text) AS fp, MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY md5(text)
+    """,
+)
+def q_dedup_exact_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1: canonical-representative selection — keep lowest doc_id per digest.
+
+    This is the deterministic form of ``dropDuplicates(["text"])`` (which
+    keeps an arbitrary row); at scale the digest groupBy shuffles 16-byte
+    keys instead of full documents.
+    """
+    d = load_table(spark, "documents", sf_dir)
+    return (
+        d.select(F.md5(F.col("text").cast("binary")).alias("fp"), "doc_id")
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+      FROM tok, UNNEST(generate_series(1, len(ts) - 2)) AS g(i)
+      WHERE len(ts) >= 3
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT
+      p.doc_a, p.doc_b, p.n_common,
+      CAST(p.n_common AS DOUBLE) / (sa.n + sb.n - p.n_common) AS jaccard
+    FROM pairs p
+    JOIN sizes sa ON p.doc_a = sa.doc_id
+    JOIN sizes sb ON p.doc_b = sb.doc_id
+    ORDER BY jaccard DESC, doc_a ASC, doc_b ASC
+    LIMIT 20
+    """,
+)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 (exact form): top-20 most-similar doc pairs by 3-gram Jaccard.
+
+    Inverted-index candidate generation: only docs sharing at least one
+    shingle are ever paired.
+    """
+    d = load_table(spark, "documents", sf_dir)
+    sh = _shingles(d).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    return (
+        pairs.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_common",
+            (
+                F.col("n_common").cast("double")
+                / (F.col("sa.n") + F.col("sb.n") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+        .orderBy(F.col("jaccard").desc(), F.col("doc_a").asc(), F.col("doc_b").asc())
+        .limit(20)
+    )
+
+
+@query("dedup_minhash_lsh")  # rows-only: LSH bucketing is engine-seeded
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 (scale form): MinHash-LSH candidate pairs, Jaccard-verified.
+
+    shingle → binary feature vector (HashingTF) → MinHash signatures →
+    LSH band buckets → bucket-join → exact Jaccard rescore of the
+    candidates only. This is the O(n·k) path that replaces the exact
+    shingle-join at 100 TB. Deterministic given the fixed seed, but the
+    signature space is Spark-specific → rows-only oracle.
+    """
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    d = load_table(spark, "documents", sf_dir)
+    toks = d.select("doc_id", F.split(F.col("text"), " ").alias("tokens")).filter(
+        F.size("tokens") >= SHINGLE_K
+    )
+    sh = toks.select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size("tokens") - (SHINGLE_K - 1)),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at("tokens", i),
+                    F.element_at("tokens", i + 1),
+                    F.element_at("tokens", i + 2),
+                ),
+            )
+        ).alias("shingles"),
+    )
+    tf = HashingTF(inputCol="shingles", outputCol="features", numFeatures=1 << 18, binary=True)
+    feats = tf.transform(sh)
+    lsh = MinHashLSH(inputCol="features", outputCol="sig", numHashTables=8, seed=42)
+    model = lsh.fit(feats)
+    pairs = model.approxSimilarityJoin(feats, feats, threshold=0.8, distCol="jaccard_dist")
+    return (
+        pairs.select(
+            F.col("datasetA.doc_id").alias("doc_a"),
+            F.col("datasetB.doc_id").alias("doc_b"),
+            F.col("jaccard_dist"),
+        )
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .orderBy(F.col("jaccard_dist").asc(), F.col("doc_a").asc(), F.col("doc_b").asc())
+        .limit(50)
+    )
+
+
+@query("dedup_simhash")  # rows-only: xxhash64 bit-space is Spark-specific
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup: 32-bit signature, top-20 pairs by Hamming distance.
+
+    Each document collapses to one integer (per-bit majority vote over
+    token hashes); candidate filtering is then integer XOR + popcount —
+    at scale you'd band the signature into 4 bytes and bucket-join on
+    each byte, keeping this sub-quadratic.
+    """
+    d = load_table(spark, "documents", sf_dir)
+    tok = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("word")
+    ).filter(F.col("word") != "")
+    h = F.xxhash64("word")
+    bit_votes = [
+        F.sum(
+            F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(32)
+    ]
+    votes = tok.groupBy("doc_id").agg(*bit_votes)
+    sig = None
+    for b in range(32):
+        bit = F.when(F.col(f"b{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        sig = bit if sig is None else sig + bit
+    sigs = votes.select("doc_id", sig.cast("long").alias("simhash"))
+    a = sigs.alias("a")
+    b_ = sigs.alias("b")
+    return (
+        a.join(b_, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .orderBy(F.col("hamming").asc(), F.col("doc_a").asc(), F.col("doc_b").asc())
+        .limit(20)
+    )
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle="""
+    SELECT
+      a.vec_id AS vec_a,
+      b.vec_id AS vec_b,
+      ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                   CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim
+    FROM embeddings a
+    JOIN embeddings b ON a.vec_id < b.vec_id
+    ORDER BY cos_sim DESC, vec_a ASC, vec_b ASC
+    LIMIT 20
+    """,
+)
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup: top-20 vector pairs by cosine similarity.
+
+    Brute-force all-pairs here (the fixture corpus is small); the scale
+    path is the LSH-bucketed variant in ``similarity.py``. Cosine is
+    computed with higher-order functions — JVM-side, no UDF. Rounded to
+    6 dp so float accumulation order can't flip the oracle hash.
+    """
+    e = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("emb")
+    )
+    a = e.alias("a")
+    b = e.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.emb"), F.col("b.emb"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda s, x: s + x,
+    )
+    norm = lambda c: F.sqrt(F.aggregate(c, F.lit(0.0), lambda s, x: s + x * x))  # noqa: E731
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(dot / (norm(F.col("a.emb")) * norm(F.col("b.emb"))), 6).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_a").asc(), F.col("vec_b").asc())
+        .limit(20)
+    )

@@ -1,0 +1,350 @@
+"""Projection/filter/distinct + aggregation + sort/limit/set ops.
+
+SURVEY.md §2.2 (P3, P5), §2.4 (A1–A8), §2.6 (O1–O4). The reference has
+no relational surface (its only row op is the consumer's byte→string
+decode, ``go/consumer/consumer.go:80``); these are the Tier C
+extensions anchored on the driver's star schema.
+
+Scale notes (100 TB):
+- Filters are expressed as Catalyst predicates → pushed to the Parquet
+  scan (verified in tests via ``PushedFilters`` in the formatted plan).
+- Aggregations are hash aggregates with map-side partial aggregation;
+  the shuffle carries partial states keyed by low-cardinality group
+  keys, never raw rows.
+- Top-k uses ``orderBy().limit(k)`` which Spark plans as
+  TakeOrderedAndProject — per-partition heaps + driver merge of k rows,
+  NOT a global sort.
+- No final ``orderBy`` on large outputs: the driver's value-hash is
+  order-insensitive, and a global sort is a range-repartition we'd
+  never pay at scale just to please a comparator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_kakfa_spark.functions.numeric import davg, dsum, sql_davg, sql_dsum
+from flink_kakfa_spark.registry import query
+from flink_kakfa_spark.sources.tables import load_table
+
+
+# --------------------------------------------------------------------------
+# P3 filter / P5 distinct
+# --------------------------------------------------------------------------
+
+@query(
+    "filter_returned_items",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_shipdate
+    FROM lineitem
+    WHERE l_returnflag = 'R'
+      AND l_quantity > 45
+      AND l_shipdate BETWEEN TIMESTAMP '1997-01-01' AND TIMESTAMP '1998-12-31'
+    """,
+)
+def q_filter_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3: conjunctive predicates (equality, comparison, between) on lineitem."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return li.filter(
+        (F.col("l_returnflag") == "R")
+        & (F.col("l_quantity") > 45)
+        & F.col("l_shipdate").between("1997-01-01", "1998-12-31")
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_shipdate")
+
+
+@query(
+    "filter_in_like_null",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority, o_totalprice
+    FROM orders
+    WHERE o_orderstatus IN ('F', 'P')
+      AND o_orderpriority LIKE '%URGENT%'
+      AND o_totalprice IS NOT NULL
+      AND NOT (o_totalprice < 1000.0)
+    """,
+)
+def q_filter_in_like_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3: isin / LIKE / null-check / boolean combinators."""
+    o = load_table(spark, "orders", sf_dir)
+    return o.filter(
+        F.col("o_orderstatus").isin("F", "P")
+        & F.col("o_orderpriority").like("%URGENT%")
+        & F.col("o_totalprice").isNotNull()
+        & ~(F.col("o_totalprice") < 1000.0)
+    ).select("o_orderkey", "o_orderpriority", "o_totalprice")
+
+
+@query(
+    "distinct_segments",
+    oracle="""
+    SELECT DISTINCT c_mktsegment, c_nationkey FROM customer
+    """,
+)
+def q_distinct_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5: multi-column distinct (hash-aggregate dedup)."""
+    c = load_table(spark, "customer", sf_dir)
+    return c.select("c_mktsegment", "c_nationkey").distinct()
+
+
+# --------------------------------------------------------------------------
+# A2/A6/A8 aggregates — TPC-H Q1-style pricing summary
+# --------------------------------------------------------------------------
+
+@query(
+    "agg_pricing_summary",
+    oracle=f"""
+    SELECT
+      l_returnflag,
+      l_linestatus,
+      {sql_dsum('l_quantity')} AS sum_qty,
+      {sql_dsum('l_extendedprice')} AS sum_base_price,
+      {sql_dsum('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+      {sql_davg('l_quantity')} AS avg_qty,
+      {sql_davg('l_discount')} AS avg_disc,
+      MIN(l_extendedprice) AS min_price,
+      MAX(l_extendedprice) AS max_price,
+      COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2/A6: sum/avg/min/max/count with a pushed-down date predicate.
+
+    The shape of TPC-H Q1 — the canonical scan-heavy aggregation. At
+    scale this is one Parquet scan (5 columns pruned from 11) + one
+    partial/final hash agg over a 6-ish-row group space.
+    """
+    li = load_table(spark, "lineitem", sf_dir)
+    return (
+        li.filter(F.col("l_shipdate") <= "2000-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum(F.col("l_quantity")).alias("sum_qty"),
+            dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("sum_disc_price"),
+            davg(F.col("l_quantity")).alias("avg_qty"),
+            davg(F.col("l_discount")).alias("avg_disc"),
+            F.min("l_extendedprice").alias("min_price"),
+            F.max("l_extendedprice").alias("max_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "agg_count_distinct",
+    oracle="""
+    SELECT
+      l_returnflag,
+      COUNT(DISTINCT l_suppkey) AS n_supp,
+      COUNT(DISTINCT l_partkey) AS n_part,
+      COUNT(*) AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: exact count-distinct (Catalyst plans expand + two-phase agg)."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct("l_partkey").alias("n_part"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@query("agg_approx_count_distinct")  # rows-only: HLL sketch is engine-specific
+def q_agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: HyperLogLog++ approximate distinct — the 100 TB answer to A3.
+
+    No oracle: sketch estimates are engine-specific. The unit test
+    asserts the estimate is within rsd of the exact count instead.
+    """
+    li = load_table(spark, "lineitem", sf_dir)
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_n_part"),
+    )
+
+
+@query(
+    "agg_rollup",
+    oracle=f"""
+    SELECT
+      l_returnflag,
+      l_linestatus,
+      COUNT(*) AS n,
+      {sql_dsum('l_quantity')} AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: hierarchical rollup (flag, status) → (flag) → ()."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum(F.col("l_quantity")).alias("sum_qty"),
+    )
+
+
+@query(
+    "agg_cube",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: full cube over two dimensions."""
+    o = load_table(spark, "orders", sf_dir)
+    return o.cube("o_orderstatus", "o_orderpriority").agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "agg_conditional",
+    oracle=f"""
+    SELECT
+      l_linestatus,
+      {sql_dsum("CASE WHEN l_returnflag = 'R' THEN l_extendedprice ELSE 0 END")} AS returned_value,
+      {sql_dsum("CASE WHEN l_discount > 0.05 THEN l_extendedprice * l_discount ELSE 0 END")} AS big_discounts,
+      COUNT(CASE WHEN l_quantity >= 25 THEN 1 END) AS n_bulk
+    FROM lineitem
+    GROUP BY l_linestatus
+    """,
+)
+def q_agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: filtered/conditional aggregation via when/otherwise."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return li.groupBy("l_linestatus").agg(
+        dsum(F.when(F.col("l_returnflag") == "R", F.col("l_extendedprice")).otherwise(0.0)).alias("returned_value"),
+        dsum(
+            F.when(F.col("l_discount") > 0.05, F.col("l_extendedprice") * F.col("l_discount")).otherwise(0.0)
+        ).alias("big_discounts"),
+        F.count(F.when(F.col("l_quantity") >= 25, 1)).alias("n_bulk"),
+    )
+
+
+@query(
+    "agg_collect",
+    oracle="""
+    SELECT
+      l_returnflag,
+      array_to_string(list_sort(list(DISTINCT l_linestatus)), ',') AS statuses,
+      COUNT(DISTINCT l_linestatus) AS n_status
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7: collect_set, sorted then joined so the oracle hash is order-free."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return li.groupBy("l_returnflag").agg(
+        F.array_join(F.sort_array(F.collect_set("l_linestatus")), ",").alias("statuses"),
+        F.countDistinct("l_linestatus").alias("n_status"),
+    )
+
+
+@query(
+    "agg_global",
+    oracle=f"""
+    SELECT
+      COUNT(*) AS n_rows,
+      {sql_dsum('l_extendedprice')} AS total_price,
+      MIN(l_shipdate) AS first_ship,
+      MAX(l_shipdate) AS last_ship,
+      COUNT(DISTINCT l_orderkey) AS n_orders
+    FROM lineitem
+    """,
+)
+def q_agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8: global (no-group) aggregation → single row."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum(F.col("l_extendedprice")).alias("total_price"),
+        F.min("l_shipdate").alias("first_ship"),
+        F.max("l_shipdate").alias("last_ship"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+    )
+
+
+# --------------------------------------------------------------------------
+# O1/O2 sort + limit, O3/O4 set ops
+# --------------------------------------------------------------------------
+
+@query(
+    "orderby_limit",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, o_orderdate
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 10
+    """,
+)
+def q_orderby_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1+O2: multi-key sort + limit → TakeOrderedAndProject (no global sort)."""
+    o = load_table(spark, "orders", sf_dir)
+    return (
+        o.select("o_orderkey", "o_totalprice", "o_orderdate")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+@query(
+    "union_all_counts",
+    oracle="""
+    SELECT side, COUNT(*) AS n FROM (
+      SELECT 'open' AS side, o_custkey FROM orders WHERE o_orderstatus = 'O'
+      UNION ALL
+      SELECT 'done' AS side, o_custkey FROM orders WHERE o_orderstatus = 'F'
+    )
+    GROUP BY side
+    """,
+)
+def q_union_all_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3: unionByName (no shuffle — concatenation of partitions)."""
+    o = load_table(spark, "orders", sf_dir)
+    open_side = o.filter(F.col("o_orderstatus") == "O").select(
+        F.lit("open").alias("side"), "o_custkey"
+    )
+    done_side = o.filter(F.col("o_orderstatus") == "F").select(
+        F.lit("done").alias("side"), "o_custkey"
+    )
+    return open_side.unionByName(done_side).groupBy("side").agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "intersect_custkeys",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def q_intersect_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4: customers having both an open and a finished order."""
+    o = load_table(spark, "orders", sf_dir)
+    open_keys = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    done_keys = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return open_keys.intersect(done_keys)
+
+
+@query(
+    "except_custkeys",
+    oracle="""
+    SELECT o_custkey FROM orders
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+    """,
+)
+def q_except_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4: customers who ordered but have nothing pending (EXCEPT distinct)."""
+    o = load_table(spark, "orders", sf_dir)
+    all_keys = o.select("o_custkey")
+    pending = o.filter(F.col("o_orderstatus") == "P").select("o_custkey")
+    return all_keys.subtract(pending)

@@ -1,0 +1,256 @@
+"""Scalar function families (SURVEY.md §2.7): string, date/time, math,
+conditional, array, JSON, cast.
+
+Tier A/B anchors in the reference: space-join tokenization
+(``go/producer/producer.go:137``), ``fmt.Sprintf`` key formatting
+(``go/producer/producer.go:119``), unix timestamps (same line),
+duration parsing (``go/producer/config.go:75``), JSON config decode
+(``go/producer/config.go:58-64``). Tier C broadens each family over
+the fixtures.
+
+All functions here are built-in Spark SQL expressions — JVM-side,
+inside whole-stage codegen, zero Python in the data path.
+
+Determinism vs the oracle: no ROUND on tie-prone doubles (half-up vs
+half-even), no libm functions (pow/log ulp drift); sqrt is IEEE-exact,
+integer math is exact, string/date functions are exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_kakfa_spark.registry import query
+from flink_kakfa_spark.sources.tables import load_table
+
+
+@query(
+    "scalar_string_funcs",
+    oracle=r"""
+    SELECT
+      p_partkey,
+      UPPER(p_brand) AS brand_upper,
+      LOWER(p_type) AS type_lower,
+      LENGTH(p_name) AS name_len,
+      SUBSTRING(p_type, 1, 4) AS type_prefix,
+      CONCAT(p_brand, '/', p_type) AS brand_type,
+      TRIM(CONCAT('  ', p_name, '  ')) AS name_trim,
+      CAST(regexp_extract(p_brand, '(\d+)', 1) AS INTEGER) AS brand_num,
+      regexp_replace(p_name, '[aeiou]', '_', 'g') AS name_devoweled,
+      CASE WHEN p_type LIKE 'ECO%' THEN 1 ELSE 0 END AS is_economy
+    FROM part
+    """,
+)
+def q_scalar_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String family: case, length, substring, concat, trim, regexp, like."""
+    p = load_table(spark, "part", sf_dir)
+    return p.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_upper"),
+        F.lower("p_type").alias("type_lower"),
+        F.length("p_name").alias("name_len"),
+        F.substring("p_type", 1, 4).alias("type_prefix"),
+        F.concat(F.col("p_brand"), F.lit("/"), F.col("p_type")).alias("brand_type"),
+        F.trim(F.concat(F.lit("  "), F.col("p_name"), F.lit("  "))).alias("name_trim"),
+        F.regexp_extract("p_brand", r"(\d+)", 1).cast("int").alias("brand_num"),
+        F.regexp_replace("p_name", "[aeiou]", "_").alias("name_devoweled"),
+        F.when(F.col("p_type").like("ECO%"), 1).otherwise(0).alias("is_economy"),
+    )
+
+
+@query(
+    "scalar_date_funcs",
+    oracle="""
+    SELECT
+      o_orderkey,
+      CAST(year(o_orderdate) AS INT) AS order_year,
+      CAST(month(o_orderdate) AS INT) AS order_month,
+      CAST(dayofmonth(o_orderdate) AS INT) AS order_day,
+      CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+      strftime(o_orderdate, '%Y-%m') AS ym,
+      CAST(date_diff('day', o_orderdate, TIMESTAMP '2002-01-01') AS INT) AS days_to_2002,
+      o_orderdate + INTERVAL 30 DAY AS due_date,
+      CAST(epoch(o_orderdate) AS BIGINT) AS unix_ts
+    FROM orders
+    """,
+)
+def q_scalar_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time family: extract, trunc, format, diff, interval, epoch.
+
+    ``unix_ts`` is the engine twin of the reference's message-key
+    convention ``"key-" + unix-seconds`` (``go/producer/producer.go:119``).
+    """
+    o = load_table(spark, "orders", sf_dir)
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.dayofmonth("o_orderdate").alias("order_day"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
+        F.datediff(F.lit("2002-01-01").cast("timestamp"), F.col("o_orderdate")).alias("days_to_2002"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("due_date"),
+        F.unix_timestamp("o_orderdate").alias("unix_ts"),
+    )
+
+
+@query(
+    "scalar_math_funcs",
+    oracle="""
+    SELECT
+      l_orderkey,
+      l_linenumber,
+      ABS(l_extendedprice - 30000.0) AS dist_from_30k,
+      CAST(FLOOR(l_extendedprice / 1000.0) AS BIGINT) AS price_bucket,
+      CAST(CEIL(l_quantity / 10.0) AS BIGINT) AS qty_bucket,
+      SQRT(l_quantity) AS qty_sqrt,
+      CAST(l_orderkey % 7 AS BIGINT) AS key_mod,
+      GREATEST(l_discount, l_tax) AS max_rate,
+      LEAST(l_discount, l_tax) AS min_rate
+    FROM lineitem
+    WHERE l_orderkey % 100 = 0
+    """,
+)
+def q_scalar_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math family: abs/floor/ceil/sqrt/mod/greatest/least (all IEEE-exact)."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return li.filter(F.col("l_orderkey") % 100 == 0).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_extendedprice") - 30000.0).alias("dist_from_30k"),
+        F.floor(F.col("l_extendedprice") / 1000.0).alias("price_bucket"),
+        F.ceil(F.col("l_quantity") / 10.0).alias("qty_bucket"),
+        F.sqrt("l_quantity").alias("qty_sqrt"),
+        (F.col("l_orderkey") % 7).alias("key_mod"),
+        F.greatest("l_discount", "l_tax").alias("max_rate"),
+        F.least("l_discount", "l_tax").alias("min_rate"),
+    )
+
+
+@query(
+    "scalar_conditional_funcs",
+    oracle="""
+    SELECT
+      price_tier,
+      COUNT(*) AS n,
+      COUNT(DISTINCT o_custkey) AS n_cust
+    FROM (
+      SELECT
+        o_custkey,
+        CASE
+          WHEN o_totalprice >= 300000 THEN 'platinum'
+          WHEN o_totalprice >= 150000 THEN 'gold'
+          WHEN o_totalprice >= 50000  THEN 'silver'
+          ELSE 'bronze'
+        END AS price_tier
+      FROM orders
+    )
+    GROUP BY price_tier
+    """,
+)
+def q_scalar_conditional_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional family: multi-branch CASE driving an aggregation."""
+    o = load_table(spark, "orders", sf_dir)
+    tier = (
+        F.when(F.col("o_totalprice") >= 300000, "platinum")
+        .when(F.col("o_totalprice") >= 150000, "gold")
+        .when(F.col("o_totalprice") >= 50000, "silver")
+        .otherwise("bronze")
+    )
+    return (
+        o.select("o_custkey", tier.alias("price_tier"))
+        .groupBy("price_tier")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("o_custkey").alias("n_cust"),
+        )
+    )
+
+
+@query(
+    "scalar_array_funcs",
+    oracle="""
+    SELECT
+      doc_id,
+      len(string_split(text, ' ')) AS n_tokens,
+      len(list_distinct(string_split(text, ' '))) AS n_uniq,
+      list_contains(string_split(text, ' '), 'data') AS has_data,
+      string_split(text, ' ')[1] AS first_token,
+      array_to_string(list_sort(list_distinct(string_split(text, ' ')))[1:3], '|') AS first3_sorted
+    FROM documents
+    """,
+)
+def q_scalar_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array family: size, distinct, contains, indexing, sort, slice."""
+    d = load_table(spark, "documents", sf_dir)
+    toks = F.split(F.col("text"), " ")
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_uniq"),
+        F.array_contains(toks, "data").alias("has_data"),
+        F.element_at(toks, 1).alias("first_token"),
+        F.array_join(F.slice(F.sort_array(F.array_distinct(toks)), 1, 3), "|").alias("first3_sorted"),
+    )
+
+
+@query(
+    "scalar_json_extract",
+    oracle="""
+    SELECT
+      event_type,
+      SUM(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT)) AS sum_k,
+      COUNT(*) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_scalar_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5/JSON family: typed field extraction from events.props.
+
+    Spark side uses real JSON path extraction (``get_json_object``);
+    the oracle reproduces the value by regex so it needs no DuckDB
+    JSON extension. Twin of the reference's ``json.Unmarshal`` config
+    decode (``go/producer/config.go:58-64``), applied to data.
+    """
+    e = load_table(spark, "events", sf_dir)
+    return (
+        e.select(
+            "event_type",
+            F.get_json_object("props", "$.k").cast("bigint").alias("k"),
+        )
+        .groupBy("event_type")
+        .agg(F.sum("k").alias("sum_k"), F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "scalar_cast_funcs",
+    oracle="""
+    SELECT
+      l_orderkey,
+      CAST(l_quantity AS INTEGER) AS qty_int,
+      CAST(l_quantity AS VARCHAR) AS qty_str,
+      CAST(CAST(l_orderkey AS VARCHAR) AS BIGINT) AS key_roundtrip,
+      CAST(l_shipdate AS DATE) AS ship_day,
+      CAST(l_returnflag = 'R' AS INTEGER) AS is_returned
+    FROM lineitem
+    WHERE l_orderkey % 500 = 0
+    """,
+)
+def q_scalar_cast_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cast family: numeric↔string↔date↔bool round-trips.
+
+    Twin of the consumer's ``string(message.Value)`` byte→string decode
+    (``go/consumer/consumer.go:80``).
+    """
+    li = load_table(spark, "lineitem", sf_dir)
+    return li.filter(F.col("l_orderkey") % 500 == 0).select(
+        "l_orderkey",
+        F.col("l_quantity").cast("int").alias("qty_int"),
+        F.col("l_quantity").cast("string").alias("qty_str"),
+        F.col("l_orderkey").cast("string").cast("bigint").alias("key_roundtrip"),
+        F.col("l_shipdate").cast("date").alias("ship_day"),
+        (F.col("l_returnflag") == "R").cast("int").alias("is_returned"),
+    )

@@ -1,0 +1,217 @@
+"""Text-analysis operators for LLM training-data pipelines (E4 + driver
+mandate: language-ID, quality scoring, token counting, fingerprinting).
+
+Same engine path as the flagship word count (split/explode/agg) — the
+reference's latent tokenizer contract (split on single space, inverse
+of ``strings.Join`` at ``go/producer/producer.go:137``) generalized
+over the ``documents`` table.
+
+Scale notes (100 TB): every query is per-row narrow computation (no
+shuffle except the final small aggregation); all expressions are
+built-in, codegen'd, Python-free. Ratios are computed as one integer
+count divided by another in double — deterministic to the bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_kakfa_spark.registry import query
+from flink_kakfa_spark.sources.tables import load_table
+
+# Tiny function-word list used by the quality score and the language-ID
+# heuristic (the fixture corpus is synthetic English-ish word salad).
+STOPWORDS = ["a", "the", "and", "of", "to", "in", "is", "it"]
+_SQL_STOPWORDS = "[" + ", ".join(f"'{w}'" for w in STOPWORDS) + "]"
+
+
+def tokens(col: str = "text"):
+    return F.split(F.col(col), " ")
+
+
+@query(
+    "text_token_stats",
+    oracle="""
+    SELECT
+      doc_id,
+      len(string_split(text, ' ')) AS n_tokens,
+      len(list_distinct(string_split(text, ' '))) AS n_uniq,
+      n_chars,
+      CAST(n_chars - len(string_split(text, ' ')) + 1 AS DOUBLE)
+        / len(string_split(text, ' ')) AS avg_token_len,
+      CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        / len(string_split(text, ' ')) AS uniq_ratio
+    FROM documents
+    """,
+)
+def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4: per-document token statistics (counts, avg length, uniqueness)."""
+    d = load_table(spark, "documents", sf_dir)
+    t = tokens()
+    n_tok = F.size(t)
+    n_uniq = F.size(F.array_distinct(t))
+    return d.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        n_uniq.alias("n_uniq"),
+        "n_chars",
+        # chars excluding the (n_tokens - 1) separating spaces
+        ((F.col("n_chars") - n_tok + 1).cast("double") / n_tok).alias("avg_token_len"),
+        (n_uniq.cast("double") / n_tok).alias("uniq_ratio"),
+    )
+
+
+@query(
+    "text_lang_distribution",
+    oracle="""
+    SELECT
+      lang,
+      COUNT(*) AS n_docs,
+      SUM(n_chars) AS total_chars,
+      CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def q_text_lang_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4: corpus language distribution with size stats."""
+    d = load_table(spark, "documents", sf_dir)
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("avg_chars"),
+    )
+
+
+@query(
+    "text_quality_score",
+    oracle=f"""
+    SELECT
+      doc_id,
+      n_tokens,
+      stop_cnt,
+      CAST(stop_cnt AS DOUBLE) / n_tokens AS stopword_ratio,
+      CAST(short_cnt AS DOUBLE) / n_tokens AS short_ratio,
+      CASE WHEN n_tokens >= 40 AND n_tokens <= 120 THEN 1 ELSE 0 END AS len_ok
+    FROM (
+      SELECT
+        doc_id,
+        len(string_split(text, ' ')) AS n_tokens,
+        len(list_filter(string_split(text, ' '),
+                        w -> list_contains({_SQL_STOPWORDS}, w))) AS stop_cnt,
+        len(list_filter(string_split(text, ' '), w -> length(w) <= 2)) AS short_cnt
+      FROM documents
+    )
+    """,
+)
+def q_text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: stopword ratio, short-token ratio, length gate.
+
+    The standard cheap heuristics (Gopher/C4-style) expressed as
+    higher-order array functions — no UDF, fully codegen'd.
+    """
+    d = load_table(spark, "documents", sf_dir)
+    t = tokens()
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
+    n_tok = F.size(t)
+    stop_cnt = F.size(F.filter(t, lambda w: F.array_contains(stop_arr, w)))
+    short_cnt = F.size(F.filter(t, lambda w: F.length(w) <= 2))
+    return d.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        stop_cnt.alias("stop_cnt"),
+        (stop_cnt.cast("double") / n_tok).alias("stopword_ratio"),
+        (short_cnt.cast("double") / n_tok).alias("short_ratio"),
+        F.when((n_tok >= 40) & (n_tok <= 120), 1).otherwise(0).alias("len_ok"),
+    )
+
+
+@query(
+    "text_lang_id",
+    oracle=f"""
+    SELECT
+      doc_id,
+      lang,
+      CASE WHEN CAST(len(list_filter(string_split(text, ' '),
+                       w -> list_contains({_SQL_STOPWORDS}, w))) AS DOUBLE)
+                / len(string_split(text, ' ')) >= 0.05
+           THEN 'en' ELSE 'unk' END AS pred_lang
+    FROM documents
+    """,
+)
+def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: function-word hit-rate thresholding.
+
+    A real deployment swaps the stopword list per language and takes
+    the argmax — the Spark shape (array HOFs per row, no shuffle) is
+    identical.
+    """
+    d = load_table(spark, "documents", sf_dir)
+    t = tokens()
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
+    hit_rate = F.size(F.filter(t, lambda w: F.array_contains(stop_arr, w))).cast("double") / F.size(t)
+    return d.select(
+        "doc_id",
+        "lang",
+        F.when(hit_rate >= 0.05, "en").otherwise("unk").alias("pred_lang"),
+    )
+
+
+@query(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id, md5(text) AS fp, length(text) AS n_bytes
+    FROM documents
+    """,
+)
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: content hash as dedup key."""
+    d = load_table(spark, "documents", sf_dir)
+    return d.select(
+        "doc_id",
+        F.md5(F.col("text").cast("binary")).alias("fp"),
+        F.length("text").alias("n_bytes"),
+    )
+
+
+@query("text_fingerprint_rolling")  # rows-only: xxhash64 is Spark-specific
+def q_text_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling (positional) fingerprint: order-sensitive token hash.
+
+    Distinguishes permuted documents that a bag-of-words hash cannot;
+    built from xxhash64 (Spark-side, hence rows-only oracle) folded
+    left across tokens.
+    """
+    d = load_table(spark, "documents", sf_dir)
+    t = tokens()
+    # chained-hash fold: next = xxhash64(acc, word) — order-sensitive and
+    # overflow-free under ANSI mode (no raw long multiplication)
+    rolled = F.aggregate(
+        t,
+        F.lit(0).cast("long"),
+        lambda acc, w: F.xxhash64(acc, w),
+    )
+    return d.select("doc_id", rolled.alias("rolling_fp"))
+
+
+@query(
+    "text_token_count_estimate",
+    oracle="""
+    SELECT
+      doc_id,
+      len(string_split(text, ' ')) AS ws_tokens,
+      CAST(CEIL(CAST(n_chars AS DOUBLE) / 4.0) AS BIGINT) AS est_bpe_tokens,
+      len(regexp_extract_all(text, '[a-z0-9]+|[^a-z0-9 ]')) AS regex_tokens
+    FROM documents
+    """,
+)
+def q_text_token_count_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace, chars/4 BPE estimate, regex lexer."""
+    d = load_table(spark, "documents", sf_dir)
+    return d.select(
+        "doc_id",
+        F.size(tokens()).alias("ws_tokens"),
+        F.ceil(F.col("n_chars").cast("double") / 4.0).cast("bigint").alias("est_bpe_tokens"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit("[a-z0-9]+|[^a-z0-9 ]"), F.lit(0))).alias("regex_tokens"),
+    )

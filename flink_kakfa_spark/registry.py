@@ -1,0 +1,76 @@
+"""Query registry: the contract between operator modules and the driver.
+
+Every implemented operator from SURVEY.md §2 registers here as a named
+``(spark, sf_dir) -> DataFrame`` builder, optionally paired with an
+ANSI-SQL oracle string that DuckDB runs over the same Parquet fixtures.
+``__spark_entry__.py`` re-exports this registry verbatim.
+
+Invariant: the Spark result's column names must equal the oracle's
+(the driver sorts columns by name before value-hashing), so every
+computed column is aliased identically on both sides.
+"""
+
+from __future__ import annotations
+
+import importlib
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+# Modules that register queries on import.
+_QUERY_MODULES = [
+    "flink_kakfa_spark.operators.wordcount",
+    "flink_kakfa_spark.operators.relational",
+    "flink_kakfa_spark.operators.joins",
+    "flink_kakfa_spark.operators.windows",
+    "flink_kakfa_spark.operators.scalar",
+    "flink_kakfa_spark.operators.dedup",
+    "flink_kakfa_spark.operators.similarity",
+    "flink_kakfa_spark.operators.text",
+    "flink_kakfa_spark.operators.multimodal",
+]
+
+_loaded = False
+
+
+def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+    """Decorator: register a query builder and (optionally) its oracle SQL.
+
+    Omit ``oracle`` only for genuinely non-SQL-expressible operators
+    (the driver then records a weaker rows-only check).
+    """
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in QUERIES:
+            raise ValueError(f"duplicate query name: {name}")
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def load_all() -> None:
+    """Import every operator module so its @query decorators run."""
+    global _loaded
+    if _loaded:
+        return
+    for mod in _QUERY_MODULES:
+        importlib.import_module(mod)
+    _loaded = True
+
+
+def all_queries() -> dict[str, QueryFn]:
+    load_all()
+    return dict(QUERIES)
+
+
+def all_oracles() -> dict[str, str]:
+    load_all()
+    return dict(ORACLES)

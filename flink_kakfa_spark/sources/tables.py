@@ -1,0 +1,53 @@
+"""Batch table sources: the driver's Parquet star schema (SURVEY.md §2.1 S5).
+
+Scale posture: plain ``spark.read.parquet`` so Catalyst's data-source V2
+path gives us predicate pushdown, column pruning, and partition-size
+splitting (``spark.sql.files.maxPartitionBytes``) for free. At 100 TB the
+same call reads a partitioned lake directory; nothing here changes.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+# Bounded dimension tables — always broadcast-join these (SURVEY.md §4).
+DIM_TABLES = {"region", "nation", "supplier"}
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame:
+    """Read one fixture table as a DataFrame.
+
+    ``events.ts`` is TIMESTAMP(NANOS) in Parquet, which Spark's vectorized
+    reader rejects outright; we read nanos as raw int64 and truncate to
+    microsecond timestamps — exactly what DuckDB's µs-native reader does,
+    so oracle comparisons agree.
+    """
+    from pyspark.sql import functions as F
+
+    d = sf_dir or DEFAULT_SF_DIR
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{d}/{name}.parquet")
+        # integer division: ns ≈ 1.7e18 overflows double precision, so no `/`
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.parquet(f"{d}/{name}.parquet")
+
+
+def load_tables(spark: SparkSession, sf_dir: str | None = None) -> dict[str, DataFrame]:
+    """Read every fixture table; returns {name: DataFrame}."""
+    return {t: load_table(spark, t, sf_dir) for t in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str | None = None) -> None:
+    """Register each table as a temp view so ``spark.sql`` queries work."""
+    for name, df in load_tables(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)

@@ -1,0 +1,117 @@
+"""Tests for the LLM-pipeline operators: dedup, similarity, text,
+multimodal. Synthetic micro-fixtures with *known* duplicates/neighbors
+(the driver corpus has none), plus contract checks on the fixture data.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from flink_kakfa_spark.registry import all_queries
+
+
+@pytest.fixture(scope="module")
+def dup_docs(spark):
+    """Corpus with one exact dup pair and one near-dup pair."""
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = "the quick brown fox jumps over the lazy dog again and again tomorrow"
+    other = "completely different words about spark engines and shuffle plans here"
+    return spark.createDataFrame(
+        [
+            Row(doc_id=0, text=base),
+            Row(doc_id=1, text=base),      # exact dup of 0
+            Row(doc_id=2, text=near),      # near dup of 0/1
+            Row(doc_id=3, text=other),
+        ]
+    )
+
+
+def test_exact_dedup_finds_known_dup(spark, dup_docs):
+    fp = F.md5(F.col("text").cast("binary"))
+    groups = (
+        dup_docs.groupBy(fp.alias("fp"))
+        .agg(F.count(F.lit(1)).alias("n"), F.min("doc_id").alias("keep"))
+        .collect()
+    )
+    dup_group = [g for g in groups if g["n"] > 1]
+    assert len(dup_group) == 1
+    assert dup_group[0]["keep"] == 0 and dup_group[0]["n"] == 2
+
+
+def test_ngram_jaccard_ranks_known_pairs(spark, dup_docs, monkeypatch, tmp_path):
+    # route the registered query at our micro-corpus via a parquet dir
+    dup_docs.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    out = all_queries()["dedup_ngram_jaccard"](spark, str(tmp_path)).collect()
+    pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in out}
+    assert pairs[(0, 1)] == 1.0                      # exact dup
+    assert 0.5 < pairs[(0, 2)] < 1.0                 # near dup
+    assert (0, 3) not in pairs                       # no shared shingle
+    # ranking: exact dup above near dup
+    assert out[0]["jaccard"] >= out[-1]["jaccard"]
+
+
+def test_simhash_near_dup_smallest_distance(spark, dup_docs, tmp_path):
+    dup_docs.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    out = all_queries()["dedup_simhash"](spark, str(tmp_path)).collect()
+    top = out[0]
+    assert (top["doc_a"], top["doc_b"]) == (0, 1) and top["hamming"] == 0
+    by_pair = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in out}
+    assert by_pair[(0, 2)] <= by_pair[(0, 3)]
+
+
+def test_minhash_lsh_catches_exact_dup(spark, dup_docs, tmp_path):
+    dup_docs.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    out = all_queries()["dedup_minhash_lsh"](spark, str(tmp_path)).collect()
+    pairs = {(r["doc_a"], r["doc_b"]) for r in out}
+    assert (0, 1) in pairs
+
+
+def test_cosine_topk_self_similarity(spark, sf_dir):
+    """Nearest neighbor of a vector close to vec 0 should score ~1."""
+    out = all_queries()["sim_cosine_topk"](spark, sf_dir).collect()
+    assert len(out) == 10
+    sims = [r["cos_sim"] for r in out]
+    assert sims == sorted(sims, reverse=True)
+    assert all(-1.0 <= s <= 1.0 for s in sims)
+
+
+def test_lsh_ann_subset_of_brute_force_space(spark, sf_dir):
+    """ANN results must be genuine vectors with valid cosine scores."""
+    out = all_queries()["sim_lsh_ann_topk"](spark, sf_dir).collect()
+    assert all(-1.0 <= r["cos_sim"] <= 1.0 for r in out)
+
+
+def test_text_quality_bounds(spark, sf_dir):
+    rows = all_queries()["text_quality_score"](spark, sf_dir).collect()
+    for r in rows:
+        assert 0.0 <= r["stopword_ratio"] <= 1.0
+        assert 0.0 <= r["short_ratio"] <= 1.0
+        assert r["len_ok"] in (0, 1)
+
+
+def test_rolling_fingerprint_order_sensitive(spark, tmp_path):
+    df = spark.createDataFrame(
+        [Row(doc_id=0, text="a b c"), Row(doc_id=1, text="c b a")]
+    )
+    df.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    out = all_queries()["text_fingerprint_rolling"](spark, str(tmp_path)).collect()
+    fps = {r["doc_id"]: r["rolling_fp"] for r in out}
+    assert fps[0] != fps[1]  # permutation changes the fingerprint
+
+
+def test_mm_decode_frames_contract(spark, sf_dir):
+    out = all_queries()["mm_decode_frames"](spark, sf_dir)
+    assert [f.name for f in out.schema.fields] == [
+        "doc_id", "frame_idx", "width", "height", "brightness"
+    ]
+    rows = out.filter(F.col("doc_id") == 0).collect()
+    assert len(rows) == 3
+    assert all(0.0 <= r["brightness"] <= 1.0 for r in rows)
+
+
+def test_mm_extract_features_dim(spark, sf_dir):
+    rows = all_queries()["mm_extract_features"](spark, sf_dir).limit(5).collect()
+    assert all(len(r["feature"]) == 4 for r in rows)
+    assert all(r["n_bytes"] > 0 for r in rows)
