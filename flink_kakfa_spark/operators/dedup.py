@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from flink_kakfa_spark.registry import query
-from flink_kakfa_spark.sources.tables import load_table
+from flink_kakfa_spark.sources.tables import load_table, parallelize
 
 SHINGLE_K = 3  # words per shingle
 
@@ -120,8 +120,8 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     Inverted-index candidate generation: only docs sharing at least one
     shingle are ever paired.
     """
-    d = load_table(spark, "documents", sf_dir)
-    sh = _shingles(d).cache()
+    d = parallelize(load_table(spark, "documents", sf_dir), spark)
+    sh = _shingles(d)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -165,7 +165,7 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
-    d = load_table(spark, "documents", sf_dir)
+    d = parallelize(load_table(spark, "documents", sf_dir), spark)
     toks = d.select("doc_id", F.split(F.col("text"), " ").alias("tokens")).filter(
         F.size("tokens") >= SHINGLE_K
     )
@@ -264,7 +264,7 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     computed with higher-order functions — JVM-side, no UDF. Rounded to
     6 dp so float accumulation order can't flip the oracle hash.
     """
-    e = load_table(spark, "embeddings", sf_dir).select(
+    e = parallelize(load_table(spark, "embeddings", sf_dir), spark).select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("emb")
     )
     a = e.alias("a")

@@ -27,7 +27,7 @@ from pyspark.sql.functions import broadcast
 
 from flink_kakfa_spark.functions.numeric import dsum, sql_dsum
 from flink_kakfa_spark.registry import query
-from flink_kakfa_spark.sources.tables import load_table
+from flink_kakfa_spark.sources.tables import load_table, parallelize
 
 
 @query(
@@ -256,7 +256,7 @@ def q_join_range_event_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Equi-key (user_id) keeps this a shuffle join; the time range is a
     residual predicate, never a cartesian explosion.
     """
-    e = load_table(spark, "events", sf_dir)
+    e = parallelize(load_table(spark, "events", sf_dir), spark)
     a = e.alias("a")
     b = e.alias("b")
     return (

@@ -26,7 +26,7 @@ from pyspark.sql.types import (
 )
 
 from flink_kakfa_spark.registry import query
-from flink_kakfa_spark.sources.tables import load_table
+from flink_kakfa_spark.sources.tables import load_table, parallelize
 
 N_FRAMES = 3  # deterministic fake "video": 3 frames per document
 
@@ -134,7 +134,7 @@ def q_mm_decode_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
                     )
             yield _pd.DataFrame(rows, columns=cols)
 
-    d = with_payload(load_table(spark, "documents", sf_dir))
+    d = with_payload(parallelize(load_table(spark, "documents", sf_dir), spark))
     return d.select("doc_id", "payload").mapInPandas(decode_frames, _FRAME_SCHEMA)
 
 
@@ -178,7 +178,7 @@ def q_mm_extract_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out["n_bytes"].append(len(arr))
             yield _pd.DataFrame(out)
 
-    d = with_payload(load_table(spark, "documents", sf_dir))
+    d = with_payload(parallelize(load_table(spark, "documents", sf_dir), spark))
     return d.select("doc_id", "payload").mapInPandas(extract_features, _FEAT_SCHEMA)
 
 

@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 
 from flink_kakfa_spark.functions.numeric import davg, dsum, sql_davg, sql_dsum
 from flink_kakfa_spark.registry import query
-from flink_kakfa_spark.sources.tables import load_table
+from flink_kakfa_spark.sources.tables import load_table, parallelize
 
 
 # --------------------------------------------------------------------------
@@ -119,7 +119,8 @@ def q_agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     li = load_table(spark, "lineitem", sf_dir)
     return (
-        li.filter(F.col("l_shipdate") <= "2000-09-02")
+        # filter in the scan (pushdown), then fan out for the 7-function agg
+        parallelize(li.filter(F.col("l_shipdate") <= "2000-09-02"), spark)
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             dsum(F.col("l_quantity")).alias("sum_qty"),

@@ -19,7 +19,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from flink_kakfa_spark.registry import query
-from flink_kakfa_spark.sources.tables import load_table
+from flink_kakfa_spark.sources.tables import load_table, parallelize
 
 
 def as_double(col) -> Column:
@@ -40,7 +40,7 @@ def cosine(a: Column, b: Column) -> Column:
 
 def _with_query_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embeddings cross-joined with the (broadcast) query vector = vec_id 0."""
-    e = load_table(spark, "embeddings", sf_dir).select(
+    e = parallelize(load_table(spark, "embeddings", sf_dir), spark).select(
         "vec_id", as_double("embedding").alias("emb"), "label"
     )
     q = e.filter(F.col("vec_id") == 0).select(F.col("emb").alias("qvec"))
@@ -123,7 +123,7 @@ def q_sim_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     The hyperplanes derive from xxhash64(dim_index, plane) — fully
     deterministic, no fitted model — but Spark-specific → rows-only.
     """
-    e = load_table(spark, "embeddings", sf_dir).select(
+    e = parallelize(load_table(spark, "embeddings", sf_dir), spark).select(
         "vec_id", as_double("embedding").alias("emb")
     )
     n_planes = 8

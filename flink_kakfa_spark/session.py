@@ -47,6 +47,7 @@ def get_spark(
         )
         # Keep the UI off in the harness; it only costs startup time here.
         .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -42,6 +42,25 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
     return spark.read.parquet(f"{d}/{name}.parquet")
 
 
+def parallelize(df: DataFrame, spark: SparkSession) -> DataFrame:
+    """Repartition a narrow input to the cluster's parallelism when the
+    scan produced too few partitions.
+
+    The fixture tables are single-row-group Parquet files, so the scan
+    yields ONE partition and every narrow compute stage after it
+    (HOF shingling, vector math, pandas batches, nested-loop joins)
+    runs single-threaded. One cheap round-robin shuffle restores
+    parallelism. Only worth it before compute-heavy stages — scan-light
+    aggregations are faster without it (measured: TPC-H-Q1-shape is
+    2x slower with the extra exchange). At lake scale inputs arrive in
+    many splits and this becomes a no-op.
+    """
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() * 2 <= target:
+        return df.repartition(target)
+    return df
+
+
 def load_tables(spark: SparkSession, sf_dir: str | None = None) -> dict[str, DataFrame]:
     """Read every fixture table; returns {name: DataFrame}."""
     return {t: load_table(spark, t, sf_dir) for t in TABLES}
