@@ -349,3 +349,86 @@ def q_except_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
     all_keys = o.select("o_custkey")
     pending = o.filter(F.col("o_orderstatus") == "P").select("o_custkey")
     return all_keys.subtract(pending)
+
+
+# --------------------------------------------------------------------------
+# Statistical aggregates + sampling
+# --------------------------------------------------------------------------
+
+@query(
+    "agg_percentiles",
+    oracle="""
+    SELECT
+      l_returnflag,
+      ROUND(quantile_cont(l_quantity, 0.5), 4) AS qty_median,
+      ROUND(quantile_cont(l_extendedprice, 0.25), 4) AS price_p25,
+      ROUND(quantile_cont(l_extendedprice, 0.95), 4) AS price_p95,
+      MIN(l_extendedprice) AS price_min,
+      MAX(l_extendedprice) AS price_max
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group.
+
+    Rounded to 4 dp: Spark computes (1-d)*a + d*b, DuckDB a + (b-a)*d —
+    algebraically equal, last-ulp different.
+    """
+    li = load_table(spark, "lineitem", sf_dir)
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_quantity", F.lit(0.5)), 4).alias("qty_median"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.25)), 4).alias("price_p25"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.95)), 4).alias("price_p95"),
+        F.min("l_extendedprice").alias("price_min"),
+        F.max("l_extendedprice").alias("price_max"),
+    )
+
+
+@query(
+    "agg_variance_exact",
+    oracle="""
+    SELECT
+      l_linestatus,
+      COUNT(*) AS n,
+      CAST(
+        (CAST(SUM(CAST(l_discount * l_discount AS DECIMAL(18,6))) AS DOUBLE)
+         - CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE)
+           * CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*))
+        / (COUNT(*) - 1) AS DOUBLE) AS disc_var
+    FROM lineitem
+    GROUP BY l_linestatus
+    """,
+)
+def q_agg_variance_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample variance via exact decimal sums (order-insensitive).
+
+    Built-in var_samp accumulates float sums whose partitioning order
+    changes the last bits; routing sum(x) and sum(x^2) through DECIMAL
+    makes the result bit-stable and oracle-exact. Same two-pass-free
+    shape (single aggregation), deterministic at any parallelism.
+    """
+    li = load_table(spark, "lineitem", sf_dir)
+    d6 = "decimal(18,6)"
+    sum_x = F.sum(F.col("l_discount").cast(d6)).cast("double")
+    sum_x2 = F.sum((F.col("l_discount") * F.col("l_discount")).cast(d6)).cast("double")
+    n = F.count(F.lit(1))
+    return li.groupBy("l_linestatus").agg(
+        n.alias("n"),
+        ((sum_x2 - sum_x * sum_x / n) / (n - 1)).cast("double").alias("disc_var"),
+    )
+
+
+@query("sample_seeded")  # rows-only: Bernoulli sampler RNG is engine-specific
+def q_sample_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded Bernoulli sample of orders (reproducible across runs).
+
+    The 100 TB use case: cheap pipeline smoke-runs and data profiling
+    on a fixed, replayable subset. Deterministic given (seed, data,
+    partitioning) but the sampler's RNG stream is Spark-specific, so
+    rows-only.
+    """
+    o = load_table(spark, "orders", sf_dir)
+    return o.sample(fraction=0.1, seed=42).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )

@@ -15,6 +15,7 @@ cell id; LSH adds one on bucket key.
 
 from __future__ import annotations
 
+import pandas as pd  # noqa: F401 — resolves pandas_udf type hints at runtime
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -192,4 +193,105 @@ def q_sim_ivf_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.groupBy(F.col("label").alias("cell")).agg(
         F.count(F.lit(1)).alias("n_vectors"),
         F.round(F.avg(self_sim), 6).alias("avg_self_sim"),
+    )
+
+
+@query("sim_ivf_kmeans_topk")  # rows-only: centroid fit is engine-seeded
+def q_sim_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: k-means coarse quantizer + nprobe-limited exact rescore.
+
+    Build: fit k=8 centroids (seeded), assign every vector to its cell.
+    Search: rank cells by centroid distance to the query, probe the 2
+    nearest cells, exact-cosine only those candidates. At 100 TB the
+    cell id is a partition column: probing 2 of 8 cells reads 25% of
+    the data, and the fit runs on a sample, not the corpus.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    e = parallelize(load_table(spark, "embeddings", sf_dir), spark).select(
+        "vec_id", as_double("embedding").alias("emb")
+    )
+    feats = e.select("vec_id", "emb", array_to_vector("emb").alias("features"))
+    model = KMeans(k=8, seed=42, featuresCol="features", predictionCol="cell").fit(feats)
+    assigned = model.transform(feats).select("vec_id", "emb", "cell")
+
+    q = assigned.filter(F.col("vec_id") == 0).select(
+        F.col("emb").alias("qvec"), F.col("cell").alias("qcell")
+    )
+    # rank cells by centroid<->query cosine, keep the 2 nearest (nprobe=2)
+    centroids = spark.createDataFrame(
+        [(i,) for i in range(len(model.clusterCenters()))], "cell int"
+    ).join(
+        spark.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+            "cell int, centroid array<double>",
+        ),
+        "cell",
+    )
+    probe_cells = (
+        centroids.crossJoin(F.broadcast(q.select("qvec")))
+        .select("cell", cosine(F.col("centroid"), F.col("qvec")).alias("ccos"))
+        .orderBy(F.col("ccos").desc())
+        .limit(2)
+        .select("cell")
+    )
+    cands = assigned.filter(F.col("vec_id") != 0).join(
+        F.broadcast(probe_cells), "cell"
+    ).crossJoin(F.broadcast(q.select("qvec")))
+    return (
+        cands.select(
+            "vec_id",
+            "cell",
+            F.round(cosine(F.col("emb"), F.col("qvec")), 6).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+        .limit(10)
+    )
+
+
+@query(
+    "sim_cosine_topk_pandas",
+    oracle="""
+    WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qvec FROM embeddings WHERE vec_id = 0)
+    SELECT
+      e.vec_id,
+      ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qvec), 6) AS cos_sim
+    FROM embeddings e, q
+    WHERE e.vec_id <> 0
+    ORDER BY cos_sim DESC, e.vec_id ASC
+    LIMIT 10
+    """,
+)
+def q_sim_cosine_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 via vectorized pandas UDF: same result as the HOF form.
+
+    The Arrow-batched numpy path — the fallback when vector math
+    outgrows SQL expressions (learned metrics, quantized dot products).
+    Demonstrates the engine's UDF policy: a @pandas_udf processing
+    whole columns per batch, never a row-at-a-time Python UDF.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    e = parallelize(load_table(spark, "embeddings", sf_dir), spark).select(
+        "vec_id", as_double("embedding").alias("emb")
+    )
+    qrow = e.filter(F.col("vec_id") == 0).select(F.col("emb")).head()
+    qvec = np.array(qrow["emb"], dtype=np.float64)
+    qnorm = float(np.sqrt((qvec * qvec).sum()))
+
+    @pandas_udf("double")
+    def cos_to_query(embs: pd.Series) -> pd.Series:
+        mat = np.vstack(embs.to_numpy())  # (batch, dim) float64
+        dots = mat @ qvec
+        norms = np.sqrt((mat * mat).sum(axis=1))
+        return pd.Series(dots / (norms * qnorm))
+
+    return (
+        e.filter(F.col("vec_id") != 0)
+        .select("vec_id", F.round(cos_to_query(F.col("emb")), 6).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+        .limit(10)
     )

@@ -48,6 +48,8 @@ def get_spark(
         # Keep the UI off in the harness; it only costs startup time here.
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
+        # managed tables (bucketing tests, scratch) live outside the repo
+        .config("spark.sql.warehouse.dir", "/tmp/flink_kakfa_spark_warehouse")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -1,0 +1,94 @@
+"""Write-side + layout tests (S6): partition pruning, bucketed
+co-located joins, CSV/JSON round-trips.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flink_kakfa_spark.sources.io import (
+    read_csv,
+    read_json,
+    write_bucketed_table,
+    write_partitioned,
+)
+from flink_kakfa_spark.sources.tables import load_table
+
+
+def test_partitioned_write_prunes_directories(spark, sf_dir, tmp_path):
+    o = load_table(spark, "orders", sf_dir)
+    write_partitioned(o, str(tmp_path / "orders_p"), ["o_orderstatus"])
+    back = spark.read.parquet(str(tmp_path / "orders_p"))
+    assert back.count() == o.count()
+    pruned = back.filter(F.col("o_orderstatus") == "F")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    # the status predicate must be a partition filter, not a data filter
+    assert "PartitionFilters" in plan
+    assert "o_orderstatus" in plan.split("PartitionFilters")[1][:300]
+    assert pruned.count() == o.filter(F.col("o_orderstatus") == "F").count()
+
+
+def test_bucketed_join_skips_exchange(spark, sf_dir, tmp_path):
+    """Two tables bucketed on the join key join with NO shuffle."""
+    spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+    # tiny fixtures would broadcast (which ignores bucketing) — force the
+    # shuffle-join path so the test observes the bucketed layout
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    o = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    write_bucketed_table(o.select("o_orderkey", "o_totalprice"), "orders_b", "o_orderkey")
+    write_bucketed_table(li.select("l_orderkey", "l_quantity"), "lineitem_b", "l_orderkey")
+    try:
+        joined = spark.table("lineitem_b").join(
+            spark.table("orders_b"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        joined.collect()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        assert "Exchange" not in plan  # co-located: bucketing replaced the shuffle
+        # correctness: same row count as the plain join
+        assert joined.count() == li.join(o, li.l_orderkey == o.o_orderkey).count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
+def test_csv_round_trip(spark, sf_dir, tmp_path):
+    n = load_table(spark, "nation", sf_dir)
+    n.write.mode("overwrite").option("header", "true").csv(str(tmp_path / "nation_csv"))
+    back = read_csv(
+        spark,
+        str(tmp_path / "nation_csv"),
+        "n_nationkey int, n_name string, n_regionkey int",
+    )
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, n.collect()))
+
+
+def test_json_round_trip(spark, sf_dir, tmp_path):
+    r = load_table(spark, "region", sf_dir)
+    r.write.mode("overwrite").json(str(tmp_path / "region_json"))
+    back = read_json(spark, str(tmp_path / "region_json"), "r_regionkey int, r_name string")
+    assert sorted(map(tuple, back.select("r_regionkey", "r_name").collect())) == sorted(
+        map(tuple, r.collect())
+    )
+
+
+def test_streaming_parquet_sink(spark, sf_dir, tmp_path):
+    """S6 streaming form: file-source -> parquet sink with checkpoint."""
+    src = load_table(spark, "region", sf_dir)
+    src.write.mode("overwrite").parquet(str(tmp_path / "in"))
+    stream = spark.readStream.schema("r_regionkey int, r_name string").parquet(
+        str(tmp_path / "in")
+    )
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    assert spark.read.parquet(str(tmp_path / "out")).count() == src.count()
