@@ -254,3 +254,67 @@ def q_scalar_cast_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_shipdate").cast("date").alias("ship_day"),
         (F.col("l_returnflag") == "R").cast("int").alias("is_returned"),
     )
+
+
+@query(
+    "reference_message_shape",
+    oracle="""
+    SELECT
+      'key-' || CAST(CAST(epoch(o_orderdate) AS BIGINT) AS VARCHAR) AS key,
+      o_orderpriority AS value,
+      COUNT(*) AS n
+    FROM orders
+    WHERE o_orderkey % 50 = 0
+    GROUP BY 1, 2
+    """,
+)
+def q_reference_message_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2 parity: rows shaped into the reference's Kafka message contract.
+
+    The reference derives each message key as "key-" + unix-seconds
+    (``go/producer/producer.go:118-123``) — note the key is
+    timestamp-derived and NOT unique per record, so distinct rows can
+    share a key; the group-by documents exactly that collision
+    behavior.
+    """
+    o = load_table(spark, "orders", sf_dir)
+    return (
+        o.filter(F.col("o_orderkey") % 50 == 0)
+        .select(
+            F.concat(
+                F.lit("key-"), F.unix_timestamp("o_orderdate").cast("string")
+            ).alias("key"),
+            F.col("o_orderpriority").alias("value"),
+        )
+        .groupBy("key", "value")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "scalar_from_json_struct",
+    oracle="""
+    SELECT
+      event_id,
+      CAST(regexp_extract(props, '"k": (\\d+)', 1) AS INTEGER) AS k,
+      CAST(regexp_extract(props, '"k": (\\d+)', 1) AS INTEGER) % 10 AS k_bucket
+    FROM events
+    WHERE event_id % 200 = 0
+    """,
+)
+def q_scalar_from_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5: schema-full JSON parsing (from_json to a typed struct).
+
+    ``get_json_object`` (see scalar_json_extract) is the per-path form;
+    ``from_json`` parses once into a struct — the right call shape when
+    extracting many fields at 100 TB.
+    """
+    e = load_table(spark, "events", sf_dir)
+    parsed = e.filter(F.col("event_id") % 200 == 0).select(
+        "event_id", F.from_json("props", "k INT").alias("p")
+    )
+    return parsed.select(
+        "event_id",
+        F.col("p.k").alias("k"),
+        (F.col("p.k") % 10).alias("k_bucket"),
+    )

@@ -1,0 +1,107 @@
+"""Physical-plan audit: sweep every registered query and flag anti-scale
+patterns. Run: python tools/plan_audit.py [sf_dir] — writes PLAN_AUDIT.md.
+
+Checks per query:
+- exchanges: shuffle count (each is a full network round of the data)
+- cartesian/BNLJ: quadratic joins, allowed only for declared all-pairs
+  operators (brute-force similarity, simhash pairs)
+- python: Arrow/Python evaluation nodes, allowed only for declared
+  pandas-UDF operators
+- pushdown: scans with filters must show PushedFilters
+- codegen: fraction of operators inside whole-stage codegen spans
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from flink_kakfa_spark import registry
+from flink_kakfa_spark.session import get_spark
+
+# operators whose semantics are genuinely all-pairs / python-based
+ALLOWED_QUADRATIC = {
+    "dedup_embedding_cosine",  # documented brute-force baseline (LSH = scale path)
+    "dedup_simhash",           # signature all-pairs (banding = scale path)
+    "join_cross_region_nation",  # explicit tiny cross join
+    "sim_cosine_topk", "sim_euclidean_topk", "sim_cosine_topk_pandas",
+    "sim_lsh_ann_topk", "sim_ivf_kmeans_topk",  # 1-row broadcast query vector
+    "sql_having_scalar_subquery",  # scalar subquery joins as 1-row BNLJ
+}
+ALLOWED_PYTHON = {
+    "mm_decode_frames", "mm_extract_features", "sim_cosine_topk_pandas",
+    "sim_ivf_kmeans_topk",  # KMeans fit
+    "dedup_minhash_lsh",    # pyspark.ml LSH
+}
+
+
+def audit(name: str, fn, spark, sf_dir: str) -> dict:
+    df = fn(spark, sf_dir)
+    df.write.format("noop").mode("overwrite").save()  # finalize AQE plan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    n_exchange = len(re.findall(r"Exchange (hash|range|SinglePartition)", plan))
+    n_bcast = plan.count("BroadcastExchange")
+    quad = ("CartesianProduct" in plan) or ("BroadcastNestedLoopJoin" in plan)
+    python = ("ArrowEvalPython" in plan) or ("BatchEvalPython" in plan) or ("MapInPandas" in plan) or ("FlatMapGroupsInPandas" in plan)
+    scans = plan.count("FileScan")
+    pushed = len(re.findall(r"PushedFilters: \[[^\]]", plan))
+    codegen_ids = set(re.findall(r"\*\((\d+)\)", plan))
+    flags = []
+    if quad and name not in ALLOWED_QUADRATIC:
+        flags.append("UNDECLARED-QUADRATIC-JOIN")
+    if python and name not in ALLOWED_PYTHON:
+        flags.append("UNDECLARED-PYTHON-EVAL")
+    if n_exchange > 4:
+        flags.append(f"MANY-SHUFFLES({n_exchange})")
+    return {
+        "name": name,
+        "shuffles": n_exchange,
+        "broadcasts": n_bcast,
+        "scans": scans,
+        "pushed_scans": pushed,
+        "codegen_spans": len(codegen_ids),
+        "quadratic": quad,
+        "python": python,
+        "flags": flags,
+    }
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    registry.load_all()
+    spark = get_spark("plan-audit", shuffle_partitions=8)
+    rows = []
+    for name in sorted(registry.QUERIES):
+        try:
+            rows.append(audit(name, registry.QUERIES[name], spark, sf_dir))
+        except Exception as e:  # noqa: BLE001
+            rows.append({"name": name, "flags": [f"ERROR: {e}"], "shuffles": -1,
+                         "broadcasts": 0, "scans": 0, "pushed_scans": 0,
+                         "codegen_spans": 0, "quadratic": False, "python": False})
+    flagged = [r for r in rows if r["flags"]]
+    lines = [
+        "# PLAN_AUDIT — physical-plan sweep of every registered query",
+        "",
+        f"sf_dir: `{sf_dir}` · queries: {len(rows)} · flagged: {len(flagged)}",
+        "",
+        "| query | shuffles | broadcasts | scans | pushed | codegen | quad | py | flags |",
+        "|---|---|---|---|---|---|---|---|---|",
+    ]
+    for r in rows:
+        lines.append(
+            f"| {r['name']} | {r['shuffles']} | {r['broadcasts']} | {r['scans']} | "
+            f"{r['pushed_scans']} | {r['codegen_spans']} | "
+            f"{'y' if r['quadratic'] else ''} | {'y' if r['python'] else ''} | "
+            f"{', '.join(r['flags'])} |"
+        )
+    with open("/root/repo/PLAN_AUDIT.md", "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print("\n".join(lines[-min(len(rows), 10):]))
+    print(f"\nflagged: {[r['name'] for r in flagged]}")
+    return 1 if flagged else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
