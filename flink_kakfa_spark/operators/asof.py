@@ -1,0 +1,120 @@
+"""As-of (most-recent-prior) join — the canonical time-series operator
+Spark has no built-in for (driver mandate: "custom operators ... e.g.
+as-of join").
+
+Two Spark-native formulations, both shuffle-once:
+
+1. **Union + window** (same-table enrichment): interleave both sides on
+   the time axis within each key partition, then ``last(right_value,
+   ignorenulls=True)`` over an unbounded-preceding frame carries the
+   most recent right-side value forward onto every left row. One
+   shuffle on the key, one in-partition sort — identical cost to a
+   regular windowed aggregation, no range-join blowup.
+
+2. At 100 TB the same plan holds: partition by key, sort by time
+   in-partition. For key-free as-of joins you'd range-bucket the time
+   axis first (join on bucket, then window within bucket).
+
+The DuckDB oracle uses its native ``ASOF JOIN`` — an independent
+implementation agreeing hash-exactly is strong evidence of correct
+semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from flink_kakfa_spark.registry import query
+from flink_kakfa_spark.sources.tables import load_table, parallelize
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    time_col: str,
+    value_cols: list[str],
+    suffix: str = "_asof",
+) -> DataFrame:
+    """For each left row, attach the latest right row with
+    right.time <= left.time and matching key (strictly at-or-before).
+
+    Implementation: tag and union both sides, sort within key by
+    (time, right-before-left at equal times), carry right values
+    forward with last(ignorenulls), keep left rows.
+    """
+    lt = left.withColumn("_side", F.lit(1))
+    rt = right.select(
+        key,
+        time_col,
+        *[F.col(c).alias(c + suffix) for c in value_cols],
+    ).withColumn("_side", F.lit(0))
+    unioned = lt.unionByName(rt, allowMissingColumns=True)
+    # right rows sort before left rows at the same timestamp so an
+    # equal-time right row IS visible to the left row (<= semantics)
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.col(time_col).asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        "*",
+        *[
+            F.last(F.col(c + suffix), ignorenulls=True).over(w).alias(c + suffix + "_c")
+            for c in value_cols
+        ],
+    )
+    return (
+        carried.filter(F.col("_side") == 1)
+        .drop("_side", *[c + suffix for c in value_cols])
+        .select(
+            *[F.col(c) for c in left.columns],
+            *[F.col(c + suffix + "_c").alias(c + suffix) for c in value_cols],
+        )
+    )
+
+
+@query(
+    "asof_last_purchase",
+    oracle="""
+    WITH purchases AS (
+      SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+    ),
+    others AS (
+      SELECT event_id, user_id, ts, event_type FROM events
+      WHERE event_type <> 'purchase'
+    )
+    SELECT
+      o.event_id,
+      o.user_id,
+      o.event_type,
+      p.ts AS ts_asof,
+      p.value AS value_asof
+    FROM others o
+    ASOF LEFT JOIN purchases p
+      ON o.user_id = p.user_id AND o.ts >= p.ts
+    """,
+)
+def q_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each non-purchase event annotated with the user's
+    most recent purchase (time and amount) at that moment.
+
+    Oracle is DuckDB's native ASOF JOIN — an independent engine's
+    implementation of the same semantics.
+    """
+    e = parallelize(load_table(spark, "events", sf_dir), spark)
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    others = e.filter(F.col("event_type") != "purchase").select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    joined = asof_join(others, purchases, "user_id", "ts", ["ts", "value"])
+    return joined.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.col("ts_asof"),
+        F.col("value_asof"),
+    )

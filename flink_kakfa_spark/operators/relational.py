@@ -432,3 +432,72 @@ def q_sample_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.sample(fraction=0.1, seed=42).select(
         "o_orderkey", "o_custkey", "o_totalprice"
     )
+
+
+@query(
+    "agg_argmax",
+    oracle="""
+    WITH mx AS (
+      SELECT l_returnflag, MAX(l_extendedprice) AS max_price
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT
+      m.l_returnflag,
+      m.max_price,
+      MIN(l.l_orderkey) AS argmax_orderkey
+    FROM mx m
+    JOIN lineitem l
+      ON l.l_returnflag = m.l_returnflag AND l.l_extendedprice = m.max_price
+    GROUP BY m.l_returnflag, m.max_price
+    """,
+)
+def q_agg_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argmax per group, tie-broken deterministically (lowest orderkey).
+
+    max_by's tie behavior is unspecified, so the engine uses the
+    classic max-then-join-back formulation — two cheap aggregations
+    instead of one nondeterministic one. The join-back is a broadcast
+    (group cardinality is tiny next to the fact table).
+    """
+    li = load_table(spark, "lineitem", sf_dir)
+    mx = li.groupBy("l_returnflag").agg(F.max("l_extendedprice").alias("max_price"))
+    return (
+        li.join(
+            F.broadcast(mx),
+            (li.l_returnflag == mx.l_returnflag)
+            & (li.l_extendedprice == mx.max_price),
+        )
+        .drop(mx.l_returnflag)
+        .groupBy("l_returnflag", "max_price")
+        .agg(F.min("l_orderkey").alias("argmax_orderkey"))
+    )
+
+
+@query(
+    "scalar_null_funcs",
+    oracle="""
+    SELECT
+      o_orderstatus,
+      COUNT(*) AS n_rows,
+      COUNT(NULLIF(o_orderpriority, '4-NOT SPECIFIED')) AS n_specified,
+      SUM(CASE WHEN NULLIF(o_orderpriority, '4-NOT SPECIFIED') IS NULL THEN 1 ELSE 0 END) AS n_unspecified,
+      COALESCE(MIN(NULLIF(o_orderpriority, '4-NOT SPECIFIED')), 'none') AS min_priority
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def q_scalar_null_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-handling family: nullif / coalesce / null-skipping aggregates.
+
+    The fixtures contain no physical nulls, so nullif manufactures them
+    — exercising count's null-skip, sum-over-case, and coalesce
+    fallback semantics end-to-end.
+    """
+    o = load_table(spark, "orders", sf_dir)
+    specified = F.nullif(F.col("o_orderpriority"), F.lit("4-NOT SPECIFIED"))
+    return o.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(specified).alias("n_specified"),
+        F.sum(F.when(specified.isNull(), 1).otherwise(0)).alias("n_unspecified"),
+        F.coalesce(F.min(specified), F.lit("none")).alias("min_priority"),
+    )

@@ -1,0 +1,49 @@
+"""As-of join semantics on hand-computed micro-fixtures."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from flink_kakfa_spark.operators.asof import asof_join
+
+
+def _ts(s):
+    return f"2024-01-01 00:00:{s:02d}"
+
+
+def test_asof_picks_most_recent_at_or_before(spark):
+    left = spark.createDataFrame(
+        [Row(k="u", ts=_ts(5), ev="a"), Row(k="u", ts=_ts(10), ev="b"),
+         Row(k="u", ts=_ts(2), ev="c")],
+        "k string, ts string, ev string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    right = spark.createDataFrame(
+        [Row(k="u", ts=_ts(3), px=30.0), Row(k="u", ts=_ts(7), px=70.0)],
+        "k string, ts string, px double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {r["ev"]: r["px_asof"] for r in asof_join(left, right, "k", "ts", ["px"]).collect()}
+    assert out == {"c": None, "a": 30.0, "b": 70.0}
+
+
+def test_asof_equal_timestamp_is_inclusive(spark):
+    left = spark.createDataFrame(
+        [Row(k="u", ts=_ts(3), ev="same")], "k string, ts string, ev string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    right = spark.createDataFrame(
+        [Row(k="u", ts=_ts(3), px=1.0)], "k string, ts string, px double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = asof_join(left, right, "k", "ts", ["px"]).collect()
+    assert out[0]["px_asof"] == 1.0  # at-or-before, not strictly-before
+
+
+def test_asof_respects_key_partitions(spark):
+    left = spark.createDataFrame(
+        [Row(k="a", ts=_ts(9), ev="x"), Row(k="b", ts=_ts(9), ev="y")],
+        "k string, ts string, ev string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    right = spark.createDataFrame(
+        [Row(k="a", ts=_ts(1), px=10.0)], "k string, ts string, px double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {r["ev"]: r["px_asof"] for r in asof_join(left, right, "k", "ts", ["px"]).collect()}
+    assert out == {"x": 10.0, "y": None}  # no cross-key leakage

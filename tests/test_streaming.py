@@ -259,3 +259,31 @@ def test_stateful_totals_accumulate_across_batches(spark, tmp_path):
     ).collect()
     totals = {r["word"]: r["total"] for r in rows}
     assert totals == {"hello": 2, "world": 1, "again": 1}
+
+
+def test_foreach_batch_sink(spark, tmp_path):
+    """S4 production form: foreachBatch with custom per-batch logic
+    (the engine twin of the consumer's processMessage hook,
+    go/consumer/consumer.go:79-81)."""
+    import time
+
+    _write_messages(
+        spark, str(tmp_path / "src"), [Row(key="k1", value="alpha", ts="2024-01-01 00:00:01")], "b0"
+    )
+    time.sleep(1.1)
+    _write_messages(
+        spark, str(tmp_path / "src"), [Row(key="k2", value="beta", ts="2024-01-01 00:00:02")], "b1"
+    )
+    seen: list[tuple[int, str]] = []
+
+    def handle(batch_df, batch_id):
+        for r in batch_df.select("value").collect():
+            seen.append((batch_id, r["value"]))
+
+    stream = spark.readStream.schema(MSG_SCHEMA).option("maxFilesPerTrigger", 1).parquet(
+        f"{tmp_path}/src/*"
+    )
+    q = stream.writeStream.foreachBatch(handle).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+    assert sorted(v for _, v in seen) == ["alpha", "beta"]
+    assert len({b for b, _ in seen}) == 2  # delivered across two micro-batches
