@@ -501,3 +501,37 @@ def q_scalar_null_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(specified.isNull(), 1).otherwise(0)).alias("n_unspecified"),
         F.coalesce(F.min(specified), F.lit("none")).alias("min_priority"),
     )
+
+
+@query(
+    "unpivot_price_measures",
+    oracle="""
+    SELECT o_orderkey, measure, val FROM (
+      SELECT o_orderkey, 'total'     AS measure, o_totalprice            AS val FROM orders
+      UNION ALL
+      SELECT o_orderkey, 'total_x2'  AS measure, o_totalprice * 2        AS val FROM orders
+      UNION ALL
+      SELECT o_orderkey, 'total_neg' AS measure, 0.0 - o_totalprice      AS val FROM orders
+    )
+    WHERE o_orderkey % 100 = 0
+    """,
+)
+def q_unpivot_price_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide→long): measure columns melted into rows.
+
+    The inverse of PIVOT (sql_pivot_status_by_priority); the oracle
+    states the semantics from first principles as a UNION ALL.
+    """
+    o = load_table(spark, "orders", sf_dir).filter(F.col("o_orderkey") % 100 == 0)
+    wide = o.select(
+        "o_orderkey",
+        F.col("o_totalprice").alias("total"),
+        (F.col("o_totalprice") * 2).alias("total_x2"),
+        (-F.col("o_totalprice")).alias("total_neg"),
+    )
+    return wide.unpivot(
+        ids=["o_orderkey"],
+        values=["total", "total_x2", "total_neg"],
+        variableColumnName="measure",
+        valueColumnName="val",
+    )

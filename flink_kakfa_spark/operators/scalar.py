@@ -318,3 +318,74 @@ def q_scalar_from_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p.k").alias("k"),
         (F.col("p.k") % 10).alias("k_bucket"),
     )
+
+
+@query(
+    "scalar_date_funcs2",
+    oracle="""
+    SELECT
+      o_orderkey,
+      CAST(isodow(o_orderdate) AS INT) AS iso_weekday,
+      CAST(weekofyear(o_orderdate) AS INT) AS iso_week,
+      CAST(quarter(o_orderdate) AS INT) AS q,
+      CAST(last_day(o_orderdate) AS DATE) AS month_end,
+      CAST(o_orderdate + INTERVAL 2 MONTH AS DATE) AS plus_2_months,
+      CAST(date_trunc('week', o_orderdate) AS DATE) AS week_start
+    FROM orders
+    WHERE o_orderkey % 100 = 0
+    """,
+)
+def q_scalar_date_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date family 2: ISO weekday/week, quarter, month-end, add_months.
+
+    Calendar-convention traps handled explicitly: Spark weekday() is
+    Monday=0 (DuckDB isodow Monday=1, hence +1); both weekofyear are ISO.
+    """
+    o = load_table(spark, "orders", sf_dir).filter(F.col("o_orderkey") % 100 == 0)
+    return o.select(
+        "o_orderkey",
+        (F.weekday("o_orderdate") + 1).alias("iso_weekday"),
+        F.weekofyear("o_orderdate").alias("iso_week"),
+        F.quarter("o_orderdate").alias("q"),
+        F.last_day("o_orderdate").alias("month_end"),
+        F.add_months("o_orderdate", 2).alias("plus_2_months"),
+        F.date_trunc("week", "o_orderdate").cast("date").alias("week_start"),
+    )
+
+
+@query(
+    "scalar_map_funcs",
+    oracle="""
+    SELECT
+      l_returnflag,
+      l_linestatus,
+      CONCAT('flag=', l_returnflag, ',status=', l_linestatus) AS tags_str,
+      2 AS n_tags
+    FROM lineitem
+    WHERE l_orderkey % 1000 = 0
+    """,
+)
+def q_scalar_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map family: build a map column, then serialize it canonically.
+
+    The map itself (MapType) exercises map_from_arrays / map_keys /
+    map_values; the output is flattened to sorted key=value text so the
+    oracle comparison is type-agnostic.
+    """
+    li = load_table(spark, "lineitem", sf_dir).filter(F.col("l_orderkey") % 1000 == 0)
+    m = F.create_map(
+        F.lit("flag"), F.col("l_returnflag"), F.lit("status"), F.col("l_linestatus")
+    )
+    tags = F.map_from_arrays(F.map_keys(m), F.map_values(m))  # rebuild round-trip
+    return li.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.sort_array(F.map_keys(tags)),
+                lambda k: F.concat(k, F.lit("="), F.element_at(tags, k)),
+            ),
+        ).alias("tags_str"),
+        F.size(tags).alias("n_tags"),
+    )

@@ -33,6 +33,11 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
     """
     from pyspark.sql import functions as F
 
+    # Defensive: queries may run under a driver-owned session that didn't
+    # go through get_spark(); timestamp value-hashes vs the DuckDB oracle
+    # require UTC session semantics.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
     d = sf_dir or DEFAULT_SF_DIR
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
