@@ -285,3 +285,123 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cos_sim").desc(), F.col("vec_a").asc(), F.col("vec_b").asc())
         .limit(20)
     )
+
+
+def _near_dup_edges(spark: SparkSession, sf_dir: str, threshold: float = 0.5) -> DataFrame:
+    """Near-dup pairs (3-gram Jaccard >= threshold) as undirected edges."""
+    d = parallelize(load_table(spark, "documents", sf_dir), spark)
+    sh = _shingles(d)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    return (
+        pairs.join(F.broadcast(sa), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(F.broadcast(sb), F.col("doc_b") == F.col("sb.doc_id"))
+        .filter(
+            F.col("n_common").cast("double")
+            / (F.col("sa.n") + F.col("sb.n") - F.col("n_common"))
+            >= threshold
+        )
+        .select("doc_a", "doc_b")
+    )
+
+
+@query(
+    "dedup_clusters",
+    oracle="""
+    WITH RECURSIVE
+    tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+      FROM tok, UNNEST(generate_series(1, len(ts) - 2)) AS g(i)
+      WHERE len(ts) >= 3
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    edges AS (
+      SELECT doc_a, doc_b FROM pairs
+      JOIN sizes sa ON doc_a = sa.doc_id
+      JOIN sizes sb ON doc_b = sb.doc_id
+      WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.5
+    ),
+    sym AS (
+      SELECT doc_a AS src, doc_b AS dst FROM edges
+      UNION SELECT doc_b, doc_a FROM edges
+      UNION SELECT doc_a, doc_a FROM edges
+      UNION SELECT doc_b, doc_b FROM edges
+    ),
+    reach(src, dst) AS (
+      SELECT src, dst FROM sym
+      UNION
+      SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src
+    )
+    SELECT
+      MIN(dst) AS cluster_id,
+      src AS doc_id
+    FROM reach
+    GROUP BY src
+    """,
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering: connected components over Jaccard>=0.5 edges.
+
+    Iterative min-label propagation: every node adopts the smallest
+    label among itself and its neighbors until fixpoint — each round is
+    one distributed join+agg, converging in O(component diameter)
+    rounds (near-dup clusters are shallow). The driver loop only checks
+    a convergence flag; no data is collected. The oracle computes the
+    same components via a recursive CTE — an independent transitive-
+    closure implementation.
+
+    At 100 TB this is the standard dedup-cluster pass (Spark GraphX /
+    GraphFrames' connectedComponents is this same loop); cluster_id =
+    min doc_id makes representative selection deterministic.
+    """
+    edges = _near_dup_edges(spark, sf_dir, 0.5).cache()
+    sym = (
+        edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .distinct()
+        .cache()
+    )
+    labels = (
+        sym.select("src").distinct().select(F.col("src").alias("node"), F.col("src").alias("label"))
+    ).cache()
+    for _ in range(30):  # bound >> any plausible component diameter
+        neighbor_min = (
+            sym.join(labels, sym.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))).alias("label"),
+            )
+            .cache()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("label").alias("cluster_id"), F.col("node").alias("doc_id"))

@@ -215,3 +215,155 @@ def q_text_token_count_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ceil(F.col("n_chars").cast("double") / 4.0).cast("bigint").alias("est_bpe_tokens"),
         F.size(F.regexp_extract_all(F.col("text"), F.lit("[a-z0-9]+|[^a-z0-9 ]"), F.lit(0))).alias("regex_tokens"),
     )
+
+
+@query(
+    "text_bigram_top20",
+    oracle="""
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+    bg AS (
+      SELECT ts[i] || ' ' || ts[i+1] AS bigram
+      FROM tok, UNNEST(generate_series(1, len(ts) - 1)) AS g(i)
+      WHERE len(ts) >= 2
+    )
+    SELECT bigram, COUNT(*) AS cnt
+    FROM bg
+    GROUP BY bigram
+    ORDER BY cnt DESC, bigram ASC
+    LIMIT 20
+    """,
+)
+def q_text_bigram_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram frequency top-20 — the n>1 form of the flagship
+    word count (language-model data profiling staple)."""
+    d = load_table(spark, "documents", sf_dir)
+    t = tokens()
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size(t) - 1),
+        lambda i: F.concat_ws(" ", F.element_at(t, i), F.element_at(t, i + 1)),
+    )
+    return (
+        d.filter(F.size(t) >= 2)
+        .select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("bigram").asc())
+        .limit(20)
+    )
+
+
+@query(
+    "text_tfidf_top20",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, word, COUNT(*) AS tf FROM tok WHERE word <> '' GROUP BY 1, 2
+    ),
+    df AS (
+      SELECT word, COUNT(DISTINCT doc_id) AS df FROM tok WHERE word <> '' GROUP BY 1
+    ),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT
+      tf.doc_id,
+      tf.word,
+      tf.tf,
+      ROUND(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf
+    FROM tf JOIN df USING (word) CROSS JOIN n
+    ORDER BY tfidf DESC, tf.doc_id ASC, tf.word ASC
+    LIMIT 20
+    """,
+)
+def q_text_tfidf_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF: the 20 most document-distinctive (doc, word) pairs.
+
+    Three aggregations sharing one tokenization: term frequency per
+    (doc, word), document frequency per word (broadcast — vocabulary is
+    tiny next to the corpus), corpus size as a literal. ln() rounded to
+    6 dp (libm ulp drift between engines).
+    """
+    d = load_table(spark, "documents", sf_dir)
+    tok = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("word")
+    ).filter(F.col("word") != "")
+    tf = tok.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tok.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = d.count()  # scalar: corpus size becomes a literal
+    return (
+        tf.join(F.broadcast(dfreq), "word")
+        .select(
+            "doc_id",
+            "word",
+            "tf",
+            F.round(
+                F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+        .orderBy(F.col("tfidf").desc(), F.col("doc_id").asc(), F.col("word").asc())
+        .limit(20)
+    )
+
+
+@query(
+    "pipeline_training_prep",
+    oracle=f"""
+    WITH quality AS (
+      SELECT
+        doc_id, lang, source, n_chars,
+        len(string_split(text, ' ')) AS n_tokens,
+        md5(text) AS fp,
+        CAST(len(list_filter(string_split(text, ' '),
+                             w -> list_contains({_SQL_STOPWORDS}, w))) AS DOUBLE)
+          / len(string_split(text, ' ')) AS stop_ratio
+      FROM documents
+    ),
+    kept AS (
+      SELECT * FROM quality
+      WHERE n_tokens >= 30 AND stop_ratio <= 0.5
+        AND doc_id = (SELECT MIN(doc_id) FROM quality q2 WHERE q2.fp = quality.fp)
+    )
+    SELECT
+      lang,
+      COUNT(*) AS n_docs,
+      SUM(n_tokens) AS total_tokens,
+      CAST(SUM(n_chars) AS DOUBLE) / SUM(n_tokens) AS chars_per_token
+    FROM kept
+    GROUP BY lang
+    """,
+)
+def q_pipeline_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data prep: quality-gate → exact-dedup →
+    per-language token budget.
+
+    The composed form of E1+E4 — the query a data-curation run executes
+    before tokenization at 100 TB: one scan computes the quality
+    signals, a digest groupBy picks canonical representatives, and the
+    final rollup is the corpus datasheet.
+    """
+    from pyspark.sql import Window
+
+    d = load_table(spark, "documents", sf_dir)
+    t = tokens()
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
+    quality = d.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.size(t).alias("n_tokens"),
+        F.md5(F.col("text").cast("binary")).alias("fp"),
+        (
+            F.size(F.filter(t, lambda w: F.array_contains(stop_arr, w))).cast("double")
+            / F.size(t)
+        ).alias("stop_ratio"),
+    )
+    gated = quality.filter((F.col("n_tokens") >= 30) & (F.col("stop_ratio") <= 0.5))
+    w = Window.partitionBy("fp")
+    deduped = gated.withColumn("keep_id", F.min("doc_id").over(w)).filter(
+        F.col("doc_id") == F.col("keep_id")
+    )
+    return deduped.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        (F.sum("n_chars").cast("double") / F.sum("n_tokens")).alias("chars_per_token"),
+    )
