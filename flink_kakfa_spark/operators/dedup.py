@@ -120,6 +120,21 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     Inverted-index candidate generation: only docs sharing at least one
     shingle are ever paired.
     """
+    return (
+        _jaccard_pairs(spark, sf_dir)
+        .orderBy(F.col("jaccard").desc(), F.col("doc_a").asc(), F.col("doc_b").asc())
+        .limit(20)
+    )
+
+
+def _jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate doc pairs with (n_common, jaccard), via shingle join.
+
+    Shared by the top-k query and the clustering operator so the
+    candidate generation / Jaccard definition can never drift between
+    them. Join strategy for `sizes` is left to Catalyst/AQE (it will
+    broadcast when small; at corpus scale it shuffles).
+    """
     d = parallelize(load_table(spark, "documents", sf_dir), spark)
     sh = _shingles(d)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
@@ -148,8 +163,6 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / (F.col("sa.n") + F.col("sb.n") - F.col("n_common"))
             ).alias("jaccard"),
         )
-        .orderBy(F.col("jaccard").desc(), F.col("doc_a").asc(), F.col("doc_b").asc())
-        .limit(20)
     )
 
 
@@ -289,28 +302,9 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _near_dup_edges(spark: SparkSession, sf_dir: str, threshold: float = 0.5) -> DataFrame:
     """Near-dup pairs (3-gram Jaccard >= threshold) as undirected edges."""
-    d = parallelize(load_table(spark, "documents", sf_dir), spark)
-    sh = _shingles(d)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a, b = sh.alias("a"), sh.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    sa, sb = sizes.alias("sa"), sizes.alias("sb")
     return (
-        pairs.join(F.broadcast(sa), F.col("doc_a") == F.col("sa.doc_id"))
-        .join(F.broadcast(sb), F.col("doc_b") == F.col("sb.doc_id"))
-        .filter(
-            F.col("n_common").cast("double")
-            / (F.col("sa.n") + F.col("sb.n") - F.col("n_common"))
-            >= threshold
-        )
+        _jaccard_pairs(spark, sf_dir)
+        .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b")
     )
 
@@ -380,7 +374,11 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = (
         sym.select("src").distinct().select(F.col("src").alias("node"), F.col("src").alias("label"))
     ).cache()
-    for _ in range(30):  # bound >> any plausible component diameter
+    # Min-label propagation terminates unconditionally: labels decrease
+    # monotonically and are bounded below, so `changed` must reach 0
+    # within component-diameter rounds — loop to convergence, no cap
+    # (a fixed cap would silently return wrong labels on a long chain).
+    while True:
         neighbor_min = (
             sym.join(labels, sym.dst == labels.node)
             .groupBy("src")
@@ -401,7 +399,14 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .limit(1)
             .count()
         )
+        labels.unpersist()  # superseded round's cache
         labels = new_labels
         if changed == 0:
             break
-    return labels.select(F.col("label").alias("cluster_id"), F.col("node").alias("doc_id"))
+    result = labels.select(
+        F.col("label").alias("cluster_id"), F.col("node").alias("doc_id")
+    ).localCheckpoint()  # materialize before releasing the caches below
+    labels.unpersist()
+    sym.unpersist()
+    edges.unpersist()
+    return result

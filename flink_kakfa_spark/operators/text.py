@@ -289,15 +289,18 @@ def q_text_tfidf_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("word") != "")
     tf = tok.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tok.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
-    n_docs = d.count()  # scalar: corpus size becomes a literal
+    # corpus size as a lazy 1-row cross join (no eager count job at
+    # plan-build time) — the same shape as the oracle's CROSS JOIN n
+    n = d.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
     return (
         tf.join(F.broadcast(dfreq), "word")
+        .crossJoin(F.broadcast(n))
         .select(
             "doc_id",
             "word",
             "tf",
             F.round(
-                F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+                F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6
             ).alias("tfidf"),
         )
         .orderBy(F.col("tfidf").desc(), F.col("doc_id").asc(), F.col("word").asc())
