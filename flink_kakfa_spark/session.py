@@ -29,9 +29,14 @@ def get_spark(
     sized for the local test harness.
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    # Local mode defaults to a 1g driver heap regardless of machine RAM —
+    # in local[32] the "driver" heap IS all executor memory, so size it
+    # to the machine (effective only for the process's first session).
+    mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g")
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master or f"local[{cpus}]")
+        .config("spark.driver.memory", mem)
         # Catalyst/AQE: runtime coalescing, skew-join handling, dynamic
         # broadcast selection. Free optimizations — never re-implement.
         .config("spark.sql.adaptive.enabled", "true")
