@@ -127,16 +127,33 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _jaccard_pairs(
+    spark: SparkSession, sf_dir: str, max_shingle_df: int | None = None
+) -> DataFrame:
     """Candidate doc pairs with (n_common, jaccard), via shingle join.
 
     Shared by the top-k query and the clustering operator so the
     candidate generation / Jaccard definition can never drift between
     them. Join strategy for `sizes` is left to Catalyst/AQE (it will
     broadcast when small; at corpus scale it shuffles).
+
+    ``max_shingle_df`` is the stop-shingle guard (SCALE.md): shingles
+    appearing in more than that many documents are dropped from
+    candidate generation, bounding each join bucket to
+    O(max_df²) pairs regardless of boilerplate skew. Off by default —
+    it changes Jaccard denominators, so the oracle-checked queries run
+    unguarded; at 100 TB you would always set it.
     """
     d = parallelize(load_table(spark, "documents", sf_dir), spark)
     sh = _shingles(d)
+    if max_shingle_df is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_shingle_df)
+            .select("shingle")
+        )
+        sh = sh.join(hot, "shingle", "left_anti")
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -410,3 +427,119 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     sym.unpersist()
     edges.unpersist()
     return result
+
+
+@query(
+    "dedup_near_unique",
+    oracle="""
+    WITH uniq AS (
+      SELECT MIN(doc_id) AS doc_id, text
+      FROM documents
+      GROUP BY text
+    ),
+    tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM uniq),
+    sh AS (
+      SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+      FROM tok, UNNEST(generate_series(1, len(ts) - 2)) AS g(i)
+      WHERE len(ts) >= 3
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT
+      p.doc_a, p.doc_b,
+      CAST(p.n_common AS DOUBLE) / (sa.n + sb.n - p.n_common) AS jaccard
+    FROM pairs p
+    JOIN sizes sa ON p.doc_a = sa.doc_id
+    JOIN sizes sb ON p.doc_b = sb.doc_id
+    WHERE CAST(p.n_common AS DOUBLE) / (sa.n + sb.n - p.n_common) >= 0.5
+    """,
+)
+def q_dedup_near_unique(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 (production order): exact-collapse FIRST, then near-dup pairs.
+
+    The scale-correct sequencing from SCALE.md — identical texts
+    collapse to one representative (min doc_id) via a digest-cheap
+    groupBy before any shingling, so duplicate groups contribute one
+    node instead of a quadratic pair clique. Emits every remaining
+    near-dup pair at Jaccard >= 0.5.
+    """
+    d = parallelize(load_table(spark, "documents", sf_dir), spark)
+    # materialize the collapse once: the shingle relation is referenced
+    # three times below (sizes + both join sides) and without an explicit
+    # materialization Spark re-runs the text-groupBy shuffle for each
+    uniq = d.groupBy("text").agg(F.min("doc_id").alias("doc_id")).localCheckpoint()
+    sh = _shingles(uniq)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    jac = F.col("n_common").cast("double") / (
+        F.col("sa.n") + F.col("sb.n") - F.col("n_common")
+    )
+    return (
+        pairs.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.5)
+    )
+
+
+@query(
+    "dedup_fuzzy_partnames",
+    oracle="""
+    SELECT
+      a.p_partkey AS key_a,
+      b.p_partkey AS key_b,
+      a.p_name AS name_a,
+      b.p_name AS name_b,
+      CAST(levenshtein(a.p_name, b.p_name) AS INT) AS edit_dist
+    FROM part a
+    JOIN part b
+      ON a.p_brand = b.p_brand AND a.p_type = b.p_type
+     AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= 8
+    ORDER BY edit_dist ASC, key_a ASC, key_b ASC
+    LIMIT 20
+    """,
+)
+def q_dedup_fuzzy_partnames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy (edit-distance) dedup with blocking: near-identical part
+    names within a (brand, type) block.
+
+    The blocked-join pattern for fuzzy matching at scale: the equi-keys
+    (brand, type) keep the join a hash join — Levenshtein runs only
+    within blocks, never across the full cross product.
+    """
+    p = load_table(spark, "part", sf_dir)
+    a, b = p.alias("a"), p.alias("b")
+    dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+    return (
+        a.join(
+            b,
+            (F.col("a.p_brand") == F.col("b.p_brand"))
+            & (F.col("a.p_type") == F.col("b.p_type"))
+            & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+        )
+        .select(
+            F.col("a.p_partkey").alias("key_a"),
+            F.col("b.p_partkey").alias("key_b"),
+            F.col("a.p_name").alias("name_a"),
+            F.col("b.p_name").alias("name_b"),
+            dist.alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= 8)
+        .orderBy(F.col("edit_dist").asc(), F.col("key_a").asc(), F.col("key_b").asc())
+        .limit(20)
+    )

@@ -115,3 +115,40 @@ def test_mm_extract_features_dim(spark, sf_dir):
     rows = all_queries()["mm_extract_features"](spark, sf_dir).limit(5).collect()
     assert all(len(r["feature"]) == 4 for r in rows)
     assert all(r["n_bytes"] > 0 for r in rows)
+
+
+def test_stop_shingle_guard_bounds_candidates(spark, tmp_path):
+    """max_shingle_df drops boilerplate shingles from candidate
+    generation without touching rare (signal) shingles."""
+    from pyspark.sql import Row
+
+    from flink_kakfa_spark.operators.dedup import _jaccard_pairs
+
+    boiler = "standard legal disclaimer text here"
+    docs = [Row(doc_id=i, text=f"{boiler} unique{i} a b") for i in range(6)]
+    docs += [Row(doc_id=10, text="rare pair xyz q w"), Row(doc_id=11, text="rare pair xyz q z")]
+    spark.createDataFrame(docs).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    unguarded = _jaccard_pairs(spark, str(tmp_path)).count()
+    guarded_pairs = _jaccard_pairs(spark, str(tmp_path), max_shingle_df=3)
+    guarded = {(r["doc_a"], r["doc_b"]) for r in guarded_pairs.collect()}
+    # boilerplate clique (15 pairs among docs 0-5) is gone...
+    assert unguarded >= 15 + 1
+    assert all(a >= 10 for a, _ in guarded)
+    # ...but the rare near-dup pair (df=2 shingles) survives
+    assert (10, 11) in guarded
+
+
+def test_near_unique_collapses_exact_dups_first(spark, tmp_path):
+    """dedup_near_unique must not emit pairs between identical texts."""
+    from pyspark.sql import Row
+
+    from flink_kakfa_spark.registry import all_queries
+
+    base = "one two three four five six seven"
+    docs = [Row(doc_id=0, text=base), Row(doc_id=1, text=base), Row(doc_id=2, text=base),
+            Row(doc_id=3, text=base + " eight")]
+    spark.createDataFrame(docs).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    out = {(r["doc_a"], r["doc_b"]) for r in
+           all_queries()["dedup_near_unique"](spark, str(tmp_path)).collect()}
+    # copies 1,2 collapsed into representative 0; only the near-dup edge remains
+    assert out == {(0, 3)}
