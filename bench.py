@@ -34,6 +34,9 @@ HEADLINE = [
     "sim_cosine_topk",          # vector similarity
     "text_quality_score",       # HOF text analysis
     "scalar_json_extract",      # JSON extraction
+    "text_tfidf_top20",         # multi-agg text stats + broadcast join
+    "asof_last_purchase",       # as-of join (union + window)
+    "dedup_near_unique",        # exact-collapse + shingle near-dup
 ]
 
 

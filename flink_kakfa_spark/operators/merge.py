@@ -1,0 +1,103 @@
+"""MERGE / upsert operators (engine completeness: OSS Spark has no
+MERGE INTO without a table format like Delta/Iceberg, so the engine
+provides the relational formulation).
+
+- SCD1 (overwrite): full outer join on the key, source wins.
+- SCD2 (history): close the previous version, append the new one.
+
+Both are pure DataFrame transforms — at 100 TB they pair with
+partition-overwrite writes (``sources/io.py``): compute the merged
+partitions, overwrite only those (foreachBatch does the same for
+streaming upserts, tests/test_streaming.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_kakfa_spark.registry import query
+from flink_kakfa_spark.sources.tables import load_table
+
+
+def merge_scd1(target: DataFrame, source: DataFrame, key: str) -> DataFrame:
+    """Upsert: source rows replace target rows on key; inserts kept.
+
+    Column set is taken from the target; the source must contain the
+    same columns.
+    """
+    t = target.alias("t")
+    s = source.alias("s")
+    joined = t.join(s, F.col(f"t.{key}") == F.col(f"s.{key}"), "full_outer")
+    return joined.select(
+        *[
+            F.coalesce(F.col(f"s.{c}"), F.col(f"t.{c}")).alias(c)
+            for c in target.columns
+        ]
+    )
+
+
+def merge_scd2(
+    target: DataFrame,
+    source: DataFrame,
+    key: str,
+    version_col: str = "version",
+    current_col: str = "is_current",
+) -> DataFrame:
+    """History-preserving merge: updated keys get a new current version;
+    superseded versions stay with ``is_current = 0``."""
+    updated_keys = source.select(key).distinct()
+    closed = (
+        target.join(updated_keys, key, "left_semi")
+        .withColumn(current_col, F.lit(0))
+    )
+    untouched = target.join(updated_keys, key, "left_anti")
+    max_ver = (
+        target.groupBy(key).agg(F.max(version_col).alias("_prev_ver"))
+    )
+    fresh = (
+        source.join(max_ver, key, "left")
+        .withColumn(version_col, F.coalesce(F.col("_prev_ver") + 1, F.lit(1)))
+        .drop("_prev_ver")
+        .withColumn(current_col, F.lit(1))
+    )
+    return untouched.unionByName(closed).unionByName(
+        fresh.select(*untouched.columns)
+    )
+
+
+@query(
+    "merge_scd1_orders",
+    oracle="""
+    WITH target AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+      WHERE o_orderkey % 3 = 0
+    ),
+    source AS (
+      SELECT o_orderkey, 'X' AS o_orderstatus, o_totalprice + 1000.0 AS o_totalprice
+      FROM orders WHERE o_orderkey % 6 = 0
+    )
+    SELECT
+      COALESCE(s.o_orderkey, t.o_orderkey) AS o_orderkey,
+      COALESCE(s.o_orderstatus, t.o_orderstatus) AS o_orderstatus,
+      COALESCE(s.o_totalprice, t.o_totalprice) AS o_totalprice
+    FROM target t FULL OUTER JOIN source s ON t.o_orderkey = s.o_orderkey
+    """,
+)
+def q_merge_scd1_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD1 upsert: a batch of order amendments merged over a target.
+
+    Source = every 6th order re-priced (+1000, status X); target =
+    every 3rd order. Updates overwrite, unmatched targets survive —
+    the oracle is the FULL OUTER JOIN definition of MERGE.
+    """
+    o = load_table(spark, "orders", sf_dir)
+    target = o.filter(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    source = o.filter(F.col("o_orderkey") % 6 == 0).select(
+        "o_orderkey",
+        F.lit("X").alias("o_orderstatus"),
+        (F.col("o_totalprice") + 1000.0).alias("o_totalprice"),
+    )
+    return merge_scd1(target, source, "o_orderkey")

@@ -28,6 +28,7 @@ _QUERY_MODULES = [
     "flink_kakfa_spark.operators.relational",
     "flink_kakfa_spark.operators.joins",
     "flink_kakfa_spark.operators.asof",
+    "flink_kakfa_spark.operators.merge",
     "flink_kakfa_spark.operators.windows",
     "flink_kakfa_spark.operators.time_windows",
     "flink_kakfa_spark.operators.scalar",
