@@ -1,0 +1,184 @@
+"""Runnable program surface — drop-in parity with the reference's
+binaries plus the job it never shipped.
+
+The reference's user runs ``producer -config cfg.json`` and
+``consumer -config cfg.json`` (``go/producer/main.go:12-42``,
+``go/consumer/main.go:12-40``). This module provides:
+
+  python -m flink_kakfa_spark producer  --config cfg.json
+  python -m flink_kakfa_spark consumer  --config cfg.json
+  python -m flink_kakfa_spark wordcount --config cfg.json
+
+with the same JSON config schema, the same env overrides
+(KAFKA_BROKER/KAFKA_TOPIC/KAFKA_GROUP_ID, env wins last), the same
+graceful SIGINT/SIGTERM shutdown (``go/producer/main.go:28-35``) — and
+``wordcount`` is the missing Flink job: input topic → windowed counts →
+output topic (the topic the reference's consumer already reads,
+``go/consumer/consumer.go:13``).
+
+Broker-less operation (for tests and local runs): ``--source dir:PATH``
+reads message parquet from a directory instead of Kafka, ``--sink
+console|parquet:PATH`` replaces the Kafka sink. ``--duration N`` bounds
+the run (otherwise runs until signaled, like the reference).
+"""
+
+from __future__ import annotations
+
+import argparse
+import signal
+import sys
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_kakfa_spark.config import (
+    ConsumerConfig,
+    ProducerConfig,
+    load_consumer_config,
+    load_producer_config,
+)
+from flink_kakfa_spark.session import get_spark
+
+MSG_SCHEMA = "key string, value string, ts timestamp"
+
+
+def _source_stream(
+    spark: SparkSession, source: str | None, cfg: ConsumerConfig
+) -> DataFrame:
+    if source and source.startswith("dir:"):
+        return spark.readStream.schema(MSG_SCHEMA).parquet(source[4:] + "/*")
+    from flink_kakfa_spark.streaming.kafka import read_kafka_stream
+
+    return read_kafka_stream(spark, cfg)
+
+
+def _start_sink(df: DataFrame, sink: str | None, cfg: ProducerConfig,
+                checkpoint: str, output_mode: str = "append"):
+    if sink == "console" or (sink is None and not cfg.broker):
+        return (
+            df.writeStream.format("console").option("truncate", "false")
+            .outputMode(output_mode).start()
+        )
+    if sink and sink.startswith("parquet:"):
+        return (
+            df.writeStream.format("parquet")
+            .option("path", sink[8:])
+            .option("checkpointLocation", checkpoint)
+            .outputMode(output_mode)
+            .start()
+        )
+    from flink_kakfa_spark.streaming.kafka import write_kafka_stream
+
+    return write_kafka_stream(df, cfg, checkpoint)
+
+
+def _await(query, duration: float | None) -> None:
+    """Run until duration elapses or SIGINT/SIGTERM — the engine twin of
+    the reference's cancel-context signal handler."""
+
+    def stop(_sig, _frm):
+        query.stop()
+
+    signal.signal(signal.SIGINT, stop)
+    signal.signal(signal.SIGTERM, stop)
+    if duration:
+        query.awaitTermination(duration)
+        query.stop()
+    query.awaitTermination()
+
+
+def cmd_producer(args) -> int:
+    cfg = load_producer_config(args.config)
+    spark = get_spark("producer")
+    from flink_kakfa_spark.streaming.generator import sentence_stream
+
+    msgs = sentence_stream(spark, cfg)
+    q = _start_sink(
+        msgs.select("key", "value"), args.sink, cfg,
+        checkpoint=args.checkpoint or "/tmp/flink_kakfa_spark/producer_ckpt",
+    )
+    _await(q, args.duration)
+    return 0
+
+
+def cmd_consumer(args) -> int:
+    cfg = load_consumer_config(args.config)
+    spark = get_spark("consumer")
+    msgs = _source_stream(spark, args.source, cfg)
+    # processMessage-as-log (go/consumer/consumer.go:79-81)
+    q = (
+        msgs.select(F.col("key"), F.col("value"))
+        .writeStream.format("console")
+        .option("truncate", "false")
+        .start()
+    )
+    _await(q, args.duration)
+    return 0
+
+
+def cmd_wordcount(args) -> int:
+    """The missing job: input-words → windowed counts → word-count-output."""
+    in_cfg = load_consumer_config(args.config)
+    in_cfg.topic = args.input_topic or "input-words"  # producer default topic
+    out_cfg = ProducerConfig(broker=in_cfg.broker, topic=args.output_topic or "word-count-output")
+    spark = get_spark("wordcount")
+    from flink_kakfa_spark.streaming.wordcount import windowed_word_counts
+
+    msgs = _source_stream(spark, args.source, in_cfg)
+    if "ts" not in msgs.columns:
+        msgs = msgs.withColumn("ts", F.current_timestamp())
+    counts = windowed_word_counts(msgs, args.window, args.watermark)
+    # Kafka message shape: key=word, value=count (FIXTURES.md §1.4)
+    out = counts.select(
+        F.col("word").alias("key"),
+        F.col("cnt").cast("string").alias("value"),
+        "win_start",
+        "win_end",
+        "word",
+        "cnt",
+    )
+    q = _start_sink(
+        out, args.sink, out_cfg,
+        checkpoint=args.checkpoint or "/tmp/flink_kakfa_spark/wordcount_ckpt",
+        output_mode="append",
+    )
+    _await(q, args.duration)
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="flink_kakfa_spark")
+    sub = p.add_subparsers(dest="command", required=True)
+
+    def common(sp):
+        sp.add_argument("--config", default=None, help="JSON config file (reference schema)")
+        sp.add_argument("--duration", type=float, default=None, help="seconds to run (default: until signal)")
+        sp.add_argument("--source", default=None, help="dir:PATH to read message parquet instead of Kafka")
+        sp.add_argument("--sink", default=None, help="console | parquet:PATH | kafka (default)")
+        sp.add_argument("--checkpoint", default=None)
+
+    sp = sub.add_parser("producer", help="synthetic sentence generator → topic")
+    common(sp)
+    sp.set_defaults(fn=cmd_producer)
+
+    sp = sub.add_parser("consumer", help="topic → log")
+    common(sp)
+    sp.set_defaults(fn=cmd_consumer)
+
+    sp = sub.add_parser("wordcount", help="the word-count job (input-words → word-count-output)")
+    common(sp)
+    sp.add_argument("--input-topic", default=None)
+    sp.add_argument("--output-topic", default=None)
+    sp.add_argument("--window", default="10 seconds")
+    sp.add_argument("--watermark", default="10 seconds")
+    sp.set_defaults(fn=cmd_wordcount)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -59,7 +59,7 @@ def sentence_stream(
     rps = rows_per_second or (1.0 / cfg.interval_seconds)
     raw = (
         spark.readStream.format("rate")
-        .option("rowsPerSecond", max(rps, 1))
+        .option("rowsPerSecond", max(int(rps), 1))
         .load()
     )
     return _with_message_shape(
