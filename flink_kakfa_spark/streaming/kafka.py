@@ -34,6 +34,24 @@ def kafka_available() -> bool:
     return bool(os.environ.get("KAFKA_BROKER"))
 
 
+def _require_kafka_connector(spark: SparkSession) -> None:
+    """Fail with an actionable message when the Kafka connector jar is
+    absent (it is not bundled with a plain Spark install — submit with
+    --packages org.apache.spark:spark-sql-kafka-0-10_2.13:<spark-version>).
+    """
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.spark.sql.kafka010.KafkaSourceProvider"
+        )
+    except Exception as exc:  # noqa: BLE001
+        raise RuntimeError(
+            "Kafka source/sink requires the spark-sql-kafka connector on the "
+            "classpath; launch with --packages "
+            "org.apache.spark:spark-sql-kafka-0-10_2.13:<spark-version> "
+            "(not bundled in this environment)"
+        ) from exc
+
+
 def read_kafka_stream(
     spark: SparkSession,
     cfg: ConsumerConfig | None = None,
@@ -45,6 +63,7 @@ def read_kafka_stream(
     of ``string(message.Value)`` (``go/consumer/consumer.go:80``).
     """
     cfg = cfg or ConsumerConfig()
+    _require_kafka_connector(spark)
     reader = (
         spark.readStream.format("kafka")
         .option("kafka.bootstrap.servers", cfg.broker)
@@ -73,6 +92,7 @@ def write_kafka_stream(
     ``go/producer/producer.go:91-94``).
     """
     cfg = cfg or ProducerConfig()
+    _require_kafka_connector(df.sparkSession)
     out = df.select(
         F.col("key").cast("string").alias("key"),
         F.col("value").cast("string").alias("value"),

@@ -287,3 +287,21 @@ def test_foreach_batch_sink(spark, tmp_path):
     q.awaitTermination(120)
     assert sorted(v for _, v in seen) == ["alpha", "beta"]
     assert len({b for b, _ in seen}) == 2  # delivered across two micro-batches
+
+
+def test_kafka_connector_error_is_actionable(spark):
+    """Without the spark-sql-kafka jar, the wrapper names the fix
+    instead of failing with an opaque data-source error."""
+    import pytest as _pytest
+
+    from flink_kakfa_spark.streaming.kafka import read_kafka_stream
+
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.spark.sql.kafka010.KafkaSourceProvider"
+        )
+        _pytest.skip("connector present in this environment")
+    except Exception:
+        pass
+    with _pytest.raises(RuntimeError, match="spark-sql-kafka"):
+        read_kafka_stream(spark)
