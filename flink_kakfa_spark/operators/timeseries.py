@@ -1,0 +1,137 @@
+"""Time-series / hypertable operators (driver mandate: "hypertable
+rollup"-class custom operators): gap-filled resampling and
+last-observation-carried-forward interpolation.
+
+Spark has no native gapfill — the composition is: bucket spine
+(``sequence`` over the observed range, exploded) × dimension values,
+left-joined with the bucketed aggregates; LOCF is then a
+``last(ignorenulls)`` window over the spine — the same carry-forward
+machinery as the as-of join (``operators/asof.py``).
+
+Scale notes (100 TB): the spine is tiny (buckets × dims — thousands of
+rows for years of hourly data) and broadcast; the data-side bucketed
+aggregation is the only full-data pass, an ordinary partial/final hash
+agg. LOCF windows partition by dim, so no global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from flink_kakfa_spark.functions.numeric import dsum, sql_dsum
+from flink_kakfa_spark.registry import query
+from flink_kakfa_spark.sources.tables import load_table
+
+
+def hourly_spine(df: DataFrame, ts_col: str, dims: DataFrame) -> DataFrame:
+    """All (hour, dim) combinations spanning the observed time range."""
+    bounds = df.agg(
+        F.date_trunc("hour", F.min(ts_col)).alias("lo"),
+        F.date_trunc("hour", F.max(ts_col)).alias("hi"),
+    )
+    hours = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("bucket")
+    )
+    return F.broadcast(hours).crossJoin(F.broadcast(dims))
+
+
+@query(
+    "ts_resample_gapfill",
+    oracle=f"""
+    WITH bounds AS (
+      SELECT date_trunc('hour', MIN(ts)) AS lo, date_trunc('hour', MAX(ts)) AS hi
+      FROM events
+    ),
+    spine AS (
+      SELECT g.bucket, t.event_type
+      FROM bounds, UNNEST(generate_series(bounds.lo, bounds.hi, INTERVAL 1 HOUR)) AS g(bucket)
+      CROSS JOIN (SELECT DISTINCT event_type FROM events) t
+    ),
+    agg AS (
+      SELECT date_trunc('hour', ts) AS bucket, event_type,
+             COUNT(*) AS n, {sql_dsum('value')} AS total
+      FROM events GROUP BY 1, 2
+    )
+    SELECT
+      s.bucket, s.event_type,
+      COALESCE(a.n, 0) AS n,
+      COALESCE(a.total, 0.0) AS total
+    FROM spine s LEFT JOIN agg a USING (bucket, event_type)
+    """,
+)
+def q_ts_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly resample with gap fill: empty hours appear as zero rows.
+
+    The hypertable-rollup staple — downstream joins/charts need dense
+    buckets, not just the hours that happened to have events.
+    """
+    e = load_table(spark, "events", sf_dir)
+    dims = e.select("event_type").distinct()
+    spine = hourly_spine(e, "ts", dims)
+    agg = e.groupBy(
+        F.date_trunc("hour", "ts").alias("bucket"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"), dsum(F.col("value")).alias("total"))
+    return spine.join(agg, ["bucket", "event_type"], "left").select(
+        "bucket",
+        "event_type",
+        F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+        F.coalesce(F.col("total"), F.lit(0.0)).alias("total"),
+    )
+
+
+@query(
+    "ts_gapfill_locf",
+    oracle=f"""
+    WITH bounds AS (
+      SELECT date_trunc('hour', MIN(ts)) AS lo, date_trunc('hour', MAX(ts)) AS hi
+      FROM events
+    ),
+    spine AS (
+      SELECT g.bucket, t.event_type
+      FROM bounds, UNNEST(generate_series(bounds.lo, bounds.hi, INTERVAL 1 HOUR)) AS g(bucket)
+      CROSS JOIN (SELECT DISTINCT event_type FROM events) t
+    ),
+    agg AS (
+      SELECT date_trunc('hour', ts) AS bucket, event_type,
+             {sql_dsum('value')} AS observed
+      FROM events GROUP BY 1, 2
+    ),
+    joined AS (
+      SELECT s.bucket, s.event_type, a.observed
+      FROM spine s LEFT JOIN agg a USING (bucket, event_type)
+    )
+    SELECT
+      bucket, event_type, observed,
+      last_value(observed IGNORE NULLS) OVER (
+        PARTITION BY event_type ORDER BY bucket
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+      ) AS filled
+    FROM joined
+    """,
+)
+def q_ts_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap fill + LOCF: empty hours inherit the last observed value.
+
+    ``observed`` keeps the raw (nullable) hourly sum; ``filled`` carries
+    the most recent non-null forward within each event_type — the
+    interpolation mode sensor/metrics pipelines default to.
+    """
+    e = load_table(spark, "events", sf_dir)
+    dims = e.select("event_type").distinct()
+    spine = hourly_spine(e, "ts", dims)
+    agg = e.groupBy(
+        F.date_trunc("hour", "ts").alias("bucket"), "event_type"
+    ).agg(dsum(F.col("value")).alias("observed"))
+    joined = spine.join(agg, ["bucket", "event_type"], "left")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "bucket",
+        "event_type",
+        "observed",
+        F.last("observed", ignorenulls=True).over(w).alias("filled"),
+    )

@@ -31,6 +31,7 @@ _QUERY_MODULES = [
     "flink_kakfa_spark.operators.merge",
     "flink_kakfa_spark.operators.windows",
     "flink_kakfa_spark.operators.time_windows",
+    "flink_kakfa_spark.operators.timeseries",
     "flink_kakfa_spark.operators.scalar",
     "flink_kakfa_spark.operators.sql_surface",
     "flink_kakfa_spark.operators.dedup",

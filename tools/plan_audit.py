@@ -30,6 +30,7 @@ ALLOWED_QUADRATIC = {
     "sim_lsh_ann_topk", "sim_ivf_kmeans_topk",  # 1-row broadcast query vector
     "sql_having_scalar_subquery",  # scalar subquery joins as 1-row BNLJ
     "text_tfidf_top20",            # 1-row corpus-size broadcast cross join
+    "ts_resample_gapfill", "ts_gapfill_locf",  # bucket-spine × dims (tiny, broadcast)
 }
 ALLOWED_PYTHON = {
     "mm_decode_frames", "mm_extract_features", "sim_cosine_topk_pandas",
