@@ -157,16 +157,33 @@ def q_agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_approx_count_distinct")  # rows-only: HLL sketch is engine-specific
+@query(
+    "agg_approx_count_distinct",
+    oracle="""
+    SELECT l_returnflag, TRUE AS within_tol
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
 def q_agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A4: HyperLogLog++ approximate distinct — the 100 TB answer to A3.
 
-    No oracle: sketch estimates are engine-specific. The unit test
-    asserts the estimate is within rsd of the exact count instead.
+    The HLL estimate itself is engine-specific, so the oracle is a
+    tolerance contract instead of a value: the query emits, per group,
+    whether |approx - exact| / exact <= 3 * rsd (rsd=0.02). DuckDB
+    asserts the same groups with within_tol TRUE — a hash-exact check
+    that the sketch stayed inside its error budget.
     """
     li = load_table(spark, "lineitem", sf_dir)
     return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_n_part"),
+        (
+            F.abs(
+                F.approx_count_distinct("l_partkey", rsd=0.02)
+                - F.countDistinct("l_partkey")
+            )
+            / F.countDistinct("l_partkey")
+            <= 3 * 0.02
+        ).alias("within_tol"),
     )
 
 
@@ -419,18 +436,37 @@ def q_agg_variance_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("sample_seeded")  # rows-only: Bernoulli sampler RNG is engine-specific
+@query(
+    "sample_seeded",
+    oracle="""
+    SELECT TRUE AS ok_fraction, TRUE AS ok_contained
+    """,
+)
 def q_sample_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seeded Bernoulli sample of orders (reproducible across runs).
 
     The 100 TB use case: cheap pipeline smoke-runs and data profiling
-    on a fixed, replayable subset. Deterministic given (seed, data,
-    partitioning) but the sampler's RNG stream is Spark-specific, so
-    rows-only.
+    on a fixed, replayable subset. The sampler's RNG stream is
+    Spark-specific, so the oracle is a statistical contract: the
+    sampled fraction must sit inside a 6-sigma Bernoulli(0.1) band,
+    and every sampled key must exist in the base table (containment
+    via anti-join count == 0). DuckDB asserts both flags TRUE.
     """
     o = load_table(spark, "orders", sf_dir)
-    return o.sample(fraction=0.1, seed=42).select(
+    sample = o.sample(fraction=0.1, seed=42).select(
         "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    stray = sample.join(o, on="o_orderkey", how="left_anti")
+    # 6-sigma band around p=0.1: p ± 6*sqrt(p(1-p)/n); at sf0.01
+    # (n=15k orders) that's 0.1 ± 0.0147 — loose enough for any SF ≥ 0.001.
+    stats = o.agg(F.count(F.lit(1)).alias("n_total")).crossJoin(
+        sample.agg(F.count(F.lit(1)).alias("n_sample"))
+    ).crossJoin(stray.agg(F.count(F.lit(1)).alias("n_stray")))
+    frac = F.col("n_sample") / F.col("n_total")
+    sigma = F.sqrt(0.1 * 0.9 / F.col("n_total"))
+    return stats.select(
+        ((frac >= 0.1 - 6 * sigma) & (frac <= 0.1 + 6 * sigma)).alias("ok_fraction"),
+        (F.col("n_stray") == 0).alias("ok_contained"),
     )
 
 
@@ -480,7 +516,7 @@ def q_agg_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
       o_orderstatus,
       COUNT(*) AS n_rows,
       COUNT(NULLIF(o_orderpriority, '4-NOT SPECIFIED')) AS n_specified,
-      SUM(CASE WHEN NULLIF(o_orderpriority, '4-NOT SPECIFIED') IS NULL THEN 1 ELSE 0 END) AS n_unspecified,
+      CAST(SUM(CASE WHEN NULLIF(o_orderpriority, '4-NOT SPECIFIED') IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unspecified,
       COALESCE(MIN(NULLIF(o_orderpriority, '4-NOT SPECIFIED')), 'none') AS min_priority
     FROM orders
     GROUP BY o_orderstatus
