@@ -160,7 +160,10 @@ def q_agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "agg_approx_count_distinct",
     oracle="""
-    SELECT l_returnflag, TRUE AS within_tol
+    SELECT
+      l_returnflag,
+      CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_n_part,
+      TRUE AS within_tol
     FROM lineitem
     GROUP BY l_returnflag
     """,
@@ -169,13 +172,16 @@ def q_agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A4: HyperLogLog++ approximate distinct — the 100 TB answer to A3.
 
     The HLL estimate itself is engine-specific, so the oracle is a
-    tolerance contract instead of a value: the query emits, per group,
-    whether |approx - exact| / exact <= 3 * rsd (rsd=0.02). DuckDB
-    asserts the same groups with within_tol TRUE — a hash-exact check
-    that the sketch stayed inside its error budget.
+    tolerance contract, but one that binds real values: both engines
+    emit the EXACT distinct count per group (hash-compared), and the
+    query additionally emits whether |approx - exact| / exact <=
+    3 * rsd (rsd=0.02). DuckDB asserts within_tol TRUE for the same
+    groups — so a query bug that always returns TRUE still fails on
+    the exact_n_part column.
     """
     li = load_table(spark, "lineitem", sf_dir)
     return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("exact_n_part"),
         (
             F.abs(
                 F.approx_count_distinct("l_partkey", rsd=0.02)
@@ -439,7 +445,10 @@ def q_agg_variance_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "sample_seeded",
     oracle="""
-    SELECT TRUE AS ok_fraction, TRUE AS ok_contained
+    SELECT
+      CAST(COUNT(*) AS BIGINT) AS n_total,
+      TRUE AS ok_fraction
+    FROM orders
     """,
 )
 def q_sample_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -447,26 +456,27 @@ def q_sample_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The 100 TB use case: cheap pipeline smoke-runs and data profiling
     on a fixed, replayable subset. The sampler's RNG stream is
-    Spark-specific, so the oracle is a statistical contract: the
-    sampled fraction must sit inside a 6-sigma Bernoulli(0.1) band,
-    and every sampled key must exist in the base table (containment
-    via anti-join count == 0). DuckDB asserts both flags TRUE.
+    Spark-specific, so the oracle is a statistical contract that still
+    binds a real value: both engines emit the base-table row count
+    (hash-compared), and the sampled fraction must sit inside a
+    6-sigma Bernoulli(0.1) band around that count. A sampler bug
+    that returns everything (or nothing) flips ok_fraction; a scan
+    bug changes n_total.
     """
     o = load_table(spark, "orders", sf_dir)
     sample = o.sample(fraction=0.1, seed=42).select(
         "o_orderkey", "o_custkey", "o_totalprice"
     )
-    stray = sample.join(o, on="o_orderkey", how="left_anti")
     # 6-sigma band around p=0.1: p ± 6*sqrt(p(1-p)/n); at sf0.01
     # (n=15k orders) that's 0.1 ± 0.0147 — loose enough for any SF ≥ 0.001.
     stats = o.agg(F.count(F.lit(1)).alias("n_total")).crossJoin(
         sample.agg(F.count(F.lit(1)).alias("n_sample"))
-    ).crossJoin(stray.agg(F.count(F.lit(1)).alias("n_stray")))
+    )
     frac = F.col("n_sample") / F.col("n_total")
     sigma = F.sqrt(0.1 * 0.9 / F.col("n_total"))
     return stats.select(
+        F.col("n_total"),
         ((frac >= 0.1 - 6 * sigma) & (frac <= 0.1 + 6 * sigma)).alias("ok_fraction"),
-        (F.col("n_stray") == 0).alias("ok_contained"),
     )
 
 
