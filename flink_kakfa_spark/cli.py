@@ -53,34 +53,49 @@ def _source_stream(
 
 
 def _start_sink(df: DataFrame, sink: str | None, cfg: ProducerConfig,
-                checkpoint: str, output_mode: str = "append"):
+                checkpoint: str, output_mode: str = "append",
+                available_now: bool = False):
     if sink == "console" or (sink is None and not cfg.broker):
-        return (
+        w = (
             df.writeStream.format("console").option("truncate", "false")
-            .outputMode(output_mode).start()
+            .outputMode(output_mode)
         )
+        if available_now:
+            w = w.trigger(availableNow=True)
+        return w.start()
     if sink and sink.startswith("parquet:"):
-        return (
+        w = (
             df.writeStream.format("parquet")
             .option("path", sink[8:])
             .option("checkpointLocation", checkpoint)
             .outputMode(output_mode)
-            .start()
         )
+        if available_now:
+            w = w.trigger(availableNow=True)
+        return w.start()
     from flink_kakfa_spark.streaming.kafka import write_kafka_stream
 
     return write_kafka_stream(df, cfg, checkpoint)
 
 
-def _await(query, duration: float | None) -> None:
-    """Run until duration elapses or SIGINT/SIGTERM — the engine twin of
-    the reference's cancel-context signal handler."""
+def _await(query, duration: float | None, available_now: bool = False) -> None:
+    """Run until done / duration elapses / SIGINT-SIGTERM — the engine
+    twin of the reference's cancel-context signal handler.
+
+    With ``available_now`` the query self-terminates once every pending
+    input batch is processed — completion-bounded like the reference's
+    deadline poll loop (go/integration/integration_test.go:122-140),
+    not wall-clock-bounded, so it is immune to load-induced flake.
+    """
 
     def stop(_sig, _frm):
         query.stop()
 
     signal.signal(signal.SIGINT, stop)
     signal.signal(signal.SIGTERM, stop)
+    if available_now:
+        query.awaitTermination()
+        return
     if duration:
         query.awaitTermination(duration)
         query.stop()
@@ -106,13 +121,15 @@ def cmd_consumer(args) -> int:
     spark = get_spark("consumer")
     msgs = _source_stream(spark, args.source, cfg)
     # processMessage-as-log (go/consumer/consumer.go:79-81)
-    q = (
+    w = (
         msgs.select(F.col("key"), F.col("value"))
         .writeStream.format("console")
         .option("truncate", "false")
-        .start()
     )
-    _await(q, args.duration)
+    if args.available_now:
+        w = w.trigger(availableNow=True)
+    q = w.start()
+    _await(q, args.duration, args.available_now)
     return 0
 
 
@@ -141,8 +158,9 @@ def cmd_wordcount(args) -> int:
         out, args.sink, out_cfg,
         checkpoint=args.checkpoint or "/tmp/flink_kakfa_spark/wordcount_ckpt",
         output_mode="append",
+        available_now=args.available_now,
     )
-    _await(q, args.duration)
+    _await(q, args.duration, args.available_now)
     return 0
 
 
@@ -156,6 +174,11 @@ def build_parser() -> argparse.ArgumentParser:
         sp.add_argument("--source", default=None, help="dir:PATH to read message parquet instead of Kafka")
         sp.add_argument("--sink", default=None, help="console | parquet:PATH | kafka (default)")
         sp.add_argument("--checkpoint", default=None)
+        sp.add_argument(
+            "--available-now", action="store_true",
+            help="process all currently-available input then exit "
+                 "(completion-bounded; for finite sources)",
+        )
 
     sp = sub.add_parser("producer", help="synthetic sentence generator → topic")
     common(sp)

@@ -41,7 +41,7 @@ def test_wordcount_job_end_to_end(spark, tmp_path):
             "--source", f"dir:{src}",
             "--sink", f"parquet:{out}",
             "--checkpoint", str(tmp_path / "ckpt"),
-            "--duration", "20",
+            "--available-now",
         ]
     )
     assert rc == 0
