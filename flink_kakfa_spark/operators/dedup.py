@@ -230,20 +230,72 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("dedup_simhash")  # rows-only: xxhash64 bit-space is Spark-specific
-def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup: 32-bit signature, top-20 pairs by Hamming distance.
+# SimHash oracle: DuckDB recomputes the identical md5-derived 32-bit
+# signature (bit b = bit b%4 of the hex nibble at char 8 - b//4 of
+# md5(word)[:8]) and finds hamming<=3 pairs by brute force — an
+# independent all-pairs implementation checking the engine's banded
+# sub-quadratic one.
+_SIMHASH_BIT = (
+    "((strpos('0123456789abcdef', substr(md5(word), {pos}, 1)) - 1) >> {shift}) & 1"
+)
+_SIMHASH_VOTES = ",\n      ".join(
+    "SUM(CASE WHEN "
+    + _SIMHASH_BIT.format(pos=8 - b // 4, shift=b % 4)
+    + f" = 1 THEN 1 ELSE -1 END) AS b{b}"
+    for b in range(32)
+)
+_SIMHASH_SIG = " + ".join(
+    f"CASE WHEN b{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(32)
+)
 
-    Each document collapses to one integer (per-bit majority vote over
-    token hashes); candidate filtering is then integer XOR + popcount —
-    at scale you'd band the signature into 4 bytes and bucket-join on
-    each byte, keeping this sub-quadratic.
+
+@query(
+    "dedup_simhash",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, UNNEST(string_split(text, ' ')) AS word FROM documents
+    ),
+    votes AS (
+      SELECT doc_id,
+      {_SIMHASH_VOTES}
+      FROM tok WHERE word <> '' GROUP BY doc_id
+    ),
+    sigs AS (
+      SELECT doc_id, CAST({_SIMHASH_SIG} AS BIGINT) AS simhash FROM votes
+    )
+    SELECT
+      a.doc_id AS doc_a,
+      b.doc_id AS doc_b,
+      CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+    FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    ORDER BY hamming ASC, doc_a ASC, doc_b ASC
+    LIMIT 20
+    """,
+)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup: top-20 pairs within Hamming distance 3.
+
+    Each document collapses to one 32-bit integer (per-bit majority
+    vote over token hashes). The signature is derived from md5 — a
+    hash both engines compute identically — so the whole pipeline is
+    engine-portable and DuckDB can verify it value-exactly.
+
+    Candidate generation is BANDED, never all-pairs: the signature
+    splits into 4 bytes, docs equi-join per band (pigeonhole: any pair
+    within Hamming<=3 of a 4-band signature agrees on at least one
+    whole band), and only bucket-mates are XOR/popcount-rescored. At
+    100 TB each band join is an ordinary shuffled equi-join on a 1-byte
+    key + band id; no O(n^2) stage exists. The oracle recomputes the
+    same signatures and verifies by brute force.
     """
-    d = load_table(spark, "documents", sf_dir)
+    d = parallelize(load_table(spark, "documents", sf_dir), spark)
     tok = d.select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("word")
     ).filter(F.col("word") != "")
-    h = F.xxhash64("word")
+    # 32-bit token hash from the first 8 hex chars of md5 — portable
+    # across engines (xxhash64 would be faster but is Spark-specific).
+    h = F.conv(F.substring(F.md5("word"), 1, 8), 16, 10).cast("long")
     bit_votes = [
         F.sum(
             F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
@@ -256,61 +308,189 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         bit = F.when(F.col(f"b{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
         sig = bit if sig is None else sig + bit
     sigs = votes.select("doc_id", sig.cast("long").alias("simhash"))
-    a = sigs.alias("a")
-    b_ = sigs.alias("b")
-    return (
-        a.join(b_, F.col("a.doc_id") < F.col("b.doc_id"))
+    # Band the signature into 4 bytes; docs sharing any band are candidates.
+    bands = sigs.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright("simhash", 8 * i)
+                        .bitwiseAND(F.lit(255))
+                        .alias("byte"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "simhash", F.col("bb.band").alias("band"), F.col("bb.byte").alias("byte"))
+    a = bands.alias("a")
+    b_ = bands.alias("b")
+    cand = (
+        a.join(
+            b_,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.byte") == F.col("b.byte"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.bit_count(
-                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
-            ).alias("hamming"),
+            F.col("a.simhash").alias("sig_a"),
+            F.col("b.simhash").alias("sig_b"),
         )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    return (
+        cand.select(
+            "doc_a",
+            "doc_b",
+            F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 3)
         .orderBy(F.col("hamming").asc(), F.col("doc_a").asc(), F.col("doc_b").asc())
         .limit(20)
     )
 
 
-@query(
-    "dedup_embedding_cosine",
-    oracle="""
+# Deterministic integer hyperplane LSH, computed identically by both
+# engines: embeddings quantize to q_i = floor(x_i * 1e6) (exact in
+# IEEE double), hyperplane weights come from an LCG over (table, bit,
+# dim), and the signature bit is the sign of the integer dot product —
+# no float accumulation anywhere, so Spark and DuckDB produce
+# bit-identical buckets and the oracle is value-exact on the SAME
+# sub-quadratic algorithm (not on a brute-force stand-in).
+_EMB_DIMS = 64
+_EMB_TABLES = 8
+_EMB_BITS = 8
+
+
+def _emb_lcg(t: int, j: int, i: int) -> int:
+    """Hyperplane weight for (table t, bit j, 0-based dim i)."""
+    return ((1103515245 * ((t * _EMB_BITS + j) * _EMB_DIMS + i) + 12345) % 1048576) - 524288
+
+
+_EMB_ORACLE = f"""
+    WITH qv AS (
+      SELECT vec_id,
+             i,
+             CAST(FLOOR(list_extract(CAST(embedding AS DOUBLE[]), i) * 1000000)
+                  AS BIGINT) AS q
+      FROM embeddings, UNNEST(generate_series(1, {_EMB_DIMS})) AS g(i)
+    ),
+    proj AS (
+      SELECT vec_id, t, j, SUM(q * (
+        ((1103515245 * ((t * {_EMB_BITS} + j) * {_EMB_DIMS} + (i - 1)) + 12345)
+          % 1048576) - 524288
+      )) AS p
+      FROM qv,
+           UNNEST(generate_series(0, {_EMB_TABLES - 1})) AS tt(t),
+           UNNEST(generate_series(0, {_EMB_BITS - 1})) AS jj(j)
+      GROUP BY vec_id, t, j
+    ),
+    sigs AS (
+      SELECT vec_id, t,
+             SUM(CASE WHEN p > 0 THEN (1 << j) ELSE 0 END) AS sig
+      FROM proj GROUP BY vec_id, t
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM sigs a JOIN sigs b
+        ON a.t = b.t AND a.sig = b.sig AND a.vec_id < b.vec_id
+    )
     SELECT
-      a.vec_id AS vec_a,
-      b.vec_id AS vec_b,
-      ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                   CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim
-    FROM embeddings a
-    JOIN embeddings b ON a.vec_id < b.vec_id
+      c.vec_a,
+      c.vec_b,
+      ROUND(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                   CAST(eb.embedding AS DOUBLE[])), 6) AS cos_sim
+    FROM cand c
+    JOIN embeddings ea ON ea.vec_id = c.vec_a
+    JOIN embeddings eb ON eb.vec_id = c.vec_b
     ORDER BY cos_sim DESC, vec_a ASC, vec_b ASC
     LIMIT 20
-    """,
-)
-def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup: top-20 vector pairs by cosine similarity.
+"""
 
-    Brute-force all-pairs here (the fixture corpus is small); the scale
-    path is the LSH-bucketed variant in ``similarity.py``. Cosine is
-    computed with higher-order functions — JVM-side, no UDF. Rounded to
-    6 dp so float accumulation order can't flip the oracle hash.
+
+@query("dedup_embedding_cosine", oracle=_EMB_ORACLE)
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup: top-20 LSH-candidate pairs by cosine similarity.
+
+    Candidate generation is hyperplane LSH (8 tables x 8 sign bits):
+    vectors equi-join on (table, signature), so
+    only bucket-mates are compared — an ordinary shuffled join on a
+    small integer key, never an O(n^2) stage. Candidates are then
+    exact-rescored with higher-order functions (JVM-side, no UDF) and
+    the global top-20 kept. The hyperplanes are integer LCG weights
+    over floor-quantized components, making the buckets deterministic
+    and engine-portable: the DuckDB oracle runs the SAME algorithm
+    independently and matches value-exactly. Brute-force cosine remains
+    as the recall yardstick in tests/test_llm_ops.py.
+
+    At 100 TB: bits scale with log(n) to keep buckets O(1); each table
+    is one shuffle on an 8-bit-to-32-bit key; skewed buckets (dense
+    regions) are AQE-split.
     """
     e = parallelize(load_table(spark, "embeddings", sf_dir), spark).select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("emb")
     )
-    a = e.alias("a")
-    b = e.alias("b")
+    qv = e.withColumn(
+        "q", F.transform("emb", lambda x: F.floor(x * 1000000).cast("long"))
+    )
+    # One signature per table: sign bits of integer hyperplane projections.
+    def sig_for_table(t: int):
+        bits = []
+        for j in range(_EMB_BITS):
+            weights = F.array(
+                *[F.lit(_emb_lcg(t, j, i)) for i in range(_EMB_DIMS)]
+            )
+            p = F.aggregate(
+                F.zip_with("q", weights, lambda x, w: x * w),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+            bits.append(F.when(p > 0, F.lit(1 << j)).otherwise(F.lit(0)))
+        sig = bits[0]
+        for bexpr in bits[1:]:
+            sig = sig + bexpr
+        return F.struct(F.lit(t).alias("t"), sig.cast("long").alias("sig"))
+
+    banded = qv.select(
+        "vec_id",
+        "emb",
+        F.explode(
+            F.array(*[sig_for_table(t) for t in range(_EMB_TABLES)])
+        ).alias("ts"),
+    ).select("vec_id", "emb", F.col("ts.t").alias("t"), F.col("ts.sig").alias("sig"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.t") == F.col("b.t"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.col("a.emb").alias("emb_a"),
+            F.col("b.emb").alias("emb_b"),
+        )
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
     dot = F.aggregate(
-        F.zip_with(F.col("a.emb"), F.col("b.emb"), lambda x, y: x * y),
+        F.zip_with("emb_a", "emb_b", lambda x, y: x * y),
         F.lit(0.0),
         lambda s, x: s + x,
     )
     norm = lambda c: F.sqrt(F.aggregate(c, F.lit(0.0), lambda s, x: s + x * x))  # noqa: E731
     return (
-        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            F.round(dot / (norm(F.col("a.emb")) * norm(F.col("b.emb"))), 6).alias("cos_sim"),
+        cand.select(
+            "vec_a",
+            "vec_b",
+            F.round(dot / (norm(F.col("emb_a")) * norm(F.col("emb_b"))), 6).alias("cos_sim"),
         )
         .orderBy(F.col("cos_sim").desc(), F.col("vec_a").asc(), F.col("vec_b").asc())
         .limit(20)

@@ -58,7 +58,11 @@ def test_simhash_near_dup_smallest_distance(spark, dup_docs, tmp_path):
     top = out[0]
     assert (top["doc_a"], top["doc_b"]) == (0, 1) and top["hamming"] == 0
     by_pair = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in out}
-    assert by_pair[(0, 2)] <= by_pair[(0, 3)]
+    # banded candidates keep only hamming<=3 pairs: the unrelated doc 3
+    # must NOT pair with anything, while the near-dup pair survives
+    assert all(h <= 3 for h in by_pair.values())
+    assert not any(3 in p for p in by_pair)
+    assert (0, 2) in by_pair
 
 
 def test_minhash_lsh_catches_exact_dup(spark, dup_docs, tmp_path):
@@ -75,6 +79,41 @@ def test_cosine_topk_self_similarity(spark, sf_dir):
     sims = [r["cos_sim"] for r in out]
     assert sims == sorted(sims, reverse=True)
     assert all(-1.0 <= s <= 1.0 for s in sims)
+
+
+def test_embedding_lsh_dedup_finds_planted_pairs(spark, tmp_path):
+    """Planted near-identical vectors must be recovered by the LSH
+    candidate stage (miss probability per planted pair ~(1-0.95)^8,
+    i.e. negligible), and rank at the top by exact cosine rescore."""
+    import random
+
+    rng = random.Random(7)
+    base = [[rng.gauss(0, 1) for _ in range(64)] for _ in range(60)]
+    rows = [Row(vec_id=i, embedding=[float(x) for x in v], label=0)
+            for i, v in enumerate(base)]
+    # plant 5 near-duplicates of vectors 0..4 (tiny perturbation)
+    for k in range(5):
+        rows.append(Row(
+            vec_id=100 + k,
+            embedding=[float(x + 0.001 * (j % 3)) for j, x in enumerate(base[k])],
+            label=0,
+        ))
+    spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/embeddings.parquet")
+    out = all_queries()["dedup_embedding_cosine"](spark, str(tmp_path)).collect()
+    top5 = {(r["vec_a"], r["vec_b"]) for r in out[:5]}
+    assert top5 == {(k, 100 + k) for k in range(5)}
+    assert all(r["cos_sim"] > 0.99 for r in out[:5])
+
+
+def test_banded_dedup_plans_have_no_quadratic_join(spark, sf_dir):
+    """The round-3 rewrites must leave no cartesian/BNLJ stage."""
+    for name in ("dedup_simhash", "dedup_embedding_cosine"):
+        df = all_queries()[name](spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
 
 
 def test_lsh_ann_subset_of_brute_force_space(spark, sf_dir):

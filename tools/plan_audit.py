@@ -23,12 +23,11 @@ from flink_kakfa_spark.session import get_spark
 
 # operators whose semantics are genuinely all-pairs / python-based
 ALLOWED_QUADRATIC = {
-    "dedup_embedding_cosine",  # documented brute-force baseline (LSH = scale path)
-    "dedup_simhash",           # signature all-pairs (banding = scale path)
     "join_cross_region_nation",  # explicit tiny cross join
     "sim_cosine_topk", "sim_euclidean_topk", "sim_cosine_topk_pandas",
     "sim_lsh_ann_topk", "sim_ivf_kmeans_topk",  # 1-row broadcast query vector
     "sql_having_scalar_subquery",  # scalar subquery joins as 1-row BNLJ
+    "sample_seeded",               # 1-row x 1-row aggregate spine crossJoin
     "text_tfidf_top20",            # 1-row corpus-size broadcast cross join
     "ts_resample_gapfill", "ts_gapfill_locf",  # bucket-spine × dims (tiny, broadcast)
 }
