@@ -19,7 +19,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from flink_kakfa_spark.registry import query
@@ -127,6 +127,59 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_GUARD_MAX_DF = 5
+
+
+@query(
+    "dedup_ngram_jaccard_guarded",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+    ),
+    sh0 AS (
+      SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+      FROM tok, UNNEST(generate_series(1, len(ts) - 2)) AS g(i)
+      WHERE len(ts) >= 3
+    ),
+    dfreq AS (SELECT shingle, COUNT(*) AS df FROM sh0 GROUP BY shingle),
+    sh AS (
+      SELECT s.doc_id, s.shingle FROM sh0 s
+      JOIN dfreq d ON s.shingle = d.shingle AND d.df <= {_GUARD_MAX_DF}
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT
+      p.doc_a, p.doc_b, p.n_common,
+      CAST(p.n_common AS DOUBLE) / (sa.n + sb.n - p.n_common) AS jaccard
+    FROM pairs p
+    JOIN sizes sa ON p.doc_a = sa.doc_id
+    JOIN sizes sb ON p.doc_b = sb.doc_id
+    ORDER BY jaccard DESC, doc_a ASC, doc_b ASC
+    LIMIT 20
+    """,
+)
+def q_dedup_ngram_jaccard_guarded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 with the stop-shingle guard ON — the production 100 TB form.
+
+    Shingles appearing in more than max_shingle_df documents are
+    excluded from candidate generation (and from the Jaccard
+    denominators), bounding every inverted-index bucket to
+    O(max_df^2) pairs no matter how much boilerplate the corpus
+    contains. At sf0.01 the guard genuinely fires (29 shingles exceed
+    df=5), so the oracle — which applies the identical cap — verifies
+    the guard semantics, not just the happy path.
+    """
+    return (
+        _jaccard_pairs(spark, sf_dir, max_shingle_df=_GUARD_MAX_DF)
+        .orderBy(F.col("jaccard").desc(), F.col("doc_a").asc(), F.col("doc_b").asc())
+        .limit(20)
+    )
+
+
 def _jaccard_pairs(
     spark: SparkSession, sf_dir: str, max_shingle_df: int | None = None
 ) -> DataFrame:
@@ -147,13 +200,14 @@ def _jaccard_pairs(
     d = parallelize(load_table(spark, "documents", sf_dir), spark)
     sh = _shingles(d)
     if max_shingle_df is not None:
-        hot = (
-            sh.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .filter(F.col("df") > max_shingle_df)
-            .select("shingle")
+        # document frequency via a window count: one shuffle of the
+        # shingle set, no second scan / anti-join pass
+        df_w = F.count(F.lit(1)).over(Window.partitionBy("shingle"))
+        sh = (
+            sh.withColumn("df", df_w)
+            .filter(F.col("df") <= max_shingle_df)
+            .drop("df")
         )
-        sh = sh.join(hot, "shingle", "left_anti")
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
