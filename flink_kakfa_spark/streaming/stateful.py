@@ -49,3 +49,72 @@ def running_word_totals(messages: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def tws_available() -> bool:
+    """transformWithStateInPandas needs protobuf for its state-server
+    protocol; absent in this environment (no installs allowed)."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def running_word_totals_tws(messages: DataFrame) -> DataFrame:
+    """Same cumulative per-word totals on the transformWithStateInPandas
+    API (the successor to applyInPandasWithState): explicit named state
+    variables on a StatefulProcessor handle instead of a single state
+    tuple. State is a ValueState<total> per word; output and recovery
+    semantics are identical to ``running_word_totals``, which the test
+    asserts by running both.
+
+    Requires the ``protobuf`` package at runtime (Spark's
+    TransformWithStateInPySpark driver worker speaks protobuf to the
+    state server); raises an actionable error when it is missing.
+    """
+    if not tws_available():
+        raise RuntimeError(
+            "transformWithStateInPandas requires the 'protobuf' package "
+            "(google.protobuf) for Spark's state-server protocol; it is "
+            "not installed in this environment. Use "
+            "running_word_totals (applyInPandasWithState) instead."
+        )
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    words = (
+        messages.select(F.explode(F.split(F.col("value"), " ")).alias("word"))
+        .filter(F.col("word") != "")
+    )
+
+    # defined in-closure so cloudpickle serializes the class by value
+    # and workers never need this package importable
+    class TotalsProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._total = handle.getValueState(
+                "total", StructType([StructField("total", LongType(), True)])
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as pd
+
+            batch_count = sum(len(pdf) for pdf in rows)
+            prev = self._total.get()[0] if self._total.exists() else 0
+            total = prev + batch_count
+            self._total.update((total,))
+            yield pd.DataFrame({"word": [key[0]], "total": [total]})
+
+        def close(self) -> None:
+            pass
+
+    return words.groupBy("word").transformWithStateInPandas(
+        statefulProcessor=TotalsProcessor(),
+        outputStructType="word string, total long",
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -261,6 +261,40 @@ def test_stateful_totals_accumulate_across_batches(spark, tmp_path):
     assert totals == {"hello": 2, "world": 1, "again": 1}
 
 
+def test_transform_with_state_totals_match_legacy_api(spark, tmp_path):
+    """T7 (modern API): transformWithStateInPandas keeps the same
+    cross-batch totals as the applyInPandasWithState implementation.
+    Skips (with the gate asserted actionable) when protobuf — required
+    by Spark's TWS state-server protocol — is absent."""
+    import time
+
+    from flink_kakfa_spark.streaming.stateful import (
+        running_word_totals_tws,
+        tws_available,
+    )
+
+    if not tws_available():
+        with pytest.raises(RuntimeError, match="protobuf"):
+            running_word_totals_tws(_stream_from(spark, str(tmp_path)))
+        pytest.skip("protobuf absent: transformWithStateInPandas cannot run here")
+
+    _write_messages(
+        spark, str(tmp_path), [Row(key="k1", value="hello world", ts="2024-01-01 00:00:01")], "b0"
+    )
+    time.sleep(1.1)
+    _write_messages(
+        spark, str(tmp_path), [Row(key="k2", value="hello again", ts="2024-01-01 00:00:02")], "b1"
+    )
+    stream = _stream_from(spark, str(tmp_path))
+    name = f"tws_{uuid.uuid4().hex[:8]}"
+    _run_to_memory(running_word_totals_tws(stream), name, "update")
+    rows = spark.sql(
+        f"SELECT word, MAX(total) AS total FROM {name} GROUP BY word"
+    ).collect()
+    totals = {r["word"]: r["total"] for r in rows}
+    assert totals == {"hello": 2, "world": 1, "again": 1}
+
+
 def test_foreach_batch_sink(spark, tmp_path):
     """S4 production form: foreachBatch with custom per-batch logic
     (the engine twin of the consumer's processMessage hook,
