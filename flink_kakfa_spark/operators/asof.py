@@ -43,13 +43,24 @@ def asof_join(
     Implementation: tag and union both sides, sort within key by
     (time, right-before-left at equal times), carry right values
     forward with last(ignorenulls), keep left rows.
+
+    Determinism under ties: multiple right rows sharing (key, time)
+    would make last() order-dependent, so the right side is first
+    collapsed to one row per (key, time) — the greatest
+    (value_cols...) tuple wins (lexicographic struct max). Fixture
+    data has no such ties; this guards real feeds that do.
     """
     lt = left.withColumn("_side", F.lit(1))
-    rt = right.select(
-        key,
-        time_col,
-        *[F.col(c).alias(c + suffix) for c in value_cols],
-    ).withColumn("_side", F.lit(0))
+    rt = (
+        right.groupBy(key, time_col)
+        .agg(F.max(F.struct(*[F.col(c) for c in value_cols])).alias("_vals"))
+        .select(
+            key,
+            time_col,
+            *[F.col(f"_vals.{c}").alias(c + suffix) for c in value_cols],
+        )
+        .withColumn("_side", F.lit(0))
+    )
     unioned = lt.unionByName(rt, allowMissingColumns=True)
     # right rows sort before left rows at the same timestamp so an
     # equal-time right row IS visible to the left row (<= semantics)

@@ -24,14 +24,17 @@ def merge_scd1(target: DataFrame, source: DataFrame, key: str) -> DataFrame:
     """Upsert: source rows replace target rows on key; inserts kept.
 
     Column set is taken from the target; the source must contain the
-    same columns.
+    same columns. Matched rows take EVERY source column — including
+    NULLs (a source row may legitimately SET a column to NULL), so the
+    match test is on the join key, never per-column COALESCE.
     """
     t = target.alias("t")
     s = source.alias("s")
     joined = t.join(s, F.col(f"t.{key}") == F.col(f"s.{key}"), "full_outer")
+    matched = F.col(f"s.{key}").isNotNull()
     return joined.select(
         *[
-            F.coalesce(F.col(f"s.{c}"), F.col(f"t.{c}")).alias(c)
+            F.when(matched, F.col(f"s.{c}")).otherwise(F.col(f"t.{c}")).alias(c)
             for c in target.columns
         ]
     )
@@ -78,9 +81,9 @@ def merge_scd2(
       FROM orders WHERE o_orderkey % 6 = 0
     )
     SELECT
-      COALESCE(s.o_orderkey, t.o_orderkey) AS o_orderkey,
-      COALESCE(s.o_orderstatus, t.o_orderstatus) AS o_orderstatus,
-      COALESCE(s.o_totalprice, t.o_totalprice) AS o_totalprice
+      CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_orderkey ELSE t.o_orderkey END AS o_orderkey,
+      CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_orderstatus ELSE t.o_orderstatus END AS o_orderstatus,
+      CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_totalprice ELSE t.o_totalprice END AS o_totalprice
     FROM target t FULL OUTER JOIN source s ON t.o_orderkey = s.o_orderkey
     """,
 )

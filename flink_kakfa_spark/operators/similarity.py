@@ -271,27 +271,35 @@ def q_sim_cosine_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     Demonstrates the engine's UDF policy: a @pandas_udf processing
     whole columns per batch, never a row-at-a-time Python UDF.
     """
-    import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
     e = parallelize(load_table(spark, "embeddings", sf_dir), spark).select(
         "vec_id", as_double("embedding").alias("emb")
     )
-    qrow = e.filter(F.col("vec_id") == 0).select(F.col("emb")).head()
-    qvec = np.array(qrow["emb"], dtype=np.float64)
-    qnorm = float(np.sqrt((qvec * qvec).sum()))
+    # broadcast 1-row query vector instead of a driver-side .head():
+    # the vector stays inside the plan, so the query is lazily
+    # re-resolvable and runs no job at construction time
+    qv = F.broadcast(e.filter(F.col("vec_id") == 0).select(F.col("emb").alias("qemb")))
 
     @pandas_udf("double")
-    def cos_to_query(embs: pd.Series) -> pd.Series:
-        mat = np.vstack(embs.to_numpy())  # (batch, dim) float64
-        dots = mat @ qvec
+    def cos_to_query(embs: pd.Series, qembs: pd.Series) -> pd.Series:
+        import numpy as np
+
+        mat = np.vstack(embs.to_numpy())   # (batch, dim) float64
+        qmat = np.vstack(qembs.to_numpy())  # same qvec repeated per row
+        dots = (mat * qmat).sum(axis=1)
         norms = np.sqrt((mat * mat).sum(axis=1))
-        return pd.Series(dots / (norms * qnorm))
+        qnorms = np.sqrt((qmat * qmat).sum(axis=1))
+        return pd.Series(dots / (norms * qnorms))
 
     return (
         e.filter(F.col("vec_id") != 0)
-        .select("vec_id", F.round(cos_to_query(F.col("emb")), 6).alias("cos_sim"))
+        .crossJoin(qv)
+        .select(
+            "vec_id",
+            F.round(cos_to_query(F.col("emb"), F.col("qemb")), 6).alias("cos_sim"),
+        )
         .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
         .limit(10)
     )

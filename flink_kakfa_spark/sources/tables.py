@@ -47,6 +47,18 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
     return spark.read.parquet(f"{d}/{name}.parquet")
 
 
+_BYTE_SUFFIXES = {"k": 10, "m": 20, "g": 30, "t": 40}
+
+
+def _parse_bytes(size: str) -> int:
+    """Parse a Spark byte-size conf string ('134217728b', '128m', '1g')."""
+    s = size.strip().lower().removesuffix("b")
+    shift = _BYTE_SUFFIXES.get(s[-1:], None)
+    if shift is not None:
+        return int(s[:-1]) << shift
+    return int(s)
+
+
 def parallelize(df: DataFrame, spark: SparkSession) -> DataFrame:
     """Repartition a narrow input to the cluster's parallelism when the
     scan produced too few partitions.
@@ -61,7 +73,23 @@ def parallelize(df: DataFrame, spark: SparkSession) -> DataFrame:
     many splits and this becomes a no-op.
     """
     target = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() * 2 <= target:
+    # Estimate the scan's split count from file metadata instead of
+    # materializing df.rdd (which forces a full physical planning pass
+    # per call). Parquet splits ~= ceil(bytes / maxPartitionBytes) per
+    # file; non-local/unlistable inputs fall back to the RDD probe.
+    try:
+        max_bytes = _parse_bytes(
+            str(spark.conf.get("spark.sql.files.maxPartitionBytes", "128m"))
+        )
+        files = [f.removeprefix("file:") for f in df.inputFiles()]
+        if not files or any(not os.path.exists(f) for f in files):
+            raise ValueError("non-local input")
+        splits = sum(
+            max(1, -(-os.path.getsize(f) // max_bytes)) for f in files
+        )
+    except Exception:  # noqa: BLE001 - fall back to the exact probe
+        splits = df.rdd.getNumPartitions()
+    if splits * 2 <= target:
         return df.repartition(target)
     return df
 

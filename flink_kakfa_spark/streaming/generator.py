@@ -57,11 +57,24 @@ def sentence_stream(
     """
     cfg = cfg or ProducerConfig()
     rps = rows_per_second or (1.0 / cfg.interval_seconds)
-    raw = (
-        spark.readStream.format("rate")
-        .option("rowsPerSecond", max(int(rps), 1))
-        .load()
-    )
+    if rps >= 1.0:
+        raw = (
+            spark.readStream.format("rate")
+            .option("rowsPerSecond", int(round(rps)))
+            .load()
+        )
+    else:
+        # The rate source only takes integer rows/sec; honor fractional
+        # rates (reference default: 1 msg per 2 s = 0.5 rps) by running
+        # at 1 rps and keeping every Nth row — exact average rate, even
+        # spacing, instead of silently flooring 0.5 up to 1.
+        stride = max(int(round(1.0 / rps)), 1)
+        raw = (
+            spark.readStream.format("rate")
+            .option("rowsPerSecond", 1)
+            .load()
+            .filter(F.col("value") % stride == 0)
+        )
     return _with_message_shape(
         raw, F.col("value"), F.col("timestamp"), cfg.word_list or DEFAULT_WORD_LIST
     )

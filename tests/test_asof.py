@@ -47,3 +47,18 @@ def test_asof_respects_key_partitions(spark):
     ).withColumn("ts", F.to_timestamp("ts"))
     out = {r["ev"]: r["px_asof"] for r in asof_join(left, right, "k", "ts", ["px"]).collect()}
     assert out == {"x": 10.0, "y": None}  # no cross-key leakage
+
+
+def test_asof_tied_right_rows_resolve_deterministically(spark):
+    """Two right rows at the same (key, ts): the greatest value tuple
+    wins, independent of partitioning/sort nondeterminism."""
+    left = spark.createDataFrame(
+        [Row(k="u", ts=_ts(5), ev="e")], "k string, ts string, ev string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    right = spark.createDataFrame(
+        [Row(k="u", ts=_ts(2), px=10.0), Row(k="u", ts=_ts(2), px=99.0)],
+        "k string, ts string, px double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    for _ in range(3):
+        out = asof_join(left, right, "k", "ts", ["px"]).collect()
+        assert out[0]["px_asof"] == 99.0

@@ -43,3 +43,12 @@ def test_scd2_idempotent_reapply_grows_version(spark):
     current = [r for r in twice.collect() if r["is_current"] == 1]
     assert len(current) == 1
     assert current[0]["v"] == "a3" and current[0]["version"] == 3
+
+
+def test_scd1_source_null_overwrites(spark):
+    """A matched source row SETs columns to NULL — the match is decided
+    by key presence, never per-column COALESCE fallback."""
+    target = spark.createDataFrame([Row(k=1, v="old")])
+    source = spark.createDataFrame([Row(k=1, v=None)], "k bigint, v string")
+    out = merge_scd1(target, source, "k").collect()
+    assert len(out) == 1 and out[0]["v"] is None
