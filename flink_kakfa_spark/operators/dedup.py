@@ -284,6 +284,181 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Portable MinHash: 16 affine permutations over md5-derived 32-bit
+# shingle hashes, banded 4x4. Every constant is a literal below so the
+# Spark expressions and the DuckDB oracle compute bit-identical
+# signatures — this is the oracle-checkable twin of the (engine-seeded)
+# pyspark.ml MinHashLSH query above it.
+_MH_PERMS = 16
+_MH_BANDS = 4
+_MH_ROWS = _MH_PERMS // _MH_BANDS
+_MH_M = 2147483647
+
+
+def _mh_ab(p: int) -> tuple[int, int]:
+    """Affine permutation constants (a odd, 0 < a,b < 2^20/M)."""
+    a = (((1103515245 * p + 12345) % 1048575) | 1)
+    b = (22695477 * (p + 1)) % _MH_M
+    return a, b
+
+
+_MH_H_SQL = " + ".join(
+    f"(strpos('0123456789abcdef', substr(md5(s), {k}, 1)) - 1) * {16 ** (8 - k)}"
+    for k in range(1, 9)
+)
+_MH_SIG_SQL = ",\n      ".join(
+    "list_min(list_transform(hl, h -> (h * {a} + {b}) % {m})) AS s{p}".format(
+        a=_mh_ab(p)[0], b=_mh_ab(p)[1], m=_MH_M, p=p
+    )
+    for p in range(_MH_PERMS)
+)
+_MH_BAND_JOINS = " OR ".join(
+    "("
+    + " AND ".join(
+        f"a.s{p} = b.s{p}" for p in range(band * _MH_ROWS, (band + 1) * _MH_ROWS)
+    )
+    + ")"
+    for band in range(_MH_BANDS)
+)
+
+
+@query(
+    "dedup_minhash_portable",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, len(ts) - 2),
+               i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
+             )) AS sharr
+      FROM tok WHERE len(ts) >= 3
+    ),
+    hashed AS (
+      SELECT doc_id, sharr,
+             list_transform(sharr, s -> CAST({_MH_H_SQL} AS BIGINT)) AS hl
+      FROM sh
+    ),
+    sigs AS (
+      SELECT doc_id, sharr,
+      {_MH_SIG_SQL}
+      FROM hashed
+    ),
+    cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.sharr AS sh_a, b.sharr AS sh_b
+      FROM sigs a JOIN sigs b
+        ON a.doc_id < b.doc_id AND ({_MH_BAND_JOINS})
+    )
+    SELECT
+      doc_a, doc_b,
+      CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
+        / (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b))) AS jaccard
+    FROM cand
+    ORDER BY jaccard DESC, doc_a ASC, doc_b ASC
+    LIMIT 20
+    """,
+)
+def q_dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 scale path with a value-exact oracle: portable MinHash-LSH.
+
+    16 affine permutations (a*h+b mod 2^31-1) over md5-derived 32-bit
+    shingle hashes; signatures band 4x4, docs agreeing on any whole
+    band become candidates via a band equi-join (never all-pairs); the
+    exact shingle Jaccard rescores candidates and keeps the top-20.
+    Unlike the pyspark.ml MinHashLSH variant (engine-seeded, rows-only
+    check), every constant here is explicit integer arithmetic both
+    engines compute identically, so DuckDB verifies the whole pipeline
+    value-exactly.
+
+    At 100 TB: signatures are 16 ints per doc computed in one narrow
+    pass; each band join shuffles on a 4-int key; Jaccard rescoring
+    touches only bucket-mates. Band count/rows trade recall vs cost
+    (4x4 targets J >= ~0.7 pairs).
+    """
+    d = parallelize(load_table(spark, "documents", sf_dir), spark)
+    toks = d.select("doc_id", F.split(F.col("text"), " ").alias("tokens")).filter(
+        F.size("tokens") >= SHINGLE_K
+    )
+    sh = toks.select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size("tokens") - (SHINGLE_K - 1)),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at("tokens", i),
+                    F.element_at("tokens", i + 1),
+                    F.element_at("tokens", i + 2),
+                ),
+            )
+        ).alias("sharr"),
+    )
+    h32 = lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")  # noqa: E731
+    hashed = sh.withColumn("hl", F.transform("sharr", h32))
+    def perm_min(p: int):
+        a, b = _mh_ab(p)
+
+        def apply(h):
+            return (h * F.lit(a) + F.lit(b)) % F.lit(_MH_M)
+
+        return F.array_min(F.transform("hl", apply)).alias(f"s{p}")
+
+    sig_cols = [perm_min(p) for p in range(_MH_PERMS)]
+    sigs = hashed.select("doc_id", "sharr", *sig_cols)
+    # band the signature: 4 bands of 4 ints; docs sharing any band pair up
+    bands = sigs.select(
+        "doc_id",
+        "sharr",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(band).alias("band"),
+                        *[
+                            F.col(f"s{p}").alias(f"k{r}")
+                            for r, p in enumerate(
+                                range(band * _MH_ROWS, (band + 1) * _MH_ROWS)
+                            )
+                        ],
+                    )
+                    for band in range(_MH_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "sharr", "bk.*")
+    a_ = bands.alias("a")
+    b_ = bands.alias("b")
+    key_eq = (F.col("a.band") == F.col("b.band"))
+    for r in range(_MH_ROWS):
+        key_eq = key_eq & (F.col(f"a.k{r}") == F.col(f"b.k{r}"))
+    cand = (
+        a_.join(b_, key_eq & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sharr").alias("sh_a"),
+            F.col("b.sharr").alias("sh_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    n_common = F.size(F.array_intersect("sh_a", "sh_b"))
+    return (
+        cand.select(
+            "doc_a",
+            "doc_b",
+            (
+                n_common.cast("double")
+                / (F.size("sh_a") + F.size("sh_b") - n_common)
+            ).alias("jaccard"),
+        )
+        .orderBy(F.col("jaccard").desc(), F.col("doc_a").asc(), F.col("doc_b").asc())
+        .limit(20)
+    )
+
+
 # SimHash oracle: DuckDB recomputes the identical md5-derived 32-bit
 # signature (bit b = bit b%4 of the hex nibble at char 8 - b//4 of
 # md5(word)[:8]) and finds hamming<=3 pairs by brute force — an

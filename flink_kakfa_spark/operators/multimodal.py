@@ -147,13 +147,40 @@ _FEAT_SCHEMA = StructType(
 )
 
 
-@query("mm_extract_features")  # rows-only: float mean best checked by test
+@query(
+    "mm_extract_features",
+    oracle="""
+    WITH bytes AS (
+      SELECT doc_id, ord(substr(text, i, 1)) AS v
+      FROM documents,
+           UNNEST(generate_series(1, octet_length(encode(text)))) AS g(i)
+    ),
+    stats AS (
+      SELECT doc_id,
+             CAST(SUM(v) AS DOUBLE) / COUNT(*) AS mean_v,
+             MIN(v) AS min_v,
+             MAX(v) AS max_v,
+             COUNT(*) AS n
+      FROM bytes GROUP BY doc_id
+    )
+    SELECT
+      doc_id,
+      [mean_v, CAST(min_v AS DOUBLE), CAST(max_v AS DOUBLE),
+       CAST(n % 97 AS DOUBLE)] AS feature,
+      n AS n_bytes
+    FROM stats
+    """,
+)
 def q_mm_extract_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature-extract stage: binary payload → fixed-dim float vector.
 
     The numpy byte-summary stands in for a vision encoder; the
     contract (binary in, array<double> out, one row per doc) is the
-    real deliverable.
+    real deliverable. The payloads are UTF-8 text bytes and the corpus
+    is pure ASCII, so the DuckDB oracle reproduces the byte stream
+    with ord(substr(...)) and the mean is an exact integer-sum/count —
+    value-exact across engines (upgraded from the old rows-only
+    check).
     """
 
     def extract_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -110,44 +110,87 @@ def q_sim_euclidean_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("sim_lsh_ann_topk")  # rows-only: hyperplane buckets are seed-specific
+# ANN LSH parameters: 4 sign bits = 16 buckets (bits scale with
+# log(n); at fixture scale deeper buckets would leave top-10 starved).
+# Salt 1000 decorrelates these hyperplanes from the dedup operator's.
+_ANN_BITS = 4
+_ANN_SALT = 1000
+_ANN_DIMS = 64
+
+
+def _ann_weight(j: int, i: int) -> int:
+    """Deterministic integer hyperplane weight (bit j, 0-based dim i)."""
+    return ((1103515245 * ((_ANN_SALT + j) * _ANN_DIMS + i) + 12345) % 1048576) - 524288
+
+
+_ANN_ORACLE = f"""
+    WITH qv AS (
+      SELECT vec_id,
+             i,
+             CAST(FLOOR(list_extract(CAST(embedding AS DOUBLE[]), i) * 1000000)
+                  AS BIGINT) AS q
+      FROM embeddings, UNNEST(generate_series(1, {_ANN_DIMS})) AS g(i)
+    ),
+    proj AS (
+      SELECT vec_id, j, SUM(q * (
+        ((1103515245 * (({_ANN_SALT} + j) * {_ANN_DIMS} + (i - 1)) + 12345)
+          % 1048576) - 524288
+      )) AS p
+      FROM qv, UNNEST(generate_series(0, {_ANN_BITS - 1})) AS jj(j)
+      GROUP BY vec_id, j
+    ),
+    buckets AS (
+      SELECT vec_id,
+             CAST(SUM(CASE WHEN p > 0 THEN (1 << j) ELSE 0 END) AS INT) AS bucket
+      FROM proj GROUP BY vec_id
+    ),
+    qb AS (SELECT bucket AS qbucket FROM buckets WHERE vec_id = 0)
+    SELECT
+      b.vec_id,
+      b.bucket,
+      ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                   CAST(eq.embedding AS DOUBLE[])), 6) AS cos_sim
+    FROM buckets b
+    JOIN qb ON b.bucket = qb.qbucket
+    JOIN embeddings e ON e.vec_id = b.vec_id
+    JOIN embeddings eq ON eq.vec_id = 0
+    WHERE b.vec_id <> 0
+    ORDER BY cos_sim DESC, b.vec_id ASC
+    LIMIT 10
+"""
+
+
+@query("sim_lsh_ann_topk", oracle=_ANN_ORACLE)
 def q_sim_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN scale path: random-hyperplane LSH + rescore within buckets.
+    """ANN scale path: hyperplane LSH buckets + rescore within buckets.
 
-    Sign-of-projection onto h seeded pseudo-random hyperplanes packs
-    each vector into an h-bit bucket key; the exact cosine is computed
-    only against vectors sharing the query's bucket (falling back to
-    Hamming-1 neighbors would raise recall). At 100 TB this turns a
-    full scan into a bucket-pruned scan; the bucket key is computable
-    at write time and usable as a partition column.
+    Sign-of-projection onto deterministic hyperplanes packs each vector
+    into a bucket key; the exact cosine is computed only against
+    vectors sharing the query's bucket (multi-probing Hamming-1
+    neighbor buckets would raise recall). At 100 TB this turns a full
+    scan into a bucket-pruned scan; the bucket key is computable at
+    write time and usable as a partition column.
 
-    The hyperplanes derive from xxhash64(dim_index, plane) — fully
-    deterministic, no fitted model — but Spark-specific → rows-only.
+    The hyperplanes are integer LCG weights over floor-quantized
+    components — no float accumulation, so the buckets are
+    deterministic AND engine-portable: the DuckDB oracle recomputes
+    the same buckets independently and matches value-exactly.
     """
     e = parallelize(load_table(spark, "embeddings", sf_dir), spark).select(
         "vec_id", as_double("embedding").alias("emb")
     )
-    n_planes = 8
+    qarr = F.transform("emb", lambda x: F.floor(x * 1000000).cast("long"))
 
-    def plane_sign(emb: Column, p: int) -> Column:
-        # pseudo-random ±1 hyperplane from the hash of (dim, plane)
+    def plane_sign(p: int) -> Column:
+        weights = F.array(*[F.lit(_ann_weight(p, i)) for i in range(_ANN_DIMS)])
         proj = F.aggregate(
-            F.zip_with(
-                emb,
-                F.transform(
-                    F.sequence(F.lit(0), F.size(emb) - 1),
-                    lambda i: F.when(
-                        F.pmod(F.xxhash64(i, F.lit(p)), F.lit(2)) == 0, F.lit(1.0)
-                    ).otherwise(F.lit(-1.0)),
-                ),
-                lambda x, w: x * w,
-            ),
-            F.lit(0.0),
+            F.zip_with(qarr, weights, lambda x, w: x * w),
+            F.lit(0).cast("long"),
             lambda s, x: s + x,
         )
-        return F.when(proj >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+        return F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0))
 
-    bucket = sum([plane_sign(F.col("emb"), p) for p in range(n_planes)], F.lit(0))
+    bucket = sum([plane_sign(p) for p in range(_ANN_BITS)], F.lit(0))
     bucketed = e.select("vec_id", "emb", bucket.cast("int").alias("bucket"))
     q = bucketed.filter(F.col("vec_id") == 0).select(
         F.col("emb").alias("qvec"), F.col("bucket").alias("qbucket")

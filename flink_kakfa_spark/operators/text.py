@@ -175,22 +175,49 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("text_fingerprint_rolling")  # rows-only: xxhash64 is Spark-specific
+# Portable token hash: the first 8 hex chars of md5 as a 32-bit int —
+# both engines compute md5 identically; DuckDB lacks conv(hex) so the
+# oracle rebuilds the value from nibbles.
+_ROLL_B = 1000003          # polynomial base
+_ROLL_M = 2147483647       # 2^31-1: keeps acc*B + h inside BIGINT exactly
+_ROLL_H_SQL = " + ".join(
+    f"(strpos('0123456789abcdef', substr(md5(w), {k}, 1)) - 1) * {16 ** (8 - k)}"
+    for k in range(1, 9)
+)
+
+
+@query(
+    "text_fingerprint_rolling",
+    oracle=f"""
+    SELECT
+      doc_id,
+      list_reduce(
+        list_prepend(
+          CAST(0 AS BIGINT),
+          list_transform(string_split(text, ' '),
+                         w -> CAST({_ROLL_H_SQL} AS BIGINT))
+        ),
+        (acc, x) -> (acc * {_ROLL_B} + x) % {_ROLL_M}
+      ) AS rolling_fp
+    FROM documents
+    """,
+)
 def q_text_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling (positional) fingerprint: order-sensitive token hash.
 
-    Distinguishes permuted documents that a bag-of-words hash cannot;
-    built from xxhash64 (Spark-side, hence rows-only oracle) folded
-    left across tokens.
+    Distinguishes permuted documents that a bag-of-words hash cannot.
+    Polynomial fold acc = (acc*B + md5_32(word)) mod (2^31-1) over
+    md5-derived token ints — integer arithmetic both engines perform
+    identically (ANSI-safe: acc*B + h < 2^52), so the oracle is
+    value-exact rather than the xxhash64 rows-only check this started
+    as.
     """
     d = load_table(spark, "documents", sf_dir)
-    t = tokens()
-    # chained-hash fold: next = xxhash64(acc, word) — order-sensitive and
-    # overflow-free under ANSI mode (no raw long multiplication)
+    h = lambda w: F.conv(F.substring(F.md5(w), 1, 8), 16, 10).cast("long")  # noqa: E731
     rolled = F.aggregate(
-        t,
+        tokens(),
         F.lit(0).cast("long"),
-        lambda acc, w: F.xxhash64(acc, w),
+        lambda acc, w: (acc * F.lit(_ROLL_B) + h(w)) % F.lit(_ROLL_M),
     )
     return d.select("doc_id", rolled.alias("rolling_fp"))
 

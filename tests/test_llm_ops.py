@@ -65,6 +65,15 @@ def test_simhash_near_dup_smallest_distance(spark, dup_docs, tmp_path):
     assert (0, 2) in by_pair
 
 
+def test_minhash_portable_catches_known_pairs(spark, dup_docs, tmp_path):
+    """The portable MinHash must recover the exact dup (J=1: every band
+    agrees) and rank it first; disjoint docs never become candidates."""
+    dup_docs.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    out = all_queries()["dedup_minhash_portable"](spark, str(tmp_path)).collect()
+    assert (out[0]["doc_a"], out[0]["doc_b"]) == (0, 1) and out[0]["jaccard"] == 1.0
+    assert not any(3 in (r["doc_a"], r["doc_b"]) for r in out)
+
+
 def test_minhash_lsh_catches_exact_dup(spark, dup_docs, tmp_path):
     dup_docs.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
     out = all_queries()["dedup_minhash_lsh"](spark, str(tmp_path)).collect()
