@@ -397,3 +397,121 @@ def q_pipeline_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").alias("total_tokens"),
         (F.sum("n_chars").cast("double") / F.sum("n_tokens")).alias("chars_per_token"),
     )
+
+
+@query(
+    "pipeline_pack_sequences",
+    oracle="""
+    WITH counted AS (
+      SELECT
+        doc_id,
+        doc_id % 8 AS shard,
+        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    packed AS (
+      SELECT
+        doc_id, shard, n_tokens,
+        SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                            ROWS UNBOUNDED PRECEDING) - n_tokens AS start_offset
+      FROM counted
+    )
+    SELECT
+      doc_id, shard, n_tokens, start_offset,
+      start_offset // 512 AS pack_bin,
+      (start_offset // 512) <> ((start_offset + n_tokens - 1) // 512)
+        AS spans_boundary
+    FROM packed
+    """,
+)
+def q_pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for LLM pretraining: concatenate the token
+    stream and cut fixed 512-token bins, documents straddling cuts.
+
+    The standard pack-by-concatenation layout: within each shard the
+    docs form one contiguous token stream (running-sum window gives
+    every doc its start offset); bin id is integer division by the
+    context length, and spans_boundary marks docs split across two
+    bins. Sharding by doc_id % 8 keeps the window per-shard — at
+    100 TB each shard packs independently (one shuffle on the shard
+    key, no global sort), and shard count scales with the cluster.
+    """
+    from pyspark.sql import Window
+
+    d = load_table(spark, "documents", sf_dir)
+    counted = d.select(
+        "doc_id",
+        (F.col("doc_id") % 8).alias("shard"),
+        F.size(tokens()).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = counted.withColumn(
+        "start_offset", F.sum("n_tokens").over(w) - F.col("n_tokens")
+    )
+    pack_bin = F.expr("start_offset div 512")
+    end_bin = F.expr("(start_offset + n_tokens - 1) div 512")
+    return packed.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        "start_offset",
+        pack_bin.alias("pack_bin"),
+        (pack_bin != end_bin).alias("spans_boundary"),
+    )
+
+
+@query(
+    "pipeline_stratified_sample",
+    oracle="""
+    WITH hashed AS (
+      SELECT
+        lang,
+        (
+          (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+          + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)
+        ) * 256
+        + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16
+        + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1)
+          AS h16,
+        CASE lang WHEN 'en' THEN 20 WHEN 'zh' THEN 50 ELSE 80 END AS pct
+      FROM documents
+    )
+    SELECT
+      lang,
+      COUNT(*) AS n_total,
+      COUNT(*) FILTER (h16 % 100 < pct) AS n_kept,
+      ANY_VALUE(pct) AS target_pct
+    FROM hashed
+    GROUP BY lang
+    """,
+)
+def q_pipeline_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified downsampling by language.
+
+    Data-mixture rebalancing for training corpora: each language gets a
+    keep-rate (downweight dominant en, upweight tail languages) and the
+    keep decision is a pure function of doc_id — the first 16 bits of
+    md5(doc_id) mod 100 against the stratum rate. No RNG state, so the
+    sample is identical on any cluster, any partitioning, any engine —
+    reproducible data recipes being the point. Output is the per-stratum
+    census (totals, kept, target rate); the sampled rows themselves are
+    the same filter without the rollup.
+    """
+    d = load_table(spark, "documents", sf_dir)
+    hx = F.md5(F.col("doc_id").cast("string"))
+    h16 = F.conv(F.substring(hx, 1, 4), 16, 10).cast("long")
+    pct = (
+        F.when(F.col("lang") == "en", 20)
+        .when(F.col("lang") == "zh", 50)
+        .otherwise(80)
+    )
+    hashed = d.select("lang", h16.alias("h16"), pct.alias("pct"))
+    return hashed.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.count_if(F.col("h16") % 100 < F.col("pct")).alias("n_kept"),
+        F.any_value("pct").alias("target_pct"),
+    )
