@@ -38,7 +38,7 @@ HEADLINE = [
     "asof_last_purchase",       # as-of join (union + window)
     "dedup_near_unique",        # exact-collapse + shingle near-dup
     "dedup_ngram_jaccard_guarded",  # shingle join, stop-shingle guard ON
-    "dedup_minhash_lsh",        # MinHash-LSH banding (the 100 TB near-dup path)
+    "dedup_minhash_portable",   # MinHash-LSH banding (the 100 TB near-dup path)
     "sql_cte_top_nations",      # SQL surface: CTE + join + agg + rank
     "mm_decode_frames",         # multimodal mapInPandas (Arrow batch path)
 ]

@@ -198,7 +198,14 @@ def _jaccard_pairs(
     unguarded; at 100 TB you would always set it.
     """
     d = parallelize(load_table(spark, "documents", sf_dir), spark)
-    sh = _shingles(d)
+    return _jaccard_pairs_from(d, max_shingle_df)
+
+
+def _jaccard_pairs_from(
+    docs: DataFrame, max_shingle_df: int | None = None
+) -> DataFrame:
+    """Shingle-join Jaccard pairs over an arbitrary (doc_id, text) frame."""
+    sh = _shingles(docs)
     if max_shingle_df is not None:
         # document frequency via a window count: one shuffle of the
         # shingle set, no second scan / anti-join pass
@@ -208,7 +215,11 @@ def _jaccard_pairs(
             .filter(F.col("df") <= max_shingle_df)
             .drop("df")
         )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    # per-doc shingle count rides along as a window column, so the
+    # Jaccard denominator needs no sizes table and no join-backs —
+    # the pair aggregation just carries n_a/n_b through (constant per
+    # group). Two fewer join stages than the sizes-table formulation.
+    sh = sh.withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
     a = sh.alias("a")
     b = sh.alias("b")
     pairs = (
@@ -218,22 +229,20 @@ def _jaccard_pairs(
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
-    return (
-        pairs.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
-        .select(
-            "doc_a",
-            "doc_b",
-            "n_common",
-            (
-                F.col("n_common").cast("double")
-                / (F.col("sa.n") + F.col("sb.n") - F.col("n_common"))
-            ).alias("jaccard"),
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.max(F.col("a.n")).alias("_na"),
+            F.max(F.col("b.n")).alias("_nb"),
         )
+    )
+    return pairs.select(
+        "doc_a",
+        "doc_b",
+        "n_common",
+        (
+            F.col("n_common").cast("double")
+            / (F.col("_na") + F.col("_nb") - F.col("n_common"))
+        ).alias("jaccard"),
     )
 
 
@@ -877,38 +886,22 @@ def q_dedup_near_unique(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-dup pair at Jaccard >= 0.5.
     """
     d = parallelize(load_table(spark, "documents", sf_dir), spark)
-    # materialize the collapse once (the shingle relation is referenced
-    # three times below; without this Spark re-runs the groupBy per use)
-    # and explicitly fan back out first: AQE coalesces the small
+    # explicit fan-out after the collapse: AQE coalesces the small
     # post-collapse shuffle to ~1 partition, which would single-thread
     # the 100x-multiplying shingle explode + self-join downstream
-    # (measured 9.5s -> 1.5s at sf0.1)
+    # (measured 9.5s -> 1.5s at sf0.1). The shingle relation is
+    # referenced multiple times but identical exchanges are deduped by
+    # ReusedExchange — no checkpoint needed (an earlier localCheckpoint
+    # here leaked cached blocks across invocations and produced wild
+    # run-to-run variance in long-lived sessions).
     uniq = (
         d.groupBy("text")
         .agg(F.min("doc_id").alias("doc_id"))
         .repartition(spark.sparkContext.defaultParallelism)
-        .localCheckpoint()
-    )
-    sh = _shingles(uniq)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a, b = sh.alias("a"), sh.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    sa, sb = sizes.alias("sa"), sizes.alias("sb")
-    jac = F.col("n_common").cast("double") / (
-        F.col("sa.n") + F.col("sb.n") - F.col("n_common")
     )
     return (
-        pairs.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
-        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        _jaccard_pairs_from(uniq)
+        .select("doc_a", "doc_b", "jaccard")
         .filter(F.col("jaccard") >= 0.5)
     )
 
