@@ -346,3 +346,137 @@ def q_sim_cosine_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
         .limit(10)
     )
+
+
+# Portable IVF: the codebook is vectors 1..8 themselves (a
+# deterministic stand-in for sampled-kmeans centroids) and the
+# assignment metric is squared L2 over floor-quantized integer
+# components — exact integer arithmetic, so cell assignment (ties to
+# the lowest cell id) is bit-identical across engines and the whole
+# nprobe search is oracle-checkable, unlike the KMeans variant above.
+_IVF_CELLS = 8
+_IVF_NPROBE = 2
+
+
+@query(
+    "sim_ivf_portable_topk",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> CAST(FLOOR(x * 1000000) AS BIGINT)) AS qa,
+             embedding
+      FROM embeddings
+    ),
+    cents AS (
+      SELECT vec_id - 1 AS cell, qa AS ca FROM q
+      WHERE vec_id BETWEEN 1 AND {_IVF_CELLS}
+    ),
+    dists AS (
+      SELECT v.vec_id, c.cell,
+             (SELECT SUM((v.qa[i] - c.ca[i]) * (v.qa[i] - c.ca[i]))
+              FROM UNNEST(generate_series(1, 64)) AS g(i)) AS d2
+      FROM q v, cents c
+    ),
+    assigned AS (
+      SELECT vec_id, cell, d2,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cell ASC) AS rk
+      FROM dists
+    ),
+    cells AS (SELECT vec_id, cell FROM assigned WHERE rk = 1),
+    probe AS (
+      SELECT cell FROM assigned WHERE vec_id = 0 AND rk <= {_IVF_NPROBE}
+    )
+    SELECT
+      c.vec_id,
+      c.cell,
+      ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                   CAST(eq.embedding AS DOUBLE[])), 6) AS cos_sim
+    FROM cells c
+    JOIN probe p ON c.cell = p.cell
+    JOIN embeddings e ON e.vec_id = c.vec_id
+    JOIN embeddings eq ON eq.vec_id = 0
+    WHERE c.vec_id <> 0
+    ORDER BY cos_sim DESC, c.vec_id ASC
+    LIMIT 10
+    """,
+)
+def q_sim_ivf_portable_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with a value-exact oracle: deterministic codebook +
+    integer-quantized assignment + nprobe-limited exact rescore.
+
+    Vectors 1..8 serve as the coarse codebook (standing in for
+    centroids a sampled k-means fit would yield — the plumbing, probe
+    logic, and plan shape are identical). Every vector is assigned to
+    its nearest centroid by squared L2 over floor-quantized integer
+    components — exact integer math, ties to the lowest cell — so the
+    assignment is engine-portable and DuckDB verifies the entire
+    search value-exactly. The query probes the 2 cells nearest the
+    query vector and exact-rescores only those members.
+
+    At 100 TB the cell id is a partition column (probing 2 of 8 cells
+    reads 25% of the data), the codebook is a broadcast literal, and
+    assignment is one narrow codegen'd pass.
+    """
+    e = parallelize(load_table(spark, "embeddings", sf_dir), spark).select(
+        "vec_id", as_double("embedding").alias("emb")
+    )
+    qz = e.withColumn(
+        "qa", F.transform("emb", lambda x: F.floor(x * 1000000).cast("long"))
+    )
+    cents = (
+        qz.filter(F.col("vec_id").between(1, _IVF_CELLS))
+        .select((F.col("vec_id") - 1).alias("cell"), F.col("qa").alias("ca"))
+        .groupBy()
+        .agg(F.sort_array(F.collect_list(F.struct("cell", "ca"))).alias("codebook"))
+    )
+    # assignment: argmin over the broadcast codebook — integer d2, ties
+    # to lowest cell, computed as an array_min over (d2, cell) structs
+    d2 = lambda ca: F.aggregate(  # noqa: E731
+        F.zip_with("qa", ca, lambda x, c: (x - c) * (x - c)),
+        F.lit(0).cast("long"),
+        lambda s, x: s + x,
+    )
+    best = F.array_min(
+        F.transform(
+            F.col("codebook"),
+            lambda cb: F.struct(
+                d2(cb["ca"]).alias("d2"), cb["cell"].alias("cell")
+            ),
+        )
+    )
+    assigned = (
+        qz.crossJoin(F.broadcast(cents))
+        .withColumn("_best", best)
+        .select("vec_id", "emb", F.col("_best.cell").alias("cell"))
+    )
+    q = assigned.filter(F.col("vec_id") == 0).select(
+        F.col("emb").alias("qvec"), F.col("cell").alias("qcell")
+    )
+    # probe cells: rank centroids by integer d2 to the query vector
+    qquant = qz.filter(F.col("vec_id") == 0).select("qa")
+    probe = (
+        cents.crossJoin(F.broadcast(qquant))
+        .select(F.explode("codebook").alias("cb"), "qa")
+        .select(
+            F.col("cb.cell").alias("cell"),
+            d2(F.col("cb.ca")).alias("d2"),
+        )
+        .orderBy(F.col("d2").asc(), F.col("cell").asc())
+        .limit(_IVF_NPROBE)
+        .select("cell")
+    )
+    cands = (
+        assigned.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(probe), "cell")
+        .crossJoin(F.broadcast(q.select("qvec")))
+    )
+    return (
+        cands.select(
+            "vec_id",
+            "cell",
+            F.round(cosine(F.col("emb"), F.col("qvec")), 6).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+        .limit(10)
+    )
