@@ -264,13 +264,8 @@ def q_sim_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # rank cells by centroid<->query cosine, keep the 2 nearest (nprobe=2)
     centroids = spark.createDataFrame(
-        [(i,) for i in range(len(model.clusterCenters()))], "cell int"
-    ).join(
-        spark.createDataFrame(
-            [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
-            "cell int, centroid array<double>",
-        ),
-        "cell",
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "cell int, centroid array<double>",
     )
     probe_cells = (
         centroids.crossJoin(F.broadcast(q.select("qvec")))

@@ -200,3 +200,21 @@ def test_near_unique_collapses_exact_dups_first(spark, tmp_path):
            all_queries()["dedup_near_unique"](spark, str(tmp_path)).collect()}
     # copies 1,2 collapsed into representative 0; only the near-dup edge remains
     assert out == {(0, 3)}
+
+
+def test_pack_sequences_layout_invariants(spark, sf_dir):
+    """Pack layout: offsets are contiguous per shard, bins hold exactly
+    512 token slots, and spans_boundary is set iff a doc crosses one."""
+    rows = all_queries()["pipeline_pack_sequences"](spark, sf_dir).collect()
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r)
+    for shard, docs in by_shard.items():
+        docs.sort(key=lambda r: r["doc_id"])
+        offset = 0
+        for r in docs:
+            assert r["start_offset"] == offset
+            assert r["pack_bin"] == r["start_offset"] // 512
+            end_bin = (r["start_offset"] + r["n_tokens"] - 1) // 512
+            assert r["spans_boundary"] == (r["pack_bin"] != end_bin)
+            offset += r["n_tokens"]
