@@ -678,21 +678,21 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # One signature per table: sign bits of integer hyperplane projections.
     def sig_for_table(t: int):
-        bits = []
+        # the whole signature is ONE parsed SQL expression: building it
+        # from per-literal Column objects (4096 lit() py4j calls + 64
+        # Python lambda conversions) cost ~8s of plan-build time per
+        # invocation; a string parse is milliseconds
+        bit_terms = []
         for j in range(_EMB_BITS):
-            weights = F.array(
-                *[F.lit(_emb_lcg(t, j, i)) for i in range(_EMB_DIMS)]
+            weights = ",".join(f"{_emb_lcg(t, j, i)}L" for i in range(_EMB_DIMS))
+            proj = (
+                f"aggregate(zip_with(q, array({weights}), (x, w) -> x * w), "
+                "0L, (acc, x) -> acc + x)"
             )
-            p = F.aggregate(
-                F.zip_with("q", weights, lambda x, w: x * w),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
-            )
-            bits.append(F.when(p > 0, F.lit(1 << j)).otherwise(F.lit(0)))
-        sig = bits[0]
-        for bexpr in bits[1:]:
-            sig = sig + bexpr
-        return F.struct(F.lit(t).alias("t"), sig.cast("long").alias("sig"))
+            bit_terms.append(f"(case when {proj} > 0 then {1 << j} else 0 end)")
+        return F.expr(
+            f"struct({t} as t, cast(" + " + ".join(bit_terms) + " as bigint) as sig)"
+        )
 
     banded = qv.select(
         "vec_id",

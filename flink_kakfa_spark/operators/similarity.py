@@ -182,7 +182,9 @@ def q_sim_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     qarr = F.transform("emb", lambda x: F.floor(x * 1000000).cast("long"))
 
     def plane_sign(p: int) -> Column:
-        weights = F.array(*[F.lit(_ann_weight(p, i)) for i in range(_ANN_DIMS)])
+        weights = F.expr(
+            "array(" + ",".join(str(_ann_weight(p, i)) + "L" for i in range(_ANN_DIMS)) + ")"
+        )
         proj = F.aggregate(
             F.zip_with(qarr, weights, lambda x, w: x * w),
             F.lit(0).cast("long"),
