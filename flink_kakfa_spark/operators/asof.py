@@ -41,48 +41,40 @@ def asof_join(
     right.time <= left.time and matching key (strictly at-or-before).
 
     Implementation: tag and union both sides, sort within key by
-    (time, right-before-left at equal times), carry right values
-    forward with last(ignorenulls), keep left rows.
+    (time, right-before-left at equal times), carry the right ROW
+    forward as one struct with last(ignorenulls), keep left rows.
 
-    Determinism under ties: multiple right rows sharing (key, time)
-    would make last() order-dependent, so the right side is first
-    collapsed to one row per (key, time) — the greatest
-    (value_cols...) tuple wins (lexicographic struct max). Fixture
-    data has no such ties; this guards real feeds that do.
+    Carrying a single struct (never null for right rows, even when
+    individual value columns are) attaches the matched right row
+    wholesale — per-column carries could blend two right rows when a
+    value column is NULL. Determinism under ties: multiple right rows
+    sharing (key, time) are disambiguated by the struct itself as the
+    final window sort key, so last() always sees the greatest
+    (value_cols...) tuple latest — no pre-aggregation, no extra
+    shuffle. Fixture data has no such ties; this guards real feeds
+    that do.
     """
     lt = left.withColumn("_side", F.lit(1))
-    rt = (
-        right.groupBy(key, time_col)
-        .agg(F.max(F.struct(*[F.col(c) for c in value_cols])).alias("_vals"))
-        .select(
-            key,
-            time_col,
-            *[F.col(f"_vals.{c}").alias(c + suffix) for c in value_cols],
-        )
-        .withColumn("_side", F.lit(0))
-    )
+    rt = right.select(
+        key,
+        time_col,
+        F.struct(*[F.col(c) for c in value_cols]).alias("_vals"),
+    ).withColumn("_side", F.lit(0))
     unioned = lt.unionByName(rt, allowMissingColumns=True)
     # right rows sort before left rows at the same timestamp so an
-    # equal-time right row IS visible to the left row (<= semantics)
+    # equal-time right row IS visible to the left row (<= semantics);
+    # the _vals key is only reached on right-vs-right (key, time) ties
     w = (
         Window.partitionBy(key)
-        .orderBy(F.col(time_col).asc(), F.col("_side").asc())
+        .orderBy(F.col(time_col).asc(), F.col("_side").asc(), F.col("_vals").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = unioned.select(
-        "*",
-        *[
-            F.last(F.col(c + suffix), ignorenulls=True).over(w).alias(c + suffix + "_c")
-            for c in value_cols
-        ],
+    carried = unioned.withColumn(
+        "_vals_c", F.last("_vals", ignorenulls=True).over(w)
     )
-    return (
-        carried.filter(F.col("_side") == 1)
-        .drop("_side", *[c + suffix for c in value_cols])
-        .select(
-            *[F.col(c) for c in left.columns],
-            *[F.col(c + suffix + "_c").alias(c + suffix) for c in value_cols],
-        )
+    return carried.filter(F.col("_side") == 1).select(
+        *[F.col(c) for c in left.columns],
+        *[F.col(f"_vals_c.{c}").alias(c + suffix) for c in value_cols],
     )
 
 
