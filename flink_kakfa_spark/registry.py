@@ -47,6 +47,9 @@ _QUERY_MODULES = [
     "flink_kakfa_spark.operators.joins",
     "flink_kakfa_spark.operators.relational",
     "flink_kakfa_spark.operators.scalar",
+    # registered last ON PURPOSE: keeps the curated first-50 window
+    # stable; these are still value-hash-verified by diffcheck.py
+    "flink_kakfa_spark.operators.decontam",
 ]
 
 _loaded = False

@@ -218,3 +218,48 @@ def test_pack_sequences_layout_invariants(spark, sf_dir):
             end_bin = (r["start_offset"] + r["n_tokens"] - 1) // 512
             assert r["spans_boundary"] == (r["pack_bin"] != end_bin)
             offset += r["n_tokens"]
+
+
+def test_decontam_flags_planted_leak(spark, tmp_path):
+    """Eval split excluded from output; leaked text scores ratio 1.0."""
+    eval_text = "alpha beta gamma delta epsilon zeta eta theta"
+    partial = "alpha beta gamma delta nine ten eleven twelve"
+    clean = "one two three four five six seven eight"
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=0, text=eval_text),   # 0 % 101 == 0 -> eval split
+            Row(doc_id=1, text=eval_text),   # verbatim benchmark leak
+            Row(doc_id=2, text=partial),     # shares exactly one 4-gram
+            Row(doc_id=3, text=clean),       # no overlap
+        ]
+    )
+    docs.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    out = {
+        r["doc_id"]: r
+        for r in all_queries()["decontam_eval_overlap"](spark, str(tmp_path)).collect()
+    }
+    assert 0 not in out                       # eval docs never scored
+    assert out[1]["contamination_ratio"] == 1.0
+    assert out[1]["n_shared"] == out[1]["n_shingles"]
+    assert out[2]["n_shared"] == 1            # only "alpha beta gamma delta"
+    assert out[3]["n_shared"] == 0 and out[3]["contamination_ratio"] == 0.0
+
+
+def test_repetition_ngrams_exact_counts_and_narrow_plan(spark, tmp_path):
+    """Known bigram stats; whole query must compile to a shuffle-free map."""
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="x y x y x y"),  # bigrams: 5 total, 2 distinct
+            Row(doc_id=2, text="a b c"),        # all distinct
+        ]
+    )
+    docs.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    df = all_queries()["text_repetition_ngrams"](spark, str(tmp_path))
+    out = {r["doc_id"]: r for r in df.collect()}
+    assert out[1]["n_bigrams"] == 5 and out[1]["n_distinct"] == 2
+    assert out[1]["max_repeat"] == 3            # "x y" occurs 3 times
+    assert abs(out[1]["dup_fraction"] - 0.6) < 1e-12
+    assert out[2]["n_bigrams"] == 2 and out[2]["max_repeat"] == 1
+    assert out[2]["dup_fraction"] == 0.0
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan               # narrow map over the scan
