@@ -164,6 +164,23 @@ def cmd_wordcount(args) -> int:
     return 0
 
 
+def cmd_topics(args) -> int:
+    """S7 topic admin: the reference's test-setup flow as a command
+    (controller discovery + CreateTopics, go/integration/
+    integration_test.go:66-91). Pure control-plane RPC — no Spark."""
+    from flink_kakfa_spark.config import load_producer_config
+    from flink_kakfa_spark.streaming import topics as t
+
+    broker = args.broker or load_producer_config(args.config).broker
+    if args.action == "ensure":
+        print(t.ensure_topic(broker, args.topic, args.partitions, args.replication_factor))
+    elif args.action == "delete":
+        print(t.delete_topic(broker, args.topic))
+    else:  # exists
+        print("true" if t.topic_exists(broker, args.topic) else "false")
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="flink_kakfa_spark")
     sub = p.add_subparsers(dest="command", required=True)
@@ -195,6 +212,15 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--window", default="10 seconds")
     sp.add_argument("--watermark", default="10 seconds")
     sp.set_defaults(fn=cmd_wordcount)
+
+    sp = sub.add_parser("topics", help="topic admin: ensure/delete/exists (S7)")
+    sp.add_argument("action", choices=["ensure", "delete", "exists"])
+    sp.add_argument("topic")
+    sp.add_argument("--broker", default=None, help="host:port (default: config/env)")
+    sp.add_argument("--config", default=None, help="JSON config file (reference schema)")
+    sp.add_argument("--partitions", type=int, default=1)
+    sp.add_argument("--replication-factor", type=int, default=1)
+    sp.set_defaults(fn=cmd_topics)
     return p
 
 
