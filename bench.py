@@ -45,6 +45,8 @@ HEADLINE = [
     "dedup_minhash_portable",   # MinHash-LSH banding (the 100 TB near-dup path)
     "sql_cte_top_nations",      # SQL surface: CTE + join + agg + rank
     "mm_decode_frames",         # multimodal mapInPandas (Arrow batch path)
+    "decontam_eval_overlap",    # benchmark decontamination (broadcast shingle join)
+    "text_repetition_ngrams",   # repetition stats: shuffle-free HOF narrow map
 ]
 
 

@@ -26,6 +26,7 @@ ALLOWED_QUADRATIC = {
     "join_cross_region_nation",  # explicit tiny cross join
     "sim_cosine_topk", "sim_euclidean_topk", "sim_cosine_topk_pandas",
     "sim_lsh_ann_topk", "sim_ivf_kmeans_topk",  # 1-row broadcast query vector
+    "sim_ivf_portable_topk",  # 1-row codebook + 1-row query vector broadcasts
     "sql_having_scalar_subquery",  # scalar subquery joins as 1-row BNLJ
     "sample_seeded",               # 1-row x 1-row aggregate spine crossJoin
     "text_tfidf_top20",            # 1-row corpus-size broadcast cross join
