@@ -27,7 +27,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from flink_kakfa_spark.registry import query
-from flink_kakfa_spark.sources.tables import load_table
+from flink_kakfa_spark.sources.tables import load_table, parallelize
 
 EVAL_MOD = 101  # doc_id % EVAL_MOD == 0 -> held-out "benchmark" split
 DECONTAM_K = 4  # words per decontamination shingle
@@ -97,7 +97,7 @@ def q_decontam_eval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     training-side inverted index streams past them map-side; the only
     shuffle is the per-doc count aggregate.
     """
-    d = load_table(spark, "documents", sf_dir)
+    d = parallelize(load_table(spark, "documents", sf_dir), spark)
     is_eval = (F.col("doc_id") % EVAL_MOD) == 0
     ev = (
         _shingles4(d.filter(is_eval))
@@ -176,10 +176,13 @@ def q_text_repetition_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Every statistic comes from higher-order functions over the token
     array of the row itself — the whole query is a narrow map over the
-    scan (zero exchanges; verify with .explain()). The oracle computes
-    the same numbers the relational way (explode + two aggregates).
+    scan: no wide (hash) exchange anywhere, verify with .explain().
+    The only exchange is parallelize()'s round-robin split of the
+    single-row-group fixture file, a no-op at lake scale where inputs
+    arrive in many splits. The oracle computes the same numbers the
+    relational way (explode + two aggregates).
     """
-    d = load_table(spark, "documents", sf_dir)
+    d = parallelize(load_table(spark, "documents", sf_dir), spark)
     t = F.split(F.col("text"), " ")
     bigrams = F.transform(
         F.sequence(F.lit(1), F.size(t) - 1),

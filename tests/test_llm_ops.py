@@ -262,4 +262,7 @@ def test_repetition_ngrams_exact_counts_and_narrow_plan(spark, tmp_path):
     assert out[2]["n_bigrams"] == 2 and out[2]["max_repeat"] == 1
     assert out[2]["dup_fraction"] == 0.0
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "Exchange" not in plan               # narrow map over the scan
+    # narrow map over the scan: no wide exchange (the only allowed one
+    # is parallelize()'s fixture-oriented round-robin repartition)
+    assert "hashpartitioning" not in plan
+    assert "rangepartitioning" not in plan
