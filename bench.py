@@ -34,7 +34,11 @@ HEADLINE = [
     "q3_shipping_priority",     # 3-way join + top-k
     "join_range_event_pairs",   # range join
     "window_topk_orders",       # analytic window
-    "dedup_ngram_jaccard",      # shingle-join near-dup
+    # NOTE: unguarded dedup_ngram_jaccard is deliberately NOT here — it
+    # is quadratic per duplicate group (28x wall-time on a dup-heavy 10x
+    # corpus, SCALE.md) and stays registered as a correctness diagnostic
+    # only; the production near-dup paths below are the guarded shingle
+    # join, exact-collapse-first, and MinHash banding variants.
     "sim_cosine_topk",          # vector similarity
     "text_quality_score",       # HOF text analysis
     "scalar_json_extract",      # JSON extraction
@@ -62,10 +66,17 @@ def main() -> None:
         return time.time() - t0
 
     # one warmup pass per query: amortizes JVM startup, codegen compile,
-    # and file-index listing — the timed passes measure execution
+    # and file-index listing — the timed passes measure execution.
+    # Convention (pinned in BASELINE.md): best of SPARK_GRAFT_BENCH_PASSES
+    # timed passes, default 2 — filters this host's sporadic multi-second
+    # stalls; set to 1 for the first-run convention.
+    passes = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2")))
     for name in HEADLINE:
         run(name)
-    timings = {name: round(min(run(name), run(name)), 3) for name in HEADLINE}
+    timings = {
+        name: round(min(run(name) for _ in range(passes)), 3)
+        for name in HEADLINE
+    }
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

@@ -172,6 +172,13 @@ def cmd_topics(args) -> int:
     from flink_kakfa_spark.streaming import topics as t
 
     broker = args.broker or load_producer_config(args.config).broker
+    if not broker or ":" not in broker or not broker.rsplit(":", 1)[1].isdigit():
+        print(
+            f"error: no valid broker (need host:port, got {broker!r}); "
+            "pass --broker or set one in the config file",
+            file=sys.stderr,
+        )
+        return 2
     if args.action == "ensure":
         print(t.ensure_topic(broker, args.topic, args.partitions, args.replication_factor))
     elif args.action == "delete":

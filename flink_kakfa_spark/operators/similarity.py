@@ -412,12 +412,37 @@ def q_sim_ivf_portable_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     query vector and exact-rescores only those members.
 
     At 100 TB the cell id is a partition column (probing 2 of 8 cells
-    reads 25% of the data — tests/test_io.py proves the pruned scan),
-    the codebook is a broadcast literal, and assignment is one narrow
-    codegen'd pass.
+    reads 25% of the data), the codebook is a broadcast literal, and
+    assignment is one narrow codegen'd pass.
     """
-    qz, cents = _ivf_portable_parts(spark, sf_dir)
-    assigned = _ivf_portable_assign(qz, cents)
+    e = parallelize(load_table(spark, "embeddings", sf_dir), spark).select(
+        "vec_id", as_double("embedding").alias("emb")
+    )
+    qz = e.withColumn(
+        "qa", F.transform("emb", lambda x: F.floor(x * 1000000).cast("long"))
+    )
+    cents = (
+        qz.filter(F.col("vec_id").between(1, _IVF_CELLS))
+        .select((F.col("vec_id") - 1).alias("cell"), F.col("qa").alias("ca"))
+        .groupBy()
+        .agg(F.sort_array(F.collect_list(F.struct("cell", "ca"))).alias("codebook"))
+    )
+    # assignment: argmin over the broadcast codebook — integer d2, ties
+    # to lowest cell, computed as an array_min over (d2, cell) structs
+    d2 = lambda ca: F.aggregate(  # noqa: E731
+        F.zip_with("qa", ca, lambda x, c: (x - c) * (x - c)),
+        F.lit(0).cast("long"),
+        lambda s, x: s + x,
+    )
+    best = F.array_min(
+        F.transform(
+            F.col("codebook"),
+            lambda cb: F.struct(
+                d2(cb["ca"]).alias("d2"), cb["cell"].alias("cell")
+            ),
+        )
+    )
+    assigned = (
         qz.crossJoin(F.broadcast(cents))
         .withColumn("_best", best)
         .select("vec_id", "emb", F.col("_best.cell").alias("cell"))

@@ -121,6 +121,10 @@ def _rpc(
     with socket.create_connection(addr, timeout=timeout_s) as sock:
         sock.sendall(_enc_request(api_key, api_version, correlation_id, body))
         (size,) = struct.unpack(">i", _recv_exact(sock, 4))
+        # bound the frame before allocating: a corrupt/hostile broker can
+        # send a negative or multi-GB size (control-plane responses are KB)
+        if not 4 <= size <= 16 * 1024 * 1024:
+            raise TopicAdminError(f"implausible response frame size: {size}")
         rd = _Reader(_recv_exact(sock, size))
     if rd.i32() != correlation_id:
         raise TopicAdminError("correlation id mismatch")
