@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from flink_kakfa_spark.registry import query
-from flink_kakfa_spark.sources.tables import load_table, parallelize
+from flink_kakfa_spark.sources.tables import load_table
 
 
 def asof_join(
@@ -106,7 +106,12 @@ def q_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     Oracle is DuckDB's native ASOF JOIN — an independent engine's
     implementation of the same semantics.
     """
-    e = parallelize(load_table(spark, "events", sf_dir), spark)
+    # no parallelize() here: the very next operator is the window's hash
+    # shuffle, which already redistributes across all cores — a
+    # round-robin repartition before a shuffle is pure overhead
+    # (measured at sf0.1: 1.2-6.0 s with, 0.6-0.9 s without), and
+    # removing it leaves the plan with exactly ONE exchange
+    e = load_table(spark, "events", sf_dir)
     purchases = e.filter(F.col("event_type") == "purchase").select(
         "user_id", "ts", "value"
     )

@@ -74,12 +74,28 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
 
 def load_all() -> None:
-    """Import every operator module so its @query decorators run."""
+    """Import every operator module so its @query decorators run.
+
+    Registration order is load-bearing (the driver verifies the first
+    50 names), so after importing, QUERIES is reordered to canonical
+    ``_QUERY_MODULES`` order. Without this, any direct import of an
+    operator module before ``load_all()`` (e.g. a test module imported
+    during pytest collection) would push that module's queries to the
+    front of the dict.
+    """
     global _loaded
     if _loaded:
         return
     for mod in _QUERY_MODULES:
         importlib.import_module(mod)
+    rank = {mod: i for i, mod in enumerate(_QUERY_MODULES)}
+    ordered = sorted(
+        enumerate(QUERIES.items()),
+        key=lambda e: (rank.get(e[1][1].__module__, len(rank)), e[0]),
+    )
+    reordered = {name: fn for _, (name, fn) in ordered}
+    QUERIES.clear()
+    QUERIES.update(reordered)
     _loaded = True
 
 

@@ -51,6 +51,99 @@ def running_word_totals(messages: DataFrame) -> DataFrame:
     )
 
 
+def expiring_word_sessions(
+    messages: DataFrame, gap: str = "60 seconds", watermark: str = "10 seconds"
+) -> DataFrame:
+    """Per-word session counts with state EXPIRY: a word's state lives
+    only while events keep arriving within ``gap`` of each other; once
+    the event-time watermark passes last_seen + gap, the state times
+    out, the finished session is emitted, and the state is REMOVED.
+
+    This is the eviction half of 'arbitrary stateful' that
+    ``running_word_totals`` (NoTimeout, grow-forever) deliberately
+    lacks: at 100 TB/day a keyed state store without TTL grows without
+    bound, so production stateful operators must prove their state
+    dies. Expiry is driven by ``GroupStateTimeout.EventTimeTimeout`` +
+    ``setTimeoutTimestamp``, so it is deterministic under replay
+    (watermark-driven, not wall-clock) and survives checkpoint
+    recovery. A word reappearing after expiry starts a fresh session
+    from zero — proving the old state is gone, not merely hidden.
+
+    Emits only CLOSED sessions: (word, n, first_ts, last_ts).
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    words = (
+        messages.select(
+            F.explode(F.split(F.col("value"), " ")).alias("word"), "ts"
+        )
+        .filter(F.col("word") != "")
+        .withWatermark("ts", watermark)
+    )
+    gap_ms = int(
+        {"second": 1000, "seconds": 1000, "minute": 60000, "minutes": 60000}[
+            gap.split()[1]
+        ]
+        * float(gap.split()[0])
+    )
+
+    # closure (not module-level) so cloudpickle ships it by value and
+    # workers never need this package importable — see multimodal.py
+    def update_session(key, pdfs, state):
+        import pandas as pd
+
+        if state.hasTimedOut:
+            n, first_ms, last_ms = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "word": [key[0]],
+                    "n": [n],
+                    "first_ts": [pd.Timestamp(first_ms, unit="ms")],
+                    "last_ts": [pd.Timestamp(last_ms, unit="ms")],
+                }
+            )
+            return
+        # a key with fresh input never takes the timeout path (input
+        # preempts it), so gap-splits must also be detected here: walk
+        # the batch's events in time order and close the open session
+        # whenever the next event starts more than `gap` after it ended
+        closed = []
+        n, first_ms, last_ms = state.get if state.exists else (0, None, None)
+        ts_ms = sorted(
+            int(t.timestamp() * 1000)
+            for pdf in pdfs
+            if len(pdf)
+            for t in pdf["ts"]
+        )
+        for t in ts_ms:
+            if last_ms is not None and t > last_ms + gap_ms:
+                closed.append((n, first_ms, last_ms))
+                n, first_ms = 0, None
+            n += 1
+            first_ms = t if first_ms is None else min(first_ms, t)
+            last_ms = t if last_ms is None else max(last_ms, t)
+        state.update((n, first_ms, last_ms))
+        # idle expiry: state dies when the watermark passes last + gap
+        state.setTimeoutTimestamp(last_ms + gap_ms)
+        yield pd.DataFrame(
+            {
+                "word": [key[0]] * len(closed),
+                "n": [c[0] for c in closed],
+                "first_ts": [pd.Timestamp(c[1], unit="ms") for c in closed],
+                "last_ts": [pd.Timestamp(c[2], unit="ms") for c in closed],
+            }
+        )
+
+    return words.groupBy("word").applyInPandasWithState(
+        update_session,
+        outputStructType="word string, n long, first_ts timestamp, last_ts timestamp",
+        stateStructType="n long, first_ms long, last_ms long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
 def tws_available() -> bool:
     """transformWithStateInPandas needs protobuf for its state-server
     protocol; absent in this environment (no installs allowed)."""

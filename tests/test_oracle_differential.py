@@ -1,0 +1,53 @@
+"""Opt-in full oracle differential as pytest (``pytest -m oracle``).
+
+Wraps tools/diffcheck.py — the same row-count + schema + value-hash
+comparison the external driver runs — as one parametrized test per
+registered query, so the self-check runs in CI shape instead of
+ad-hoc. Deselected by default (``-m "not oracle"`` is the configured
+default addopts) because the full sweep takes minutes; the driver and
+tools/diffcheck.py remain the canonical invocations.
+
+Uses sf0.01 (the driver's correctness scale) rather than the sf0.001
+unit-test fixture: several oracle-agreement traps (decimal sums, float
+tolerance accumulation) only surface with enough rows.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from flink_kakfa_spark import registry
+
+registry.load_all()
+
+ORACLE_SF_DIR = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def oracle_spark():
+    from flink_kakfa_spark.session import get_spark
+
+    s = get_spark("oracle-diff", shuffle_partitions=8)
+    yield s
+
+
+@pytest.fixture(scope="module")
+def duck(oracle_spark):
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from tools.diffcheck import duck_con
+
+    return duck_con(ORACLE_SF_DIR)
+
+
+@pytest.mark.oracle
+@pytest.mark.parametrize("name", sorted(registry.QUERIES))
+def test_query_matches_oracle(name, oracle_spark, duck):
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from tools.diffcheck import compare
+
+    ok, msg = compare(name, oracle_spark, duck, ORACLE_SF_DIR)
+    assert ok, f"{name}: {msg}"

@@ -261,6 +261,55 @@ def test_stateful_totals_accumulate_across_batches(spark, tmp_path):
     assert totals == {"hello": 2, "world": 1, "again": 1}
 
 
+def test_stateful_session_state_expires_and_resets(spark, tmp_path):
+    """T7 eviction: EventTimeTimeout closes an idle word's session,
+    REMOVES its state, and a later reappearance restarts from zero.
+
+    Batch timeline (gap=60s, watermark delay=10s):
+      b0  hello@00:00:01           -> session opens, timeout armed @00:01:01
+      b1  filler@00:10:00          -> advances watermark to 00:09:50
+      b2  hello@00:20:00           -> b1's watermark (00:09:50) > 00:01:01
+                                      so the OLD hello session times out
+                                      (emitted with n=1) and the new
+                                      hello event opens a FRESH session
+      b3  filler2@00:40:00         -> watermark 00:29:50 passes
+                                      00:21:00, closing session #2 and
+                                      (next batch...) filler's too
+    Only CLOSED sessions are emitted, so two hello rows with n=1 each —
+    not one row with n=2 — prove the state was removed, not carried.
+    """
+    import time
+
+    from flink_kakfa_spark.streaming.stateful import expiring_word_sessions
+
+    batches = [
+        ("b0", "hello", "2024-01-01 00:00:01"),
+        ("b1", "filler", "2024-01-01 00:10:00"),
+        ("b2", "hello", "2024-01-01 00:20:00"),
+        ("b3", "filler2", "2024-01-01 00:40:00"),
+    ]
+    for sub, value, ts in batches:
+        _write_messages(spark, str(tmp_path), [Row(key="k", value=value, ts=ts)], sub)
+        time.sleep(1.1)  # distinct mtimes keep file-source batch order
+    stream = _stream_from(spark, str(tmp_path))
+    name = f"exp_{uuid.uuid4().hex[:8]}"
+    _run_to_memory(
+        expiring_word_sessions(stream, gap="60 seconds", watermark="10 seconds"),
+        name,
+        "update",
+    )
+    rows = spark.sql(
+        f"SELECT word, n, first_ts, last_ts FROM {name} ORDER BY last_ts"
+    ).collect()
+    hello = [(r["word"], r["n"], str(r["last_ts"])) for r in rows if r["word"] == "hello"]
+    # two separate closed hello sessions of n=1: expiry really removed
+    # the first session's state before the second began
+    assert hello == [
+        ("hello", 1, "2024-01-01 00:00:01"),
+        ("hello", 1, "2024-01-01 00:20:00"),
+    ], rows
+
+
 def test_transform_with_state_totals_match_legacy_api(spark, tmp_path):
     """T7 (modern API): transformWithStateInPandas keeps the same
     cross-batch totals as the applyInPandasWithState implementation.
@@ -293,6 +342,58 @@ def test_transform_with_state_totals_match_legacy_api(spark, tmp_path):
     ).collect()
     totals = {r["word"]: r["total"] for r in rows}
     assert totals == {"hello": 2, "world": 1, "again": 1}
+
+
+def test_consumer_lag_from_kafka_shaped_progress(spark):
+    """Offset observability: a Kafka-shaped lastProgress blob flattens
+    to per-topic-partition rows with lag = latest - end (the
+    kafka-consumer-groups --describe twin over checkpointed offsets)."""
+    from flink_kakfa_spark.streaming.progress import progress_rows
+
+    progress = {
+        "id": "q-1",
+        "batchId": 7,
+        "sources": [
+            {
+                "description": "KafkaV2[Subscribe[messages]]",
+                "startOffset": {"messages": {"0": 100, "1": 40}},
+                "endOffset": {"messages": {"0": 150, "1": 90}},
+                "latestOffset": {"messages": {"0": 160, "1": 90}},
+                "numInputRows": 100,
+                "processedRowsPerSecond": 50.0,
+            }
+        ],
+    }
+    rows = {(r["topic"], r["partition"]): r for r in progress_rows(progress)}
+    assert rows[("messages", 0)]["lag"] == 10
+    assert rows[("messages", 0)]["start_offset"] == 100
+    assert rows[("messages", 1)]["lag"] == 0
+    assert rows[("messages", 1)]["end_offset"] == 90
+
+
+def test_consumer_lag_on_live_file_source_query(spark, tmp_path, msg_rows):
+    """consumer_lag/lag_history work against a real (file-source) query:
+    non-Kafka offsets collapse to one pseudo-partition, rows land in the
+    documented schema."""
+    from flink_kakfa_spark.streaming.progress import consumer_lag, lag_history
+    from flink_kakfa_spark.streaming.wordcount import streaming_word_counts
+
+    _write_messages(spark, str(tmp_path), msg_rows)
+    name = f"lag_{uuid.uuid4().hex[:8]}"
+    q = (
+        streaming_word_counts(_stream_from(spark, str(tmp_path)))
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    lag_df = consumer_lag(spark, q)
+    assert lag_df.columns[0] == "query_id"
+    hist = lag_history(spark, q).collect()
+    assert len(hist) >= 1
+    assert all(r["batch_id"] >= 0 for r in hist)
 
 
 def test_foreach_batch_sink(spark, tmp_path):
