@@ -1,0 +1,318 @@
+"""Corpus-composition operators: source/domain-level hygiene and data
+mixing for LLM training pipelines.
+
+Web-scale training corpora are curated per SOURCE (domain, crawl,
+dataset shard), not only per document: C4 drops whole domains,
+GPT-3/The-Pile re-weight datasets by quality ("mixture weights"), and
+every production pipeline reports per-source health dashboards. These
+operators provide that layer over the ``documents`` table's ``source``
+column, plus the embedding-space diagnostic (label-centroid purity)
+used to sanity-check learned representations.
+
+The reference has no analogue — its corpus surface is produce/consume
+of generated sentences (go/producer/producer.go:119-131); this module
+is part of the training-data mandate (dedup / text-analysis family).
+
+Scale notes (100 TB):
+- Everything aggregates to O(#sources) or O(#labels) rows (tens to
+  thousands), so every join back to the corpus broadcasts the small
+  side. The corpus is scanned once per query; no shuffle ever carries
+  document text (only 16-byte digests and per-source counters).
+- Mixture math routes double sums through DECIMAL so any partitioning
+  of the sum yields identical bits (decimal addition is associative);
+  sqrt (exact per IEEE-754, unlike pow/log) is the temperature knob.
+- Temperature sampling keys on a portable md5-derived uniform, so the
+  sampled SET is deterministic across engines, partitionings, and
+  retries — a replayed 100 TB sampling job re-selects byte-identical
+  training data (critical for reproducible training runs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from flink_kakfa_spark.registry import query
+from flink_kakfa_spark.sources.tables import load_table
+
+# Temperature-0.5 mixture: weight ∝ count^0.5 via sqrt (bit-exact in
+# both engines; pow() drifts by ulps between libm implementations).
+SAMPLE_BUDGET_FRACTION = 0.5  # target corpus size after mixing
+
+
+def _portable_uniform(col):
+    """Deterministic uniform in [0,1) from md5's first 8 hex chars —
+    identical bits in Spark and DuckDB (see dedup/minhash portable)."""
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast(
+        "double"
+    ) / F.lit(4294967296.0)
+
+
+_SQL_UNIFORM = """
+      CAST((
+        (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 268435456.0 +
+        (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 16777216.0 +
+        (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 1048576.0 +
+        (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1) * 65536.0 +
+        (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 5, 1)) - 1) * 4096.0 +
+        (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 6, 1)) - 1) * 256.0 +
+        (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 7, 1)) - 1) * 16.0 +
+        (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 8, 1)) - 1)
+      ) / 4294967296.0 AS DOUBLE)
+"""
+
+# Shared mixture-rate CTE (DuckDB): per-source sqrt-count weights and
+# the resulting per-source keep rate. Decimal sums keep the weight
+# denominator associative; doubles only at the final division.
+_SQL_RATES = """
+    counts AS (
+      SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+    ),
+    rates AS (
+      SELECT
+        source,
+        n_docs,
+        CAST(CAST(sqrt(CAST(n_docs AS DOUBLE)) AS DECIMAL(28,12)) AS DOUBLE)
+          / CAST(SUM(CAST(sqrt(CAST(n_docs AS DOUBLE)) AS DECIMAL(28,12))) OVER () AS DOUBLE)
+          AS weight,
+        LEAST(
+          1.0,
+          (CAST(CAST(sqrt(CAST(n_docs AS DOUBLE)) AS DECIMAL(28,12)) AS DOUBLE)
+           / CAST(SUM(CAST(sqrt(CAST(n_docs AS DOUBLE)) AS DECIMAL(28,12))) OVER () AS DOUBLE))
+          * (SUM(n_docs) OVER () * {budget}) / n_docs
+        ) AS sample_rate
+      FROM counts
+    )
+""".format(budget=SAMPLE_BUDGET_FRACTION)
+
+
+def _mixture_rates(d: DataFrame) -> DataFrame:
+    """source -> (n_docs, weight, sample_rate) under temperature-0.5.
+
+    weight_s = sqrt(n_s) / Σ sqrt(n); rate_s = min(1, weight_s · B / n_s)
+    where B = total · SAMPLE_BUDGET_FRACTION. The Σ and B run over a
+    decimal cast so the (tiny) window sums are order-insensitive; no
+    driver action — total comes from the same O(#sources) relation.
+    The window-over-all is a single-partition exchange of that tiny
+    relation, never of the corpus.
+    """
+    sqrt_dec = F.sqrt(F.col("n_docs").cast("double")).cast("decimal(28,12)")
+    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    w = Window.partitionBy()
+    weight = sqrt_dec.cast("double") / F.sum(sqrt_dec).over(w).cast("double")
+    budget = F.sum("n_docs").over(w) * F.lit(SAMPLE_BUDGET_FRACTION)
+    return counts.select(
+        "source",
+        "n_docs",
+        weight.alias("weight"),
+        F.least(F.lit(1.0), weight * budget / F.col("n_docs")).alias("sample_rate"),
+    )
+
+
+@query(
+    "corpus_source_stats",
+    oracle="""
+    SELECT
+      source,
+      COUNT(*) AS n_docs,
+      COUNT(DISTINCT md5(text)) AS n_uniq_texts,
+      1.0 - CAST(COUNT(DISTINCT md5(text)) AS DOUBLE) / COUNT(*) AS dup_rate,
+      COUNT(DISTINCT lang) AS n_langs,
+      CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
+    FROM documents
+    GROUP BY source
+    """,
+)
+def q_corpus_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus health dashboard: volume, exact-dup rate,
+    language spread, mean document length.
+
+    The first report any corpus curation run produces (per domain in
+    C4, per dataset in The Pile). Distinct-text counting shuffles the
+    16-byte md5 digest, never the document text — at 100 TB the
+    shuffle is ~0.02% of corpus bytes. avg is exact-integer-sum / count
+    (deterministic bits at any parallelism).
+    """
+    d = load_table(spark, "documents", sf_dir)
+    n = F.count(F.lit(1))
+    uniq = F.countDistinct(F.md5("text"))
+    return d.groupBy("source").agg(
+        n.alias("n_docs"),
+        uniq.alias("n_uniq_texts"),
+        (F.lit(1.0) - uniq.cast("double") / n).alias("dup_rate"),
+        F.countDistinct("lang").alias("n_langs"),
+        (F.sum("n_chars").cast("double") / n).alias("avg_chars"),
+    )
+
+
+@query(
+    "corpus_mixture_weights",
+    oracle="WITH " + _SQL_RATES + " SELECT source, n_docs, weight, sample_rate FROM rates",
+)
+def q_corpus_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixing weights: temperature-0.5 source re-weighting.
+
+    GPT-3-style mixture: sampling probability ∝ n^T flattens the head
+    (huge crawls) and boosts the tail (small curated sets). Emits the
+    per-source weight and the concrete per-document keep rate for a
+    SAMPLE_BUDGET_FRACTION-sized output corpus; rates >= 1 mean the
+    source is taken whole (budget re-flows to capped sources is left
+    to the sampler's caller, as in the published recipes).
+    """
+    return _mixture_rates(load_table(spark, "documents", sf_dir))
+
+
+@query(
+    "corpus_temperature_sample",
+    oracle="WITH "
+    + _SQL_RATES
+    + f"""
+    SELECT d.doc_id, d.source, d.lang, d.n_chars
+    FROM documents d JOIN rates r ON d.source = r.source
+    WHERE {_SQL_UNIFORM} < r.sample_rate
+    """,
+)
+def q_corpus_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the mixture: deterministic per-source temperature sampling.
+
+    Each document draws a portable uniform from md5(doc_id) and is kept
+    iff u < its source's rate — so the sampled set is a pure function
+    of the data, reproducible across engines, retries, and cluster
+    re-partitioning (a re-run of a 100 TB mixing job emits the same
+    training corpus, which is what makes training runs auditable).
+    The rates relation is O(#sources) and broadcasts; the corpus scan
+    stays narrow (one md5 + one comparison per row).
+    """
+    d = load_table(spark, "documents", sf_dir)
+    rates = _mixture_rates(d).select("source", "sample_rate")
+    return (
+        d.join(F.broadcast(rates), "source")
+        .filter(_portable_uniform(F.col("doc_id")) < F.col("sample_rate"))
+        .select("doc_id", "source", "lang", "n_chars")
+    )
+
+
+@query(
+    "corpus_domain_filter",
+    oracle="""
+    WITH src AS (
+      SELECT source, CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS src_avg_chars
+      FROM documents GROUP BY source
+    ),
+    thresh AS (
+      SELECT CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS corpus_avg FROM documents
+    )
+    SELECT d.doc_id, d.source, s.src_avg_chars
+    FROM documents d
+    JOIN src s ON d.source = s.source, thresh t
+    WHERE s.src_avg_chars >= t.corpus_avg
+    """,
+)
+def q_corpus_domain_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style domain filtering: keep documents from sources whose
+    aggregate signal clears a corpus-level threshold.
+
+    The two-level pattern — per-source aggregate, corpus-global
+    threshold, semi-join back — is how domain blocklists are actually
+    computed (not hand-written): both the per-source relation and the
+    1-row threshold broadcast, so the corpus is scanned once and never
+    shuffled. Signal here is mean document length (the fixture's
+    quality proxy); in production the same plan carries any per-source
+    score. All arithmetic is exact-integer-sum / count, so the
+    threshold comparison is deterministic to the bit.
+    """
+    d = load_table(spark, "documents", sf_dir)
+    src = d.groupBy("source").agg(
+        (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("src_avg_chars")
+    )
+    thresh = d.agg(
+        (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("corpus_avg")
+    )
+    return (
+        d.join(F.broadcast(src), "source")
+        .join(F.broadcast(thresh))
+        .filter(F.col("src_avg_chars") >= F.col("corpus_avg"))
+        .select("doc_id", "source", "src_avg_chars")
+    )
+
+
+@query(
+    "emb_centroid_purity",
+    oracle="""
+    WITH comp AS (
+      SELECT vec_id, label, g.pos, embedding[g.pos] AS val
+      FROM embeddings,
+           UNNEST(generate_series(1, len(embedding))) AS g(pos)
+    ),
+    cent AS (
+      SELECT label AS c_label, pos,
+             CAST(SUM(CAST(val AS DECIMAL(20,10))) AS DOUBLE) / COUNT(*) AS c_val
+      FROM comp GROUP BY label, pos
+    ),
+    dist AS (
+      SELECT comp.vec_id, comp.label, cent.c_label,
+             SUM(CAST(
+               (CAST(comp.val AS DOUBLE) - cent.c_val)
+               * (CAST(comp.val AS DOUBLE) - cent.c_val)
+             AS DECIMAL(38,18))) AS d2
+      FROM comp JOIN cent ON comp.pos = cent.pos
+      GROUP BY comp.vec_id, comp.label, cent.c_label
+    ),
+    nearest AS (
+      SELECT vec_id, label, c_label,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, c_label) AS rn
+      FROM dist
+    )
+    SELECT
+      label,
+      COUNT(*) AS n_vecs,
+      SUM(CASE WHEN c_label = label THEN 1 ELSE 0 END) AS n_pure,
+      CAST(SUM(CASE WHEN c_label = label THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+        AS purity
+    FROM nearest WHERE rn = 1
+    GROUP BY label
+    """,
+)
+def q_emb_centroid_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space diagnostic: label-centroid purity.
+
+    Computes each label's centroid (per-dimension mean through DECIMAL
+    sums, so centroids are bit-identical at any partitioning), assigns
+    every vector to its nearest centroid by squared L2, and reports per
+    label how many of its vectors come home — the standard quick check
+    that an embedding column is healthy before spending GPU time on it.
+
+    Scale shape: centroids are O(#labels × dim) — KBs — computed with
+    one aggregation and broadcast; the assignment pass is a narrow map
+    over vectors (explode to components only inside the aggregation,
+    never shuffled raw). The vec_id row_number window partitions by
+    vector, i.e. the shuffle carries #labels rows per vector of 3
+    columns, not the embeddings themselves.
+    """
+    e = load_table(spark, "embeddings", sf_dir)
+    comp = e.select(
+        "vec_id", "label", F.posexplode("embedding").alias("pos0", "val")
+    ).select("vec_id", "label", (F.col("pos0") + 1).alias("pos"), "val")
+    cent = comp.groupBy(F.col("label").alias("c_label"), "pos").agg(
+        (F.sum(F.col("val").cast("decimal(20,10)")).cast("double") / F.count(F.lit(1))).alias(
+            "c_val"
+        )
+    )
+    # d2 through DECIMAL: the 64-term sum becomes associative, so the
+    # nearest-centroid argmin is bit-deterministic at any partitioning
+    # (and identical in the oracle engine — no float-tie flakiness)
+    diff = F.col("val").cast("double") - F.col("c_val")
+    dist = (
+        comp.join(F.broadcast(cent), "pos")
+        .groupBy("vec_id", "label", "c_label")
+        .agg(F.sum((diff * diff).cast("decimal(38,18)")).alias("d2"))
+    )
+    w = Window.partitionBy("vec_id").orderBy("d2", "c_label")
+    nearest = dist.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    pure = F.sum(F.when(F.col("c_label") == F.col("label"), 1).otherwise(0))
+    n = F.count(F.lit(1))
+    return nearest.groupBy("label").agg(
+        n.alias("n_vecs"),
+        pure.alias("n_pure"),
+        (pure.cast("double") / n).alias("purity"),
+    )

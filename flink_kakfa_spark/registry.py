@@ -50,6 +50,7 @@ _QUERY_MODULES = [
     # registered last ON PURPOSE: keeps the curated first-50 window
     # stable; these are still value-hash-verified by diffcheck.py
     "flink_kakfa_spark.operators.decontam",
+    "flink_kakfa_spark.operators.corpus",
 ]
 
 _loaded = False

@@ -30,6 +30,7 @@ ALLOWED_QUADRATIC = {
     "sql_having_scalar_subquery",  # scalar subquery joins as 1-row BNLJ
     "sample_seeded",               # 1-row x 1-row aggregate spine crossJoin
     "text_tfidf_top20",            # 1-row corpus-size broadcast cross join
+    "corpus_domain_filter",        # 1-row corpus-avg threshold broadcast cross join
     "ts_resample_gapfill", "ts_gapfill_locf",  # bucket-spine × dims (tiny, broadcast)
 }
 ALLOWED_PYTHON = {
