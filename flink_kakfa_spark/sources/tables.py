@@ -26,12 +26,16 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame:
     """Read one fixture table as a DataFrame.
 
-    ``events.ts`` is TIMESTAMP(NANOS) in Parquet, which Spark's vectorized
-    reader rejects outright; we read nanos as raw int64 and truncate to
-    microsecond timestamps — exactly what DuckDB's µs-native reader does,
-    so oracle comparisons agree.
+    ``events.ts`` has varied across fixture generations: TIMESTAMP(NANOS)
+    (which Spark's vectorized reader rejects — read nanos as raw int64 and
+    truncate to microseconds, matching DuckDB's µs-native reader) vs plain
+    timestamp[us] (read as-is). Adapt on the observed schema so both
+    generations — and any future lake layout — hash identically vs the
+    oracle. All downstream queries see ``ts`` as session-tz TIMESTAMP
+    (session tz pinned to UTC below, so values equal DuckDB's naive µs).
     """
     from pyspark.sql import functions as F
+    from pyspark.sql import types as T
 
     # Defensive: queries may run under a driver-owned session that didn't
     # go through get_spark(); timestamp value-hashes vs the DuckDB oracle
@@ -42,8 +46,17 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{d}/{name}.parquet")
-        # integer division: ns ≈ 1.7e18 overflows double precision, so no `/`
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, T.LongType):
+            # nanos-as-long generation. Integer division: ns ≈ 1.7e18
+            # overflows double precision, so no `/`.
+            return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if not isinstance(ts_type, T.TimestampType):
+            # timestamp[us] without tz reads as TIMESTAMP_NTZ; normalize to
+            # session-tz TIMESTAMP so window()/unix_timestamp() behave the
+            # same across fixture generations (UTC session ⇒ same instants).
+            return df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(f"{d}/{name}.parquet")
 
 
