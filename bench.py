@@ -69,14 +69,19 @@ def main() -> None:
     # and file-index listing — the timed passes measure execution.
     # Convention (pinned in BASELINE.md): best of SPARK_GRAFT_BENCH_PASSES
     # timed passes, default 2 — filters this host's sporadic multi-second
-    # stalls; set to 1 for the first-run convention.
+    # stalls; set to 1 for the first-run convention. Passes iterate the
+    # WHOLE suite, not per-query back-to-back: observed stalls last
+    # ~10 s, long enough to poison two consecutive runs of one query,
+    # so the suite loop puts the full suite's runtime between a query's
+    # samples and decorrelates them from any single stall window.
     passes = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2")))
     for name in HEADLINE:
         run(name)
-    timings = {
-        name: round(min(run(name) for _ in range(passes)), 3)
-        for name in HEADLINE
-    }
+    samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    for _ in range(passes):
+        for name in HEADLINE:
+            samples[name].append(run(name))
+    timings = {name: round(min(ts), 3) for name, ts in samples.items()}
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

@@ -51,6 +51,7 @@ _QUERY_MODULES = [
     # stable; these are still value-hash-verified by diffcheck.py
     "flink_kakfa_spark.operators.decontam",
     "flink_kakfa_spark.operators.corpus",
+    "flink_kakfa_spark.operators.pii",
 ]
 
 _loaded = False
