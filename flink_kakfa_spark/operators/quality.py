@@ -1,0 +1,177 @@
+"""Corpus quality filtering (Tier C, SURVEY.md §2.9 E4 extension).
+
+Rule-based document quality gates in the style of the published Gopher
+heuristics (Rae et al. 2021, "Scaling Language Models", appendix A —
+public paper): word-count bounds, mean word length bounds, stopword
+presence, alphabetic-word fraction, unique-word fraction. Plus a
+corpus-containment score: per document, the fraction of its shingles
+that also appear in at least one other document — the standard signal
+for "how much of this doc is boilerplate shared with the rest of the
+crawl".
+
+Scale notes (100 TB):
+- The Gopher rules are a narrow, shuffle-free map — pure higher-order
+  functions over the tokenized text, whole-stage-codegen'd, no Python.
+  At lake scale this is a streaming-friendly single pass.
+- Containment reuses the inverted-index shingle formulation from
+  ``dedup.py`` (reference for parity: the reference repo has no such
+  operator; anchor is the driver mandate): one shuffle to count
+  document frequency per shingle, one shingle-keyed join back (AQE
+  handles hot-shingle skew), one per-doc aggregation. Never an
+  all-pairs product.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_kakfa_spark.operators.dedup import _shingles
+from flink_kakfa_spark.registry import query
+from flink_kakfa_spark.sources.tables import load_table, parallelize
+
+# Fixed stopword list for the fixture vocabulary (the corpus is
+# lowercase SQL-ish words; a real deployment would use a per-language
+# list). Kept in exact sync with the oracle SQL below.
+_STOPWORDS = ["a", "the", "data", "value", "table", "query", "row", "key"]
+
+_MIN_WORDS, _MAX_WORDS = 20, 100_000
+_MIN_MWL, _MAX_MWL = 3.0, 10.0
+_MIN_STOP = 2
+_MIN_ALPHA_FRAC = 0.8
+_MIN_UNIQ_FRAC = 0.2
+
+
+@query(
+    "quality_gopher_filter",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+    ),
+    m AS (
+      SELECT
+        doc_id,
+        len(ts) AS n_words,
+        ROUND(CAST(list_sum(list_transform(ts, w -> length(w))) AS DOUBLE)
+              / len(ts), 4) AS mean_wlen,
+        len(list_intersect(list_distinct(ts),
+            ['a','the','data','value','table','query','row','key'])) AS n_stop,
+        ROUND(CAST(len(list_filter(ts, w -> regexp_matches(w, '[a-z]')))
+              AS DOUBLE) / len(ts), 4) AS alpha_frac,
+        ROUND(CAST(len(list_distinct(ts)) AS DOUBLE) / len(ts), 4) AS uniq_frac
+      FROM tok
+    )
+    SELECT
+      doc_id, n_words, mean_wlen, n_stop, alpha_frac, uniq_frac,
+      (n_words BETWEEN {_MIN_WORDS} AND {_MAX_WORDS}) AS r_wordcount,
+      (mean_wlen BETWEEN {_MIN_MWL} AND {_MAX_MWL}) AS r_mean_wlen,
+      (n_stop >= {_MIN_STOP}) AS r_stopwords,
+      (alpha_frac >= {_MIN_ALPHA_FRAC}) AS r_alpha,
+      (uniq_frac >= {_MIN_UNIQ_FRAC}) AS r_unique,
+      ((n_words BETWEEN {_MIN_WORDS} AND {_MAX_WORDS})
+        AND (mean_wlen BETWEEN {_MIN_MWL} AND {_MAX_MWL})
+        AND n_stop >= {_MIN_STOP}
+        AND alpha_frac >= {_MIN_ALPHA_FRAC}
+        AND uniq_frac >= {_MIN_UNIQ_FRAC}) AS keep
+    FROM m
+    """,
+)
+def q_quality_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style rule flags per document, plus the final keep verdict.
+
+    Single narrow pass: tokenize once, derive every metric with
+    built-in higher-order functions (no UDF, no shuffle, no explode —
+    the token array never leaves the row).
+    """
+    d = load_table(spark, "documents", sf_dir)
+    t = F.split(F.col("text"), " ")
+    m = d.select(
+        "doc_id",
+        F.size(t).alias("n_words"),
+        F.round(
+            F.aggregate(
+                t, F.lit(0.0), lambda acc, w: acc + F.length(w).cast("double")
+            )
+            / F.size(t),
+            4,
+        ).alias("mean_wlen"),
+        F.size(
+            F.array_intersect(
+                F.array_distinct(t), F.array(*[F.lit(w) for w in _STOPWORDS])
+            )
+        ).alias("n_stop"),
+        F.round(
+            F.size(F.filter(t, lambda w: w.rlike("[a-z]"))).cast("double")
+            / F.size(t),
+            4,
+        ).alias("alpha_frac"),
+        F.round(
+            F.size(F.array_distinct(t)).cast("double") / F.size(t), 4
+        ).alias("uniq_frac"),
+    )
+    r_wc = F.col("n_words").between(_MIN_WORDS, _MAX_WORDS)
+    r_mwl = F.col("mean_wlen").between(_MIN_MWL, _MAX_MWL)
+    r_stop = F.col("n_stop") >= _MIN_STOP
+    r_alpha = F.col("alpha_frac") >= _MIN_ALPHA_FRAC
+    r_uniq = F.col("uniq_frac") >= _MIN_UNIQ_FRAC
+    return m.select(
+        "*",
+        r_wc.alias("r_wordcount"),
+        r_mwl.alias("r_mean_wlen"),
+        r_stop.alias("r_stopwords"),
+        r_alpha.alias("r_alpha"),
+        r_uniq.alias("r_unique"),
+        (r_wc & r_mwl & r_stop & r_alpha & r_uniq).alias("keep"),
+    )
+
+
+@query(
+    "quality_containment_score",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+      FROM tok, UNNEST(generate_series(1, len(ts) - 2)) AS g(i)
+      WHERE len(ts) >= 3
+    ),
+    dfreq AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY shingle)
+    SELECT
+      s.doc_id,
+      CAST(COUNT(*) AS BIGINT) AS n_shingles,
+      CAST(SUM(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+      ROUND(CAST(SUM(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+            / COUNT(*), 4) AS containment
+    FROM sh s JOIN dfreq d ON s.shingle = d.shingle
+    GROUP BY s.doc_id
+    """,
+)
+def q_quality_containment_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc fraction of 3-gram shingles shared with >=1 other document.
+
+    Inverted-index formulation: shingle document-frequency is computed
+    once (one shuffle over 3-word strings); the join back is
+    shingle-keyed (AQE skew-safe); the final per-doc aggregation is the
+    only other exchange. A doc whose every shingle appears elsewhere
+    (containment = 1.0) is boilerplate; this is the corpus-level dual
+    of pairwise near-dup detection — O(n·shingles), never O(n²).
+    """
+    sh = _shingles(parallelize(load_table(spark, "documents", sf_dir), spark))
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        sh.join(dfreq, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.when(F.col("df") >= 2, 1).otherwise(0)).alias("n_shared"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_shared",
+            F.round(
+                F.col("n_shared").cast("double") / F.col("n_shingles"), 4
+            ).alias("containment"),
+        )
+    )

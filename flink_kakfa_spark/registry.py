@@ -52,6 +52,8 @@ _QUERY_MODULES = [
     "flink_kakfa_spark.operators.decontam",
     "flink_kakfa_spark.operators.corpus",
     "flink_kakfa_spark.operators.pii",
+    "flink_kakfa_spark.operators.quality",
+    "flink_kakfa_spark.operators.sketches",
 ]
 
 _loaded = False
