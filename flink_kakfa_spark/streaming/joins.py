@@ -1,0 +1,58 @@
+"""Stream-stream joins (SURVEY.md §2.3 J9's bigger sibling).
+
+The reference never correlates two topics (its consumer is
+pass-through), but any real deployment of its produce/consume pair
+ends up correlating streams — clicks with purchases, inputs with
+outputs. Structured Streaming supports this natively; the engine's
+job is only to state the two things that bound the join state:
+
+- a **watermark on both sides** (how late data may arrive), and
+- an **event-time range constraint** in the join condition (how far
+  apart matching rows may be).
+
+Together they let Spark evict buffered rows once no future match is
+possible — without them, stream-stream join state grows forever,
+which is the 100 TB/day failure mode.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "key",
+    time_col: str = "ts",
+    tolerance: str = "10 seconds",
+) -> DataFrame:
+    """Inner equi-join of two (streaming or batch) message frames.
+
+    Matches rows with equal ``key`` where the right event lands in
+    ``[left.ts, left.ts + tolerance]``. Batch frames pass through the
+    same plan (no watermark), so the batch join is the oracle for the
+    streaming one.
+    """
+    l = left.withWatermark(time_col, tolerance) if left.isStreaming else left
+    r = right.withWatermark(time_col, tolerance) if right.isStreaming else right
+    cond = (
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (F.col(f"r.{time_col}") >= F.col(f"l.{time_col}"))
+        & (
+            F.col(f"r.{time_col}")
+            <= F.col(f"l.{time_col}") + F.expr(f"INTERVAL {tolerance}")
+        )
+    )
+    return (
+        l.alias("l")
+        .join(r.alias("r"), cond, "inner")
+        .select(
+            F.col(f"l.{key}").alias("key"),
+            F.col("l.value").alias("l_value"),
+            F.col("r.value").alias("r_value"),
+            F.col(f"l.{time_col}").alias("l_ts"),
+            F.col(f"r.{time_col}").alias("r_ts"),
+        )
+    )

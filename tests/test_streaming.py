@@ -440,3 +440,44 @@ def test_kafka_connector_error_is_actionable(spark):
         pass
     with _pytest.raises(RuntimeError, match="spark-sql-kafka"):
         read_kafka_stream(spark)
+
+
+def test_stream_stream_join_matches_batch(spark, tmp_path):
+    """J9+: stream-stream inner join with watermarks and a time-range
+    bound produces exactly the batch join of the same inputs."""
+    from flink_kakfa_spark.streaming.joins import stream_stream_join
+
+    left_rows = [
+        Row(key="u1", value="click a", ts="2024-01-01 00:00:01"),
+        Row(key="u1", value="click b", ts="2024-01-01 00:05:00"),
+        Row(key="u2", value="click c", ts="2024-01-01 00:00:03"),
+        Row(key="u3", value="click d", ts="2024-01-01 00:00:04"),
+    ]
+    right_rows = [
+        Row(key="u1", value="buy a", ts="2024-01-01 00:00:05"),   # joins click a
+        Row(key="u2", value="buy c", ts="2024-01-01 00:00:20"),   # outside 10s
+        Row(key="u3", value="buy d", ts="2024-01-01 00:00:04"),   # equal ts joins
+        Row(key="u4", value="buy x", ts="2024-01-01 00:00:05"),   # no left key
+    ]
+    _write_messages(spark, str(tmp_path / "left"), left_rows)
+    _write_messages(spark, str(tmp_path / "right"), right_rows)
+
+    ls = _stream_from(spark, str(tmp_path / "left"))
+    rs = _stream_from(spark, str(tmp_path / "right"))
+    name = f"ssj_{uuid.uuid4().hex[:8]}"
+    _run_to_memory(stream_stream_join(ls, rs), name, "append")
+    got = sorted(
+        (r["key"], r["l_value"], r["r_value"])
+        for r in spark.table(name).collect()
+    )
+
+    lb = spark.createDataFrame(left_rows, "key string, value string, ts string").withColumn("ts", F.to_timestamp("ts"))
+    rb = spark.createDataFrame(right_rows, "key string, value string, ts string").withColumn("ts", F.to_timestamp("ts"))
+    want = sorted(
+        (r["key"], r["l_value"], r["r_value"])
+        for r in stream_stream_join(lb, rb).collect()
+    )
+    assert got == want
+    assert ("u1", "click a", "buy a") in got
+    assert ("u3", "click d", "buy d") in got
+    assert all(k != "u2" and k != "u4" for k, _, _ in got)
