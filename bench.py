@@ -51,6 +51,9 @@ HEADLINE = [
     "mm_decode_frames",         # multimodal mapInPandas (Arrow batch path)
     "decontam_eval_overlap",    # benchmark decontamination (broadcast shingle join)
     "text_repetition_ngrams",   # repetition stats: shuffle-free HOF narrow map
+    "quality_gopher_filter",    # Gopher rules: shuffle-free HOF narrow map
+    "agg_hll_mergeable_rollup", # mergeable HLL sketches (re-aggregatable distinct)
+    "funnel_signup_click_purchase",  # ordered funnel: one user_id exchange
 ]
 
 

@@ -1,0 +1,132 @@
+"""Behavioral analytics over the events stream (Tier C extension).
+
+Ordered-funnel analysis: of the users who signed up, how many later
+clicked, and of those, how many later purchased. The reference's
+consumer only logs events (``go/consumer/consumer.go:79-81``); funnels
+are the first analytic any owner of that event stream asks for.
+
+Scale notes (100 TB of events): the whole funnel is computed with ONE
+shuffle — both per-user "first qualifying event" columns come from
+window aggregates over the same ``partitionBy(user_id)``, so Catalyst
+reuses a single Exchange, and the final stage counts are a global
+partial/final aggregate. No self-joins of the fact table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from flink_kakfa_spark.registry import query
+from flink_kakfa_spark.sources.tables import load_table
+
+
+@query(
+    "funnel_signup_click_purchase",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, MIN(ts) AS ts0 FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, MIN(e.ts) AS ts1
+      FROM events e JOIN s ON e.user_id = s.user_id
+      WHERE e.event_type = 'click' AND e.ts >= s.ts0
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS ts2
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts >= c.ts1
+      GROUP BY e.user_id
+    )
+    SELECT
+      CAST((SELECT COUNT(*) FROM s) AS BIGINT) AS n_signup,
+      CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS n_click_after,
+      CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS n_purchase_after,
+      ROUND(CAST((SELECT COUNT(*) FROM c) AS DOUBLE)
+            / (SELECT COUNT(*) FROM s), 4) AS r_click,
+      ROUND(CAST((SELECT COUNT(*) FROM p) AS DOUBLE)
+            / (SELECT COUNT(*) FROM c), 4) AS r_purchase
+    """,
+)
+def q_funnel_signup_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered 3-stage funnel: signup → click → purchase.
+
+    Stage timestamps are per-user window minimums (conditional, so a
+    user's click only counts if at-or-after their first signup, and a
+    purchase only if at-or-after that click). Both windows share one
+    ``partitionBy(user_id)`` exchange; the oracle states the same
+    semantics with per-stage joins, which is the formulation you'd
+    NOT run at scale.
+    """
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id")
+    staged = (
+        ev.withColumn(
+            "ts0",
+            F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).over(w),
+        )
+        .withColumn(
+            "ts1",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click") & (F.col("ts") >= F.col("ts0")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "ts2",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") >= F.col("ts1")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+    )
+    per_user = staged.groupBy("user_id").agg(
+        F.max(F.col("ts0").isNotNull()).alias("did_s"),
+        F.max(F.col("ts1").isNotNull()).alias("did_c"),
+        F.max(F.col("ts2").isNotNull()).alias("did_p"),
+    )
+    n_s = F.sum(F.col("did_s").cast("long"))
+    n_c = F.sum(F.col("did_c").cast("long"))
+    n_p = F.sum(F.col("did_p").cast("long"))
+    return per_user.agg(
+        n_s.alias("n_signup"),
+        n_c.alias("n_click_after"),
+        n_p.alias("n_purchase_after"),
+        F.round(n_c.cast("double") / n_s, 4).alias("r_click"),
+        F.round(n_p.cast("double") / n_c, 4).alias("r_purchase"),
+    )
+
+
+@query(
+    "agg_salted_wordcount",
+    oracle="""
+    SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM (SELECT UNNEST(string_split(text, ' ')) AS word FROM documents)
+    WHERE word <> ''
+    GROUP BY word
+    """,
+)
+def q_agg_salted_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship word count through the salted two-stage aggregation.
+
+    Word frequencies are Zipfian — at 100 TB a handful of stopwords
+    carry a double-digit share of all rows and would funnel into
+    single reducers under plain groupBy. ``salted_count`` splits every
+    key into 16 synthetic subkeys, pre-aggregates, then combines: two
+    small shuffles instead of one skewed one. The oracle is the plain
+    word count — salting must be invisible in the result.
+    """
+    from flink_kakfa_spark.functions.skew import salted_count
+
+    d = load_table(spark, "documents", sf_dir)
+    words = d.select(
+        F.explode(F.split(F.col("text"), " ")).alias("word")
+    ).filter(F.col("word") != "")
+    return salted_count(words, "word", n_salts=16, out="cnt")

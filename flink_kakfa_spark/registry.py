@@ -54,6 +54,7 @@ _QUERY_MODULES = [
     "flink_kakfa_spark.operators.pii",
     "flink_kakfa_spark.operators.quality",
     "flink_kakfa_spark.operators.sketches",
+    "flink_kakfa_spark.operators.behavior",
 ]
 
 _loaded = False
