@@ -1,0 +1,126 @@
+"""Training/RAG preparation extras (Tier C, SURVEY.md §2.9 family).
+
+- **Chunking**: split each document into fixed-size overlapping word
+  windows — the retrieval-corpus shape every RAG pipeline needs.
+  Chunk boundaries are pure arithmetic over the token array
+  (posexplode of a stride sequence), so the operator is a narrow map:
+  no shuffle, no UDF, parallel across whatever splits the scan gives.
+
+- **Unigram surprisal**: score each document by the average negative
+  log-probability of its words under the corpus's own unigram model —
+  the cheapest useful "how out-of-distribution is this text" signal
+  (high = rare-word salad, low = stopword soup). Two aggregates over
+  the exploded words (vocab counts, then per-doc average) with the
+  vocabulary broadcast back — at 100 TB the vocab table is MBs while
+  the corpus is TBs, the same asymmetry decontamination exploits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_kakfa_spark.registry import query
+from flink_kakfa_spark.sources.tables import load_table
+
+_CHUNK = 32  # words per chunk
+_STRIDE = 24  # overlap = _CHUNK - _STRIDE = 8 words
+
+
+@query(
+    "pipeline_chunk_documents",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+    ),
+    chunks AS (
+      SELECT
+        doc_id,
+        CAST((g.start - 1) // {_STRIDE} AS BIGINT) AS chunk_id,
+        list_slice(ts, g.start, LEAST(g.start + {_CHUNK} - 1, len(ts))) AS cw
+      FROM tok,
+        UNNEST(generate_series(1, GREATEST(len(ts) - {_CHUNK} + {_STRIDE}, 1),
+                               {_STRIDE})) AS g(start)
+    )
+    SELECT
+      doc_id, chunk_id,
+      CAST(len(cw) AS INTEGER) AS n_tokens,
+      array_to_string(cw, ' ') AS chunk_text
+    FROM chunks
+    """,
+)
+def q_pipeline_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping {32-word / stride-24} chunks per document.
+
+    Start offsets are generated up to the last position that still
+    begins a (possibly short) final chunk, mirroring the tokenizer
+    sliding-window convention; every document yields >=1 chunk.
+    """
+    d = load_table(spark, "documents", sf_dir)
+    t = F.split(F.col("text"), " ")
+    starts = F.sequence(
+        F.lit(1),
+        F.greatest(F.size(t) - F.lit(_CHUNK - _STRIDE), F.lit(1)),
+        F.lit(_STRIDE),
+    )
+    return (
+        d.select("doc_id", t.alias("ts"), F.posexplode(starts).alias("pos", "start"))
+        .select(
+            "doc_id",
+            F.col("pos").cast("long").alias("chunk_id"),
+            F.slice(F.col("ts"), F.col("start"), F.lit(_CHUNK)).alias("cw"),
+        )
+        .select(
+            "doc_id",
+            "chunk_id",
+            F.size("cw").alias("n_tokens"),
+            F.array_join("cw", " ").alias("chunk_text"),
+        )
+    )
+
+
+@query(
+    "text_unigram_surprisal",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, UNNEST(string_split(text, ' ')) AS word FROM documents
+    ),
+    vocab AS (
+      SELECT word, CAST(COUNT(*) AS DOUBLE)
+             / (SELECT COUNT(*) FROM w) AS p
+      FROM w GROUP BY word
+    )
+    SELECT
+      w.doc_id,
+      CAST(COUNT(*) AS BIGINT) AS n_tokens,
+      ROUND(AVG(-LN(v.p)), 4) AS surprisal
+    FROM w JOIN vocab v ON w.word = v.word
+    GROUP BY w.doc_id
+    """,
+)
+def q_text_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc average negative log-probability under the corpus unigram LM.
+
+    The vocabulary aggregate (one shuffle over words) is broadcast back
+    onto the exploded corpus; the per-doc average is the second and
+    final exchange.
+    """
+    d = load_table(spark, "documents", sf_dir)
+    w = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("word")
+    )
+    counts = w.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+    total = counts.agg(F.sum("c").alias("tot"))
+    # no driver-side action: the corpus total joins in as a broadcast
+    # 1-row frame, keeping the whole plan lazy and distributed
+    vocab = counts.crossJoin(F.broadcast(total)).select(
+        "word", (F.col("c").cast("double") / F.col("tot")).alias("p")
+    )
+    return (
+        w.join(F.broadcast(vocab), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg(-F.log(F.col("p"))), 4).alias("surprisal"),
+        )
+    )

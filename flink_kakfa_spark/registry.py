@@ -55,6 +55,7 @@ _QUERY_MODULES = [
     "flink_kakfa_spark.operators.quality",
     "flink_kakfa_spark.operators.sketches",
     "flink_kakfa_spark.operators.behavior",
+    "flink_kakfa_spark.operators.prep",
 ]
 
 _loaded = False

@@ -1,0 +1,62 @@
+"""Chunking, surprisal, and quantile-sketch operators: hand-checked semantics."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Row
+
+from flink_kakfa_spark.registry import all_queries
+
+
+def _docs(spark, tmp_path, texts):
+    spark.createDataFrame(
+        [
+            Row(doc_id=i, text=t, lang="en", source="src0", n_chars=len(t))
+            for i, t in enumerate(texts)
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+
+def test_chunking_windows_and_overlap(spark, tmp_path):
+    """40 words at chunk=32/stride=24 → two chunks: [1..32] and [25..40]."""
+    words = [f"w{i}" for i in range(1, 41)]
+    _docs(spark, tmp_path, [" ".join(words), "a b c"])
+    out = all_queries()["pipeline_chunk_documents"](spark, str(tmp_path))
+    rows = {(r["doc_id"], r["chunk_id"]): r for r in out.collect()}
+    assert len([k for k in rows if k[0] == 0]) == 2
+    assert rows[(0, 0)]["n_tokens"] == 32
+    assert rows[(0, 0)]["chunk_text"].split(" ")[0] == "w1"
+    assert rows[(0, 1)]["n_tokens"] == 16  # words 25..40
+    assert rows[(0, 1)]["chunk_text"].split(" ")[0] == "w25"
+    # 8-word overlap: last 8 of chunk0 == first 8 of chunk1
+    assert (
+        rows[(0, 0)]["chunk_text"].split(" ")[-8:]
+        == rows[(0, 1)]["chunk_text"].split(" ")[:8]
+    )
+    # short doc -> one whole-doc chunk
+    assert rows[(1, 0)]["n_tokens"] == 3 and (1, 1) not in rows
+
+
+def test_unigram_surprisal_matches_hand_math(spark, tmp_path):
+    """Corpus 'x x' + 'x y': p(x)=3/4, p(y)=1/4."""
+    _docs(spark, tmp_path, ["x x", "x y"])
+    out = {
+        r["doc_id"]: r
+        for r in all_queries()["text_unigram_surprisal"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert out[0]["surprisal"] == round(-math.log(0.75), 4)
+    assert out[1]["surprisal"] == round(
+        (-math.log(0.75) - math.log(0.25)) / 2, 4
+    )
+    assert out[0]["n_tokens"] == 2
+
+
+def test_approx_percentile_stays_in_rank_bounds(spark, sf_dir):
+    rows = all_queries()["agg_approx_percentile_bounds"](spark, sf_dir).collect()
+    assert rows
+    assert all(r["p50_in_bounds"] and r["p90_in_bounds"] for r in rows)
+    assert all(r["exact_p50"] < r["exact_p90"] for r in rows)
