@@ -1,0 +1,201 @@
+"""Additional TPC-H-shaped analytics (Tier C relational breadth).
+
+Four classic query shapes beyond the q1/q3/q5 equivalents already in
+``joins.py``/``relational.py``, adapted to the fixture star schema
+(no partsupp table — unit price stands in for supply cost):
+
+- q2-shape:  correlated MIN subquery (Catalyst decorrelates to a
+  per-group min + self-join; the oracle states the correlated form)
+- q8-shape:  market share — conditional aggregation over a star join
+- q10-shape: top returned-revenue customers
+- q18-shape: large-quantity orders via a grouped HAVING semi-join
+
+Scale notes: every dim side is broadcast; the fact table shuffles at
+most once per aggregate grain; the q2 decorrelation turns a
+per-row subquery into one extra aggregate + broadcast join rather
+than N subquery executions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_kakfa_spark.registry import query
+from flink_kakfa_spark.sources.tables import load_table
+
+
+@query(
+    "tpch_q2_min_unit_price",
+    oracle="""
+    WITH up AS (
+      SELECT l.l_partkey, l.l_suppkey,
+             MIN(l.l_extendedprice / l.l_quantity) AS unit_price
+      FROM lineitem l
+      GROUP BY l.l_partkey, l.l_suppkey
+    )
+    SELECT p.p_type, p.p_partkey, s.s_name,
+           u.unit_price AS best_unit_price
+    FROM up u
+    JOIN part p ON u.l_partkey = p.p_partkey
+    JOIN supplier s ON u.l_suppkey = s.s_suppkey
+    WHERE u.unit_price = (
+      SELECT MIN(u2.unit_price) FROM up u2 WHERE u2.l_partkey = u.l_partkey
+    )
+    """,
+)
+def q_tpch_q2_min_unit_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q2 shape: per part, the supplier(s) with the lowest unit price.
+
+    The oracle keeps TPC-H q2's correlated-subquery formulation; the
+    Spark side is the decorrelated plan you actually want — compute
+    the per-part minimum once and broadcast-join it back.
+    """
+    li = load_table(spark, "lineitem", sf_dir)
+    p = load_table(spark, "part", sf_dir)
+    s = load_table(spark, "supplier", sf_dir)
+    up = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price")
+    )
+    best = up.groupBy("l_partkey").agg(F.min("unit_price").alias("best"))
+    return (
+        up.join(F.broadcast(best), "l_partkey")
+        .filter(F.col("unit_price") == F.col("best"))
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "p_type",
+            "p_partkey",
+            "s_name",
+            # raw double, deliberately un-rounded: both engines derive it
+            # from the same IEEE division + MIN, so values are
+            # bit-identical, while ROUND at a .xxxx5 boundary is not
+            F.col("unit_price").alias("best_unit_price"),
+        )
+    )
+
+
+@query(
+    "tpch_q8_market_share",
+    oracle="""
+    SELECT
+      CAST(EXTRACT(year FROM o.o_orderdate) AS INTEGER) AS o_year,
+      ROUND(
+        CAST(SUM(CASE WHEN n.n_name = 'NATION_0' THEN
+              l.l_extendedprice * (1 - l.l_discount) ELSE 0 END) AS DOUBLE)
+        / SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS mkt_share
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY 1
+    """,
+)
+def q_tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q8 shape: one nation's share of yearly revenue (conditional agg).
+
+    Decimal-exact revenue sums (like ``agg_pricing_summary``) so the
+    share is deterministic; the final division is rounded.
+    """
+    li = load_table(spark, "lineitem", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    c = load_table(spark, "customer", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,6)"
+    )
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                (
+                    F.sum(
+                        F.when(F.col("n_name") == "NATION_0", rev).otherwise(
+                            F.lit(0).cast("decimal(18,6)")
+                        )
+                    )
+                    / F.sum(rev)
+                ).cast("double"),
+                4,
+            ).alias("mkt_share")
+        )
+    )
+
+
+@query(
+    "tpch_q10_returned_revenue",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS lost_revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY lost_revenue DESC, c_custkey ASC
+    LIMIT 20
+    """,
+)
+def q_tpch_q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q10 shape: top-20 customers by revenue on returned items."""
+    li = load_table(spark, "lineitem", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    c = load_table(spark, "customer", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,6)"
+    )
+    return (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.round(F.sum(rev).cast("double"), 2).alias("lost_revenue"))
+        .orderBy(F.col("lost_revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+@query(
+    "tpch_q18_big_orders",
+    oracle="""
+    SELECT c.c_custkey, o.o_orderkey,
+           CAST(SUM(l.l_quantity) AS DOUBLE) AS total_qty
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE l.l_orderkey IN (
+      SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(l_quantity) > 150
+    )
+    GROUP BY c.c_custkey, o.o_orderkey
+    """,
+)
+def q_tpch_q18_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q18 shape: orders whose total quantity clears a threshold.
+
+    The IN-subquery becomes a left-semi join against the grouped
+    HAVING aggregate — one extra aggregate over the fact, no
+    correlated execution.
+    """
+    li = load_table(spark, "lineitem", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    c = load_table(spark, "customer", sf_dir)
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("tq"))
+        .filter(F.col("tq") > 150)
+        .select("l_orderkey")
+    )
+    return (
+        li.join(big, "l_orderkey", "left_semi")
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_custkey", "o_orderkey")
+        .agg(F.sum("l_quantity").cast("double").alias("total_qty"))
+    )

@@ -56,6 +56,7 @@ _QUERY_MODULES = [
     "flink_kakfa_spark.operators.sketches",
     "flink_kakfa_spark.operators.behavior",
     "flink_kakfa_spark.operators.prep",
+    "flink_kakfa_spark.operators.tpch_extra",
 ]
 
 _loaded = False

@@ -27,13 +27,19 @@ def stream_stream_join(
     key: str = "key",
     time_col: str = "ts",
     tolerance: str = "10 seconds",
+    how: str = "inner",
 ) -> DataFrame:
-    """Inner equi-join of two (streaming or batch) message frames.
+    """Equi-join of two (streaming or batch) message frames.
 
     Matches rows with equal ``key`` where the right event lands in
     ``[left.ts, left.ts + tolerance]``. Batch frames pass through the
     same plan (no watermark), so the batch join is the oracle for the
     streaming one.
+
+    ``how="left_outer"`` emits unmatched left rows null-extended — in
+    streaming mode Spark holds them until the watermark proves no
+    future right row can match (left.ts + tolerance < watermark), so
+    outer results trail the watermark rather than the data.
     """
     l = left.withWatermark(time_col, tolerance) if left.isStreaming else left
     r = right.withWatermark(time_col, tolerance) if right.isStreaming else right
@@ -47,7 +53,7 @@ def stream_stream_join(
     )
     return (
         l.alias("l")
-        .join(r.alias("r"), cond, "inner")
+        .join(r.alias("r"), cond, how)
         .select(
             F.col(f"l.{key}").alias("key"),
             F.col("l.value").alias("l_value"),

@@ -481,3 +481,63 @@ def test_stream_stream_join_matches_batch(spark, tmp_path):
     assert ("u1", "click a", "buy a") in got
     assert ("u3", "click d", "buy d") in got
     assert all(k != "u2" and k != "u4" for k, _, _ in got)
+
+
+def test_stream_stream_left_outer_emits_unmatched_after_watermark(spark, tmp_path):
+    """Left-outer stream-stream join: an old unmatched left row is
+    null-extended once the watermark passes its match window.
+
+    Subtleties this test pins down:
+    - the join watermark is the MIN across both inputs, so BOTH sides
+      need a late filler row for it to advance;
+    - append mode withholds the fillers themselves (their match
+      windows are still open at shutdown), so the expected output is
+      exactly the closed-window rows — the match and the null-extension.
+    """
+    from flink_kakfa_spark.streaming.joins import stream_stream_join
+
+    left_rows = [
+        Row(key="u1", value="click a", ts="2024-01-01 00:00:01"),
+        Row(key="u9", value="click lonely", ts="2024-01-01 00:00:02"),
+        Row(key="zl", value="noise l", ts="2024-01-01 01:00:00"),
+    ]
+    right_rows = [
+        Row(key="u1", value="buy a", ts="2024-01-01 00:00:05"),
+        Row(key="zr", value="noise r", ts="2024-01-01 01:00:00"),
+    ]
+    _write_messages(spark, str(tmp_path / "left"), left_rows)
+    _write_messages(spark, str(tmp_path / "right"), right_rows)
+
+    ls = _stream_from(spark, str(tmp_path / "left"))
+    rs = _stream_from(spark, str(tmp_path / "right"))
+    name = f"ssjo_{uuid.uuid4().hex[:8]}"
+    # availableNow stops before the no-data micro-batch that flushes
+    # outer-join state; run on a normal trigger and poll for the
+    # watermark-advancing empty batch to deliver the null-extension.
+    q = (
+        stream_stream_join(ls, rs, how="left_outer")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        import time
+
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if spark.table(name).count() >= 2:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+
+    got = sorted(
+        (r["key"], r["l_value"], r["r_value"])
+        for r in spark.table(name).collect()
+    )
+    assert got == [
+        ("u1", "click a", "buy a"),
+        ("u9", "click lonely", None),
+    ]

@@ -93,21 +93,44 @@ def compare(name: str, spark, con, sf_dir: str) -> tuple[bool, str]:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    argv = [a for a in sys.argv[1:] if not a.startswith("--")]
+    json_out = next(
+        (a.split("=", 1)[1] for a in sys.argv[1:] if a.startswith("--json=")), None
+    )
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     registry.load_all()
-    names = sys.argv[2:] or sorted(registry.QUERIES)
+    names = argv[1:] or sorted(registry.QUERIES)
     spark = get_spark("diffcheck", shuffle_partitions=8)
     con = duck_con(sf_dir)
     failed = []
+    results = {}
     for name in names:
         try:
             ok, msg = compare(name, spark, con, sf_dir)
         except Exception:
             ok, msg = False, "EXC " + traceback.format_exc(limit=4).replace("\n", " | ")
         print(f"{'PASS' if ok else 'FAIL'} {name}: {msg}", flush=True)
+        results[name] = {"pass": ok, "detail": msg}
         if not ok:
             failed.append(name)
     print(f"\n{len(names) - len(failed)}/{len(names)} pass; failing: {failed}")
+    if json_out:
+        import json
+
+        with open(json_out, "w") as f:
+            json.dump(
+                {
+                    "sf_dir": sf_dir,
+                    "n_pass": len(names) - len(failed),
+                    "n_total": len(names),
+                    "failing": failed,
+                    "results": results,
+                },
+                f,
+                indent=1,
+                sort_keys=True,
+            )
+        print(f"wrote {json_out}")
     return 1 if failed else 0
 
 
