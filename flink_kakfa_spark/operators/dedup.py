@@ -417,10 +417,14 @@ def q_dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     sig_cols = [perm_min(p) for p in range(_MH_PERMS)]
     sigs = hashed.select("doc_id", "sharr", *sig_cols)
-    # band the signature: 4 bands of 4 ints; docs sharing any band pair up
+    # band the signature: 4 bands of 4 ints; docs sharing any band pair
+    # up. The explode deliberately carries ONLY (doc_id, band keys) —
+    # replicating the shingle arrays band-count times through the LSH
+    # shuffle is the 100 TB payload mistake; candidates are a tiny
+    # subset, so their shingles re-attach via two doc_id hash joins
+    # afterwards instead.
     bands = sigs.select(
         "doc_id",
-        "sharr",
         F.explode(
             F.array(
                 *[
@@ -437,21 +441,34 @@ def q_dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("bk"),
-    ).select("doc_id", "sharr", "bk.*")
+    ).select("doc_id", "bk.*")
     a_ = bands.alias("a")
     b_ = bands.alias("b")
     key_eq = (F.col("a.band") == F.col("b.band"))
     for r in range(_MH_ROWS):
         key_eq = key_eq & (F.col(f"a.k{r}") == F.col(f"b.k{r}"))
-    cand = (
+    pairs = (
         a_.join(b_, key_eq & (F.col("a.doc_id") < F.col("b.doc_id")))
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.sharr").alias("sh_a"),
-            F.col("b.sharr").alias("sh_b"),
         )
         .dropDuplicates(["doc_a", "doc_b"])
+    )
+    sh_only = sigs.select("doc_id", "sharr")
+    cand = (
+        pairs.join(
+            sh_only.select(
+                F.col("doc_id").alias("doc_a"), F.col("sharr").alias("sh_a")
+            ),
+            "doc_a",
+        )
+        .join(
+            sh_only.select(
+                F.col("doc_id").alias("doc_b"), F.col("sharr").alias("sh_b")
+            ),
+            "doc_b",
+        )
     )
     n_common = F.size(F.array_intersect("sh_a", "sh_b"))
     return (
