@@ -49,6 +49,13 @@ _QUERY_MODULES = [
     "flink_kakfa_spark.operators.scalar",
     # registered last ON PURPOSE: keeps the curated first-50 window
     # stable; these are still value-hash-verified by diffcheck.py
+    # (DIFFCHECK_r{N}.json artifacts). ROUND-5 PLAN: rotate the window —
+    # move decontam/corpus/pii/quality/sketches/behavior/prep/tpch_extra
+    # plus the never-driver-verified scalar tail (array/json/cast/map,
+    # date_funcs2, reference_message_shape, sql_having_scalar_subquery)
+    # into the first 50 and the round-4-verified LLM block behind, so by
+    # end of round 5 every registered query has a historical driver row.
+    # Update tests/test_000_smoke.py::DRIVER_WINDOW in the same commit.
     "flink_kakfa_spark.operators.decontam",
     "flink_kakfa_spark.operators.corpus",
     "flink_kakfa_spark.operators.pii",

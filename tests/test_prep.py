@@ -60,3 +60,26 @@ def test_approx_percentile_stays_in_rank_bounds(spark, sf_dir):
     assert rows
     assert all(r["p50_in_bounds"] and r["p90_in_bounds"] for r in rows)
     assert all(r["exact_p50"] < r["exact_p90"] for r in rows)
+
+
+def test_chunking_reconstructs_documents(spark, tmp_path):
+    """Property over 60 random-length docs: dropping each chunk's 8-word
+    overlap (except the first) and concatenating reconstructs the doc."""
+    import random
+
+    rng = random.Random(42)
+    texts = [
+        " ".join(f"t{i}_{j}" for j in range(rng.randint(1, 130)))
+        for i in range(60)
+    ]
+    _docs(spark, tmp_path, texts)
+    out = all_queries()["pipeline_chunk_documents"](spark, str(tmp_path))
+    by_doc = {}
+    for r in out.collect():
+        by_doc.setdefault(r["doc_id"], []).append((r["chunk_id"], r["chunk_text"]))
+    for i, text in enumerate(texts):
+        chunks = [t for _, t in sorted(by_doc[i])]
+        words = chunks[0].split(" ")
+        for c in chunks[1:]:
+            words.extend(c.split(" ")[8:])
+        assert words == text.split(" "), f"doc {i} failed reconstruction"

@@ -541,3 +541,47 @@ def test_stream_stream_left_outer_emits_unmatched_after_watermark(spark, tmp_pat
         ("u1", "click a", "buy a"),
         ("u9", "click lonely", None),
     ]
+
+
+def test_materialized_view_matches_batch_and_is_idempotent(spark, tmp_path, msg_rows):
+    """The maintained Parquet table equals the batch word count, survives
+    a second maintenance run over the same checkpoint unchanged, and
+    incorporates new data on the next trigger."""
+    from flink_kakfa_spark.streaming.matview import materialize_word_counts
+
+    src = str(tmp_path / "src")
+    view = str(tmp_path / "view")
+    ckpt = str(tmp_path / "ckpt")
+    _write_messages(spark, src, msg_rows)
+
+    def run():
+        q = materialize_word_counts(_stream_from(spark, src), view, ckpt)
+        q.awaitTermination(120)
+
+    run()
+    got = {
+        (r["word"], r["cnt"]) for r in spark.read.parquet(view).select("word", "cnt").collect()
+    }
+    want = {
+        (r["word"], r["cnt"])
+        for r in streaming_word_counts(
+            spark.read.schema(MSG_SCHEMA).parquet(f"{src}/*")
+        ).withColumnRenamed("count", "cnt").collect()
+    }
+    assert got == want
+
+    # idempotent: nothing new to process -> table unchanged
+    run()
+    again = {
+        (r["word"], r["cnt"]) for r in spark.read.parquet(view).select("word", "cnt").collect()
+    }
+    assert again == got
+
+    # incremental: new file -> counts advance
+    _write_messages(
+        spark, src, [Row(key="k9", value="hello hello", ts="2024-01-01 00:20:00")],
+        subdir="batch1",
+    )
+    run()
+    final = {r["word"]: r["cnt"] for r in spark.read.parquet(view).collect()}
+    assert final["hello"] == dict(got).get("hello", 0) + 2
