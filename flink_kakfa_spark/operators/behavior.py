@@ -130,3 +130,69 @@ def q_agg_salted_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.split(F.col("text"), " ")).alias("word")
     ).filter(F.col("word") != "")
     return salted_count(words, "word", n_salts=16, out="cnt")
+
+
+_CEP_GAP_MS = 300_000  # error -> purchase within 5 minutes
+
+
+@query(
+    "cep_error_then_purchase",
+    oracle=f"""
+    WITH seq AS (
+      SELECT
+        user_id, event_id, event_type, ts,
+        LEAD(event_type) OVER w AS next_type,
+        LEAD(event_id)   OVER w AS next_event_id,
+        LEAD(ts)         OVER w AS next_ts
+      FROM events
+      WHERE event_type IN ('error', 'purchase')
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT
+      user_id,
+      event_id AS error_event_id,
+      next_event_id AS purchase_event_id,
+      CAST(epoch_ms(next_ts) - epoch_ms(ts) AS BIGINT) AS gap_ms
+    FROM seq
+    WHERE event_type = 'error' AND next_type = 'purchase'
+      AND epoch_ms(next_ts) - epoch_ms(ts) <= {_CEP_GAP_MS}
+    """,
+)
+def q_cep_error_then_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flink-CEP-style pattern: an error IMMEDIATELY followed (among the
+    two tracked event types) by a purchase within 5 minutes, per user.
+
+    The pattern compiles to one ``lead`` window over
+    ``partitionBy(user_id)`` — a single exchange of the pre-filtered
+    fact rows; no self-join, no per-row state. The streaming twin
+    (``streaming/stateful.py::error_purchase_matches``) detects the
+    same pairs incrementally with keyed state.
+    """
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = (
+        ev.filter(F.col("event_type").isin("error", "purchase"))
+        .select(
+            "user_id",
+            "event_id",
+            "event_type",
+            "ts",
+            F.lead("event_type").over(w).alias("next_type"),
+            F.lead("event_id").over(w).alias("next_event_id"),
+            F.lead("ts").over(w).alias("next_ts"),
+        )
+    )
+    gap = F.unix_millis("next_ts") - F.unix_millis("ts")
+    return (
+        seq.filter(
+            (F.col("event_type") == "error")
+            & (F.col("next_type") == "purchase")
+            & (gap <= _CEP_GAP_MS)
+        )
+        .select(
+            "user_id",
+            F.col("event_id").alias("error_event_id"),
+            F.col("next_event_id").alias("purchase_event_id"),
+            gap.alias("gap_ms"),
+        )
+    )

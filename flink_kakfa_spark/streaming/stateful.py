@@ -211,3 +211,73 @@ def running_word_totals_tws(messages: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+def error_purchase_matches(events: DataFrame, gap_ms: int = 300_000) -> DataFrame:
+    """Streaming CEP twin of ``cep_error_then_purchase``: emit an
+    (error, purchase) pair when a user's purchase immediately follows
+    their error (among the two tracked types) within ``gap_ms``.
+
+    Keyed state holds only the user's LAST tracked event (type,
+    timestamp, id) — O(1) per user, no buffering — so a match is
+    detected across micro-batch boundaries: the error may arrive in
+    batch N and the purchase in batch N+k. Assumes per-key event-time
+    order across batches (true for a time-ordered source, e.g. a Kafka
+    partition keyed by user); a full out-of-order CEP would buffer
+    until the watermark, trading this operator's O(1) state for O(gap)
+    state — same trade Flink CEP makes.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    filt = events.filter(
+        F.col("event_type").isin("error", "purchase")
+    ).select("user_id", "event_id", "event_type", "ts")
+
+    # closure (not module-level) so cloudpickle ships it by value
+    def detect(key, pdfs, state):
+        import pandas as pd
+
+        frames = [pdf for pdf in pdfs if len(pdf)]
+        last_type, last_ts_us, last_id = (
+            state.get if state.exists else ("", 0, 0)
+        )
+        out = []
+        if frames:
+            rows = pd.concat(frames).sort_values(["ts", "event_id"])
+            for r in rows.itertuples():
+                ts_us = r.ts.value // 1000  # pandas ns -> microseconds
+                if (
+                    r.event_type == "purchase"
+                    and last_type == "error"
+                    and (ts_us - last_ts_us) // 1000 <= gap_ms
+                ):
+                    out.append(
+                        (key[0], last_id, int(r.event_id), (ts_us - last_ts_us) // 1000)
+                    )
+                last_type, last_ts_us, last_id = (
+                    r.event_type,
+                    ts_us,
+                    int(r.event_id),
+                )
+        state.update((last_type, int(last_ts_us), int(last_id)))
+        if out:
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "user_id",
+                    "error_event_id",
+                    "purchase_event_id",
+                    "gap_ms",
+                ],
+            )
+
+    return filt.groupBy("user_id").applyInPandasWithState(
+        detect,
+        outputStructType=(
+            "user_id long, error_event_id long, "
+            "purchase_event_id long, gap_ms long"
+        ),
+        stateStructType="last_type string, last_ts_us long, last_id long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -585,3 +585,57 @@ def test_materialized_view_matches_batch_and_is_idempotent(spark, tmp_path, msg_
     run()
     final = {r["word"]: r["cnt"] for r in spark.read.parquet(view).collect()}
     assert final["hello"] == dict(got).get("hello", 0) + 2
+
+
+def test_streaming_cep_matches_across_batches(spark, tmp_path):
+    """The error arrives in batch 0, the purchase in batch 1 — the pair
+    is still detected via keyed state; out-of-gap and wrong-order
+    sequences are not."""
+    from flink_kakfa_spark.streaming.stateful import error_purchase_matches
+
+    def _ev(rows, subdir):
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts string, user_id long, event_type string",
+        ).withColumn("ts", F.to_timestamp("ts")).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{tmp_path}/src/{subdir}")
+
+    _ev(
+        [
+            (1, "2024-01-01 00:00:00", 1, "error"),
+            (2, "2024-01-01 00:00:10", 2, "purchase"),  # no prior error
+            (3, "2024-01-01 00:00:20", 3, "error"),
+        ],
+        "b0",
+    )
+    _ev(
+        [
+            (4, "2024-01-01 00:01:00", 1, "purchase"),  # matches 1 (60s)
+            (5, "2024-01-01 01:00:00", 3, "purchase"),  # out of gap for 3
+        ],
+        "b1",
+    )
+    src = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{tmp_path}/src/*")
+    )
+    name = f"cep_{uuid.uuid4().hex[:8]}"
+    q = (
+        error_purchase_matches(src)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", f"{tmp_path}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = [
+        (r["user_id"], r["error_event_id"], r["purchase_event_id"], r["gap_ms"])
+        for r in spark.table(name).collect()
+    ]
+    assert got == [(1, 1, 4, 60_000)]
