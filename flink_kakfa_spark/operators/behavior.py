@@ -196,3 +196,43 @@ def q_cep_error_then_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             gap.alias("gap_ms"),
         )
     )
+
+
+@query(
+    "anomaly_zscore_events",
+    oracle="""
+    WITH stats AS (
+      SELECT
+        event_id, event_type, value,
+        AVG(value) OVER (PARTITION BY event_type) AS mu,
+        STDDEV_SAMP(value) OVER (PARTITION BY event_type) AS sigma
+      FROM events
+    )
+    SELECT event_id, event_type, value,
+           ROUND((value - mu) / sigma, 4) AS z
+    FROM stats
+    WHERE ABS((value - mu) / sigma) > 3
+    """,
+)
+def q_anomaly_zscore_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type z-score outliers (|z| > 3) in one window pass.
+
+    Mean and stddev come from unbounded frames over the same
+    ``partitionBy(event_type)`` — one exchange, no separate stats
+    join. At 100 TB you'd compute the per-type moments as a tiny
+    aggregate and broadcast them instead; the window form keeps the
+    single-pass shape testable here.
+    """
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("event_type")
+    z = (F.col("value") - F.avg("value").over(w)) / F.stddev_samp("value").over(w)
+    return (
+        ev.select("event_id", "event_type", "value", z.alias("zraw"))
+        .filter(F.abs(F.col("zraw")) > 3)
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.round(F.col("zraw"), 4).alias("z"),
+        )
+    )

@@ -124,3 +124,44 @@ def q_text_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg(-F.log(F.col("p"))), 4).alias("surprisal"),
         )
     )
+
+
+_RESERVOIR_K = 5
+
+
+@query(
+    "sample_k_per_source",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY md5(source || ':' || CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rk
+      FROM documents
+    )
+    SELECT doc_id, source, CAST(rk AS INTEGER) AS rk
+    FROM ranked WHERE rk <= {_RESERVOIR_K}
+    """,
+)
+def q_sample_k_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-per-group sample: the distributed reservoir.
+
+    Ordering by ``md5(source:doc_id)`` gives every row an engine-
+    portable pseudo-random rank, so both engines (and every retry)
+    select the SAME k docs per source — the property monte-carlo
+    ``rand()`` sampling can't give an oracle. One exchange on source;
+    at scale the same pattern runs as a top-k partial aggregate
+    (TakeOrdered per group) rather than a full sort.
+    """
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, "documents", sf_dir)
+    key = F.md5(
+        F.concat(F.col("source"), F.lit(":"), F.col("doc_id").cast("string"))
+    )
+    w = W.partitionBy("source").orderBy(key, "doc_id")
+    return (
+        d.select("doc_id", "source", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= _RESERVOIR_K)
+    )
