@@ -54,6 +54,8 @@ HEADLINE = [
     "quality_gopher_filter",    # Gopher rules: shuffle-free HOF narrow map
     "agg_hll_mergeable_rollup", # mergeable HLL sketches (re-aggregatable distinct)
     "funnel_signup_click_purchase",  # ordered funnel: one user_id exchange
+    "cep_error_then_purchase",  # CEP pattern: one lead-window exchange
+    "tpch_q10_returned_revenue",  # star-join top-k with broadcast dims
 ]
 
 
