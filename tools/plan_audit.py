@@ -32,6 +32,7 @@ ALLOWED_QUADRATIC = {
     "text_tfidf_top20",            # 1-row corpus-size broadcast cross join
     "corpus_domain_filter",        # 1-row corpus-avg threshold broadcast cross join
     "ts_resample_gapfill", "ts_gapfill_locf",  # bucket-spine × dims (tiny, broadcast)
+    "text_unigram_surprisal",      # 1-row corpus-total broadcast cross join
 }
 ALLOWED_PYTHON = {
     "mm_decode_frames", "mm_extract_features", "sim_cosine_topk_pandas",
