@@ -316,3 +316,73 @@ def q_emb_centroid_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
         pure.alias("n_pure"),
         (pure.cast("double") / n).alias("purity"),
     )
+
+
+@query(
+    "emb_quality_stats",
+    oracle="""
+    WITH comp AS (
+      SELECT vec_id, label, g.pos, embedding[g.pos] AS val
+      FROM embeddings,
+           UNNEST(generate_series(1, len(embedding))) AS g(pos)
+    ),
+    norms AS (
+      SELECT vec_id, ANY_VALUE(label) AS label,
+             SQRT(CAST(SUM(CAST(
+               CAST(val AS DOUBLE) * CAST(val AS DOUBLE)
+             AS DECIMAL(38,18))) AS DOUBLE)) AS nrm,
+             COUNT(*) AS dim,
+             SUM(CASE WHEN val = 0 THEN 1 ELSE 0 END) AS n_zero_comp
+      FROM comp GROUP BY vec_id
+    )
+    SELECT
+      label,
+      CAST(COUNT(*) AS BIGINT) AS n_vecs,
+      CAST(MIN(dim) AS BIGINT) AS min_dim,
+      CAST(MAX(dim) AS BIGINT) AS max_dim,
+      ROUND(CAST(SUM(CAST(nrm AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*), 4)
+        AS avg_norm,
+      ROUND(MIN(nrm), 4) AS min_norm,
+      ROUND(MAX(nrm), 4) AS max_norm,
+      CAST(SUM(CASE WHEN nrm < 1e-6 THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_degenerate
+    FROM norms
+    GROUP BY label
+    """,
+)
+def q_emb_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-column health check: norm distribution, dim consistency,
+    degenerate (near-zero) vectors, per label.
+
+    The per-vector squared-norm accumulates through DECIMAL so the
+    64-term sum is associative (bit-identical at any partitioning and
+    in the oracle engine); group-level norm sums use the same trick.
+    This is the gate a vector pipeline runs before building any index:
+    mixed dimensions, zero vectors, or collapsed norms all surface
+    here. One explode-aggregate (vec_id-local, no raw-embedding
+    shuffle) + one label aggregate.
+    """
+    e = load_table(spark, "embeddings", sf_dir)
+    comp = e.select("vec_id", "label", F.explode("embedding").alias("val"))
+    sq = (F.col("val").cast("double") * F.col("val").cast("double")).cast(
+        "decimal(38,18)"
+    )
+    norms = comp.groupBy("vec_id").agg(
+        F.any_value("label").alias("label"),
+        F.sqrt(F.sum(sq).cast("double")).alias("nrm"),
+        F.count(F.lit(1)).alias("dim"),
+        F.sum(F.when(F.col("val") == 0, 1).otherwise(0)).alias("n_zero_comp"),
+    )
+    return norms.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.min("dim").alias("min_dim"),
+        F.max("dim").alias("max_dim"),
+        F.round(
+            F.sum(F.col("nrm").cast("decimal(28,12)")).cast("double")
+            / F.count(F.lit(1)),
+            4,
+        ).alias("avg_norm"),
+        F.round(F.min("nrm"), 4).alias("min_norm"),
+        F.round(F.max("nrm"), 4).alias("max_norm"),
+        F.sum(F.when(F.col("nrm") < 1e-6, 1).otherwise(0)).alias("n_degenerate"),
+    )
