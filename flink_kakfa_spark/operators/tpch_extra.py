@@ -1,14 +1,18 @@
 """Additional TPC-H-shaped analytics (Tier C relational breadth).
 
-Four classic query shapes beyond the q1/q3/q5 equivalents already in
+Eight classic query shapes beyond the q1/q3/q5 equivalents already in
 ``joins.py``/``relational.py``, adapted to the fixture star schema
 (no partsupp table — unit price stands in for supply cost):
 
 - q2-shape:  correlated MIN subquery (Catalyst decorrelates to a
   per-group min + self-join; the oracle states the correlated form)
+- q4-shape:  EXISTS with a cross-table predicate → left-semi join
 - q8-shape:  market share — conditional aggregation over a star join
 - q10-shape: top returned-revenue customers
+- q12-shape: priority-class conditional counts per line status
+- q14-shape: promo revenue share (global decimal-conditional agg)
 - q18-shape: large-quantity orders via a grouped HAVING semi-join
+- q19-shape: OR-of-ANDs predicates spanning both join sides
 
 Scale notes: every dim side is broadcast; the fact table shuffles at
 most once per aggregate grain; the q2 decorrelation turns a
@@ -198,4 +202,163 @@ def q_tpch_q18_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("c_custkey", "o_orderkey")
         .agg(F.sum("l_quantity").cast("double").alias("total_qty"))
+    )
+
+
+@query(
+    "tpch_q4_late_shipments",
+    oracle="""
+    SELECT o.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders o
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+    )
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q_tpch_q4_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q4 shape: priority census of orders with a late-shipping item.
+
+    EXISTS compiles to a left-semi join on the order key; the
+    ship-after-order predicate rides the join condition, so the fact
+    table is filtered in one pass — no distinct, no subquery loop.
+    """
+    li = load_table(spark, "lineitem", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    return (
+        o.join(
+            li,
+            (F.col("o_orderkey") == F.col("l_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+@query(
+    "tpch_q12_priority_by_linestatus",
+    oracle="""
+    SELECT
+      l.l_linestatus,
+      CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+               THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+               THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY l.l_linestatus
+    """,
+)
+def q_tpch_q12_priority_by_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q12 shape: priority-class line counts per line status."""
+    li = load_table(spark, "lineitem", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~hi, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "tpch_q14_promo_share",
+    oracle="""
+    SELECT
+      ROUND(
+        CAST(100.0 * SUM(CASE WHEN p.p_type = 'PROMO' THEN
+              CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))
+              ELSE CAST(0 AS DECIMAL(18,6)) END)
+        / SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6)))
+        AS DOUBLE), 4) AS promo_revenue_pct
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    """,
+)
+def q_tpch_q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q14 shape: promo parts' percentage of total revenue (global agg).
+
+    Decimal-exact conditional sums; the part side is broadcast.
+    """
+    li = load_table(spark, "lineitem", sf_dir)
+    p = load_table(spark, "part", sf_dir)
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,6)"
+    )
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(
+                (
+                    F.lit(100.0)
+                    * F.sum(
+                        F.when(F.col("p_type") == "PROMO", rev).otherwise(
+                            F.lit(0).cast("decimal(18,6)")
+                        )
+                    )
+                    / F.sum(rev)
+                ).cast("double"),
+                4,
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+@query(
+    "tpch_q19_disjunctive_predicates",
+    oracle="""
+    SELECT
+      ROUND(CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                 AS DECIMAL(18,6))) AS DOUBLE), 2) AS revenue,
+      CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE
+      (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+        AND l.l_quantity BETWEEN 1 AND 20)
+      OR (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 10 AND 30
+        AND l.l_quantity BETWEEN 10 AND 35)
+      OR (p.p_brand = 'Brand#15' AND p.p_size BETWEEN 20 AND 50
+        AND l.l_quantity BETWEEN 20 AND 50)
+    """,
+)
+def q_tpch_q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q19 shape: OR-of-ANDs across both join sides.
+
+    Catalyst extracts the common join key and pushes the per-side
+    conjuncts below the join where possible; the disjunction rides the
+    join filter. One broadcast join, one global agg.
+    """
+    li = load_table(spark, "lineitem", sf_dir)
+    p = load_table(spark, "part", sf_dir)
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,6)"
+    )
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(10, 30)
+            & F.col("l_quantity").between(10, 35)
+        )
+        | (
+            (F.col("p_brand") == "Brand#15")
+            & F.col("p_size").between(20, 50)
+            & F.col("l_quantity").between(20, 50)
+        )
+    )
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(cond)
+        .agg(
+            F.round(F.sum(rev).cast("double"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
     )
