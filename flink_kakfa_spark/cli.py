@@ -188,6 +188,30 @@ def cmd_topics(args) -> int:
     return 0
 
 
+def cmd_query(args) -> int:
+    """Run (or explain) any registered query by name — the batch half of
+    the engine's user surface, one command per SURVEY.md §2 operator."""
+    from flink_kakfa_spark.registry import all_queries
+
+    qs = all_queries()
+    if args.list or not args.name:
+        for name in qs:
+            print(name)
+        return 0
+    if args.name not in qs:
+        print(f"error: unknown query {args.name!r} (see --list)", file=sys.stderr)
+        return 2
+    from flink_kakfa_spark.session import get_spark
+
+    spark = get_spark(f"query-{args.name}")
+    df = qs[args.name](spark, args.sf_dir)
+    if args.explain:
+        df.explain("formatted")
+        return 0
+    df.show(args.limit, truncate=False)
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="flink_kakfa_spark")
     sub = p.add_subparsers(dest="command", required=True)
@@ -228,6 +252,14 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--partitions", type=int, default=1)
     sp.add_argument("--replication-factor", type=int, default=1)
     sp.set_defaults(fn=cmd_topics)
+
+    sp = sub.add_parser("query", help="run/explain any registered batch query")
+    sp.add_argument("name", nargs="?", default=None, help="query name (see --list)")
+    sp.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    sp.add_argument("--limit", type=int, default=20)
+    sp.add_argument("--explain", action="store_true", help="print the formatted physical plan instead of rows")
+    sp.add_argument("--list", action="store_true", help="list registered query names")
+    sp.set_defaults(fn=cmd_query)
     return p
 
 

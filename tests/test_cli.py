@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import json
+import sys
 
 from pyspark.sql import Row
 from pyspark.sql import functions as F
@@ -88,3 +89,31 @@ def test_consumer_reads_dir_source(spark, tmp_path):
     )
     assert proc.returncode == 0, proc.stderr[-2000:]
     assert "ping" in proc.stdout
+
+
+def test_query_command_list_and_run(tmp_path):
+    """`query --list` needs no Spark; `query NAME` runs one end-to-end."""
+    import subprocess
+
+    out = subprocess.run(
+        [sys.executable, "-m", "flink_kakfa_spark", "query", "--list"],
+        capture_output=True, text=True, timeout=120,
+    )
+    assert out.returncode == 0
+    names = out.stdout.split()
+    assert "wordcount" in names and len(names) >= 100
+
+    bad = subprocess.run(
+        [sys.executable, "-m", "flink_kakfa_spark", "query", "nope"],
+        capture_output=True, text=True, timeout=120,
+    )
+    assert bad.returncode == 2 and "unknown query" in bad.stderr
+
+    run = subprocess.run(
+        [
+            sys.executable, "-m", "flink_kakfa_spark", "query",
+            "wordcount_topk", "--sf-dir", "/root/testdata/sf0.001",
+        ],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert run.returncode == 0 and "word" in run.stdout
