@@ -281,3 +281,71 @@ def error_purchase_matches(events: DataFrame, gap_ms: int = 300_000) -> DataFram
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def error_without_purchase(events: DataFrame, gap_ms: int = 300_000) -> DataFrame:
+    """Negative CEP (Flink's ``notFollowedBy``): alert when an error is
+    NOT resolved by a purchase within ``gap_ms``.
+
+    Incident semantics with O(1) state: the first unresolved error per
+    user opens an incident; further errors inside the window join that
+    incident; a purchase within the window resolves it silently. The
+    absence alert fires either when a later event proves the window
+    passed, or — crucially — when the event-time WATERMARK passes the
+    deadline with no event at all (``EventTimeTimeout``), so silence
+    itself triggers the alert, deterministically under replay.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    filt = events.filter(
+        F.col("event_type").isin("error", "purchase")
+    ).select("user_id", "event_id", "event_type", "ts").withWatermark(
+        "ts", "10 seconds"
+    )
+
+    # closure (not module-level) so cloudpickle ships it by value
+    def detect(key, pdfs, state):
+        import pandas as pd
+
+        def absence(eid, ets_us):
+            return pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "error_event_id": [eid],
+                    "error_ts": [pd.Timestamp(ets_us, unit="us")],
+                }
+            )
+
+        if state.hasTimedOut:
+            eid, ets_us = state.get
+            state.remove()
+            yield absence(eid, ets_us)
+            return
+        pending = state.get if state.exists else None
+        frames = [pdf for pdf in pdfs if len(pdf)]
+        if frames:
+            rows = pd.concat(frames).sort_values(["ts", "event_id"])
+            for r in rows.itertuples():
+                ts_us = r.ts.value // 1000
+                if pending and ts_us > pending[1] + gap_ms * 1000:
+                    yield absence(*pending)
+                    pending = None
+                if r.event_type == "error":
+                    if pending is None:
+                        pending = (int(r.event_id), ts_us)
+                elif pending is not None:  # purchase inside the window
+                    pending = None
+        if pending is None:
+            if state.exists:
+                state.remove()
+        else:
+            state.update((pending[0], int(pending[1])))
+            state.setTimeoutTimestamp(pending[1] // 1000 + gap_ms)
+
+    return filt.groupBy("user_id").applyInPandasWithState(
+        detect,
+        outputStructType="user_id long, error_event_id long, error_ts timestamp",
+        stateStructType="eid long, ets_us long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

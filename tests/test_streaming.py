@@ -639,3 +639,62 @@ def test_streaming_cep_matches_across_batches(spark, tmp_path):
         for r in spark.table(name).collect()
     ]
     assert got == [(1, 1, 4, 60_000)]
+
+
+def test_streaming_negative_cep_alerts_on_unresolved_error(spark, tmp_path):
+    """Absence detection: u1's error gets no purchase — the watermark
+    passing its deadline fires the alert with NO further u1 events;
+    u2's error is resolved in a later batch and stays silent."""
+    import time
+
+    from flink_kakfa_spark.streaming.stateful import error_without_purchase
+
+    def _ev(rows, subdir):
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts string, user_id long, event_type string",
+        ).withColumn("ts", F.to_timestamp("ts")).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{tmp_path}/src/{subdir}")
+        time.sleep(1.1)  # distinct mtimes keep file-source batch order
+
+    _ev(
+        [
+            (1, "2024-01-01 00:00:01", 1, "error"),
+            (2, "2024-01-01 00:00:05", 2, "error"),
+        ],
+        "b0",
+    )
+    _ev(
+        [
+            (3, "2024-01-01 00:00:30", 2, "purchase"),  # resolves u2
+            (4, "2024-01-01 00:30:00", 9, "error"),  # watermark -> 00:29:50
+        ],
+        "b1",
+    )
+    _ev([(5, "2024-01-01 01:00:00", 9, "purchase")], "b2")  # drives b2
+
+    src = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{tmp_path}/src/*")
+    )
+    name = f"ncep_{uuid.uuid4().hex[:8]}"
+    q = (
+        error_without_purchase(src)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", f"{tmp_path}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], r["error_event_id"])
+        for r in spark.table(name).collect()
+        if r["user_id"] in (1, 2)
+    }
+    assert got == {(1, 1)}  # u1 alerted by silence; u2 resolved, no alert
