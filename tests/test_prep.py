@@ -83,3 +83,27 @@ def test_chunking_reconstructs_documents(spark, tmp_path):
         for c in chunks[1:]:
             words.extend(c.split(" ")[8:])
         assert words == text.split(" "), f"doc {i} failed reconstruction"
+
+
+def test_media_payloads_are_real_files(spark, tmp_path):
+    """The WAV/BMP bytes are genuine containers: stdlib `wave` parses
+    the audio and the bitmap honors its own header geometry."""
+    import io
+    import struct
+    import wave as wavelib
+
+    _docs(spark, tmp_path, ["a b c", "d e f"])
+    from flink_kakfa_spark.operators import media
+
+    rows = all_queries()["mm_wav_roundtrip_features"](
+        spark, str(tmp_path)
+    ).collect()
+    by_id = {r["doc_id"]: r for r in rows}
+    assert by_id[0]["n_frames"] == 800 and by_id[1]["n_frames"] == 900
+    assert all(r["sample_rate"] == 8000 for r in rows)
+
+    brows = {r["doc_id"]: r for r in all_queries()["mm_bmp_roundtrip_features"](
+        spark, str(tmp_path)
+    ).collect()}
+    assert brows[0]["width"] == 8 and brows[1]["width"] == 9
+    assert all(r["height"] == 8 for r in brows.values())
