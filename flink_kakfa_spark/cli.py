@@ -197,6 +197,10 @@ def cmd_query(args) -> int:
     if args.list or not args.name:
         for name in qs:
             print(name)
+        if not args.list:
+            # listing was implicit — hint the run surface so a
+            # forgotten NAME argument isn't silently misread
+            print("usage: query NAME [--explain] (or --list)", file=sys.stderr)
         return 0
     if args.name not in qs:
         print(f"error: unknown query {args.name!r} (see --list)", file=sys.stderr)

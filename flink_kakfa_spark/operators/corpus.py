@@ -266,7 +266,7 @@ def q_corpus_domain_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT
       label,
       COUNT(*) AS n_vecs,
-      SUM(CASE WHEN c_label = label THEN 1 ELSE 0 END) AS n_pure,
+      CAST(SUM(CASE WHEN c_label = label THEN 1 ELSE 0 END) AS BIGINT) AS n_pure,
       CAST(SUM(CASE WHEN c_label = label THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
         AS purity
     FROM nearest WHERE rn = 1

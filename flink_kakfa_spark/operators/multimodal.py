@@ -22,7 +22,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
-    ArrayType, DoubleType, IntegerType, LongType, StructField, StructType,
+    DoubleType, IntegerType, LongType, StructField, StructType,
 )
 
 from flink_kakfa_spark.registry import query
@@ -141,7 +141,10 @@ def q_mm_decode_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 _FEAT_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),
-        StructField("feature", ArrayType(DoubleType())),
+        StructField("f_mean", DoubleType()),
+        StructField("f_min", DoubleType()),
+        StructField("f_max", DoubleType()),
+        StructField("f_mod", DoubleType()),
         StructField("n_bytes", IntegerType()),
     ]
 )
@@ -165,9 +168,11 @@ _FEAT_SCHEMA = StructType(
     )
     SELECT
       doc_id,
-      [mean_v, CAST(min_v AS DOUBLE), CAST(max_v AS DOUBLE),
-       CAST(n % 97 AS DOUBLE)] AS feature,
-      n AS n_bytes
+      mean_v AS f_mean,
+      CAST(min_v AS DOUBLE) AS f_min,
+      CAST(max_v AS DOUBLE) AS f_max,
+      CAST(n % 97 AS DOUBLE) AS f_mod,
+      CAST(n AS INTEGER) AS n_bytes
     FROM stats
     """,
 )
@@ -175,8 +180,11 @@ def q_mm_extract_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature-extract stage: binary payload → fixed-dim float vector.
 
     The numpy byte-summary stands in for a vision encoder; the
-    contract (binary in, array<double> out, one row per doc) is the
-    real deliverable. The payloads are UTF-8 text bytes and the corpus
+    contract (binary in, fixed-dim float features out, one row per
+    doc) is the real deliverable. The 4 feature dims are emitted as
+    scalar columns (not array<double>) so the driver's pandas-based
+    canonicalizer can sort the result — r4 showed it cannot factorize
+    list-typed cells. The payloads are UTF-8 text bytes and the corpus
     is pure ASCII, so the DuckDB oracle reproduces the byte stream
     with ord(substr(...)) and the mean is an exact integer-sum/count —
     value-exact across engines (upgraded from the old rows-only
@@ -190,18 +198,18 @@ def q_mm_extract_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            out = {"doc_id": [], "feature": [], "n_bytes": []}
+            out = {
+                "doc_id": [], "f_mean": [], "f_min": [], "f_max": [],
+                "f_mod": [], "n_bytes": [],
+            }
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 arr = np.frombuffer(bytes(payload), dtype=np.uint8)
                 # deterministic 4-dim summary of the byte stream
-                feat = [
-                    float(arr.mean()),
-                    float(arr.min()),
-                    float(arr.max()),
-                    float(len(arr) % 97),
-                ]
                 out["doc_id"].append(int(doc_id))
-                out["feature"].append(feat)
+                out["f_mean"].append(float(arr.mean()))
+                out["f_min"].append(float(arr.min()))
+                out["f_max"].append(float(arr.max()))
+                out["f_mod"].append(float(len(arr) % 97))
                 out["n_bytes"].append(len(arr))
             yield _pd.DataFrame(out)
 

@@ -151,10 +151,11 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT
       source,
       COUNT(*) AS n_docs,
-      SUM(CASE WHEN n_doc_pii > 0 THEN 1 ELSE 0 END) AS docs_with_pii,
-      SUM(n_doc_emails) AS total_emails,
-      SUM(n_doc_phones) AS total_phones,
-      SUM(n_doc_ips) AS total_ips,
+      CAST(SUM(CASE WHEN n_doc_pii > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        AS docs_with_pii,
+      CAST(SUM(n_doc_emails) AS BIGINT) AS total_emails,
+      CAST(SUM(n_doc_phones) AS BIGINT) AS total_phones,
+      CAST(SUM(n_doc_ips) AS BIGINT) AS total_ips,
       CAST(SUM(CASE WHEN n_doc_pii > 0 THEN 1 ELSE 0 END) AS DOUBLE)
         / COUNT(*) AS pii_doc_rate
     FROM (

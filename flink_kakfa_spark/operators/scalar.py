@@ -200,7 +200,8 @@ def q_scalar_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT
       event_type,
-      SUM(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT)) AS sum_k,
+      CAST(SUM(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT))
+           AS BIGINT) AS sum_k,
       COUNT(*) AS n
     FROM events
     GROUP BY event_type

@@ -68,7 +68,7 @@ def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT
       lang,
       COUNT(*) AS n_docs,
-      SUM(n_chars) AS total_chars,
+      CAST(SUM(n_chars) AS BIGINT) AS total_chars,
       CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
     FROM documents
     GROUP BY lang
@@ -356,7 +356,7 @@ def q_text_tfidf_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT
       lang,
       COUNT(*) AS n_docs,
-      SUM(n_tokens) AS total_tokens,
+      CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
       CAST(SUM(n_chars) AS DOUBLE) / SUM(n_tokens) AS chars_per_token
     FROM kept
     GROUP BY lang
@@ -412,8 +412,9 @@ def q_pipeline_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     packed AS (
       SELECT
         doc_id, shard, n_tokens,
-        SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
-                            ROWS UNBOUNDED PRECEDING) - n_tokens AS start_offset
+        CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                            ROWS UNBOUNDED PRECEDING) AS BIGINT)
+          - n_tokens AS start_offset
       FROM counted
     )
     SELECT

@@ -86,8 +86,10 @@ def q_tpch_q2_min_unit_price(spark: SparkSession, sf_dir: str) -> DataFrame:
       CAST(EXTRACT(year FROM o.o_orderdate) AS INTEGER) AS o_year,
       ROUND(
         CAST(SUM(CASE WHEN n.n_name = 'NATION_0' THEN
-              l.l_extendedprice * (1 - l.l_discount) ELSE 0 END) AS DOUBLE)
-        / SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS mkt_share
+              CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))
+              ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+        / CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                        AS DECIMAL(18,6))) AS DOUBLE), 4) AS mkt_share
     FROM lineitem l
     JOIN orders o ON l.l_orderkey = o.o_orderkey
     JOIN customer c ON o.o_custkey = c.c_custkey
@@ -115,14 +117,12 @@ def q_tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
             F.round(
-                (
-                    F.sum(
-                        F.when(F.col("n_name") == "NATION_0", rev).otherwise(
-                            F.lit(0).cast("decimal(18,6)")
-                        )
+                F.sum(
+                    F.when(F.col("n_name") == "NATION_0", rev).otherwise(
+                        F.lit(0).cast("decimal(18,6)")
                     )
-                    / F.sum(rev)
-                ).cast("double"),
+                ).cast("double")
+                / F.sum(rev).cast("double"),
                 4,
             ).alias("mkt_share")
         )
@@ -133,7 +133,8 @@ def q_tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q10_returned_revenue",
     oracle="""
     SELECT c.c_custkey, c.c_name, n.n_name,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS lost_revenue
+           ROUND(CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                 AS DECIMAL(18,6))) AS DOUBLE), 2) AS lost_revenue
     FROM lineitem l
     JOIN orders o ON l.l_orderkey = o.o_orderkey
     JOIN customer c ON o.o_custkey = c.c_custkey

@@ -28,6 +28,7 @@ def stream_stream_join(
     time_col: str = "ts",
     tolerance: str = "10 seconds",
     how: str = "inner",
+    late_by: str | None = None,
 ) -> DataFrame:
     """Equi-join of two (streaming or batch) message frames.
 
@@ -36,13 +37,22 @@ def stream_stream_join(
     same plan (no watermark), so the batch join is the oracle for the
     streaming one.
 
+    ``tolerance`` is only the event-time MATCH window; ``late_by`` is
+    the independent watermark delay bounding how far out-of-order each
+    input may arrive before its rows are dropped as late (state
+    retention grows with it). It defaults to ``tolerance`` — the
+    smallest delay that never drops an in-window match when inputs
+    arrive in order — but a source with stragglers should pass a
+    larger ``late_by`` rather than widening the join window.
+
     ``how="left_outer"`` emits unmatched left rows null-extended — in
     streaming mode Spark holds them until the watermark proves no
     future right row can match (left.ts + tolerance < watermark), so
     outer results trail the watermark rather than the data.
     """
-    l = left.withWatermark(time_col, tolerance) if left.isStreaming else left
-    r = right.withWatermark(time_col, tolerance) if right.isStreaming else right
+    delay = late_by if late_by is not None else tolerance
+    l = left.withWatermark(time_col, delay) if left.isStreaming else left
+    r = right.withWatermark(time_col, delay) if right.isStreaming else right
     cond = (
         (F.col(f"l.{key}") == F.col(f"r.{key}"))
         & (F.col(f"r.{time_col}") >= F.col(f"l.{time_col}"))

@@ -246,14 +246,17 @@ def error_purchase_matches(events: DataFrame, gap_ms: int = 300_000) -> DataFram
             rows = pd.concat(frames).sort_values(["ts", "event_id"])
             for r in rows.itertuples():
                 ts_us = r.ts.value // 1000  # pandas ns -> microseconds
+                # floor EACH timestamp to ms before subtracting — the
+                # unix_millis(next_ts) - unix_millis(ts) semantics of
+                # the batch twin/oracle, so a pair straddling a ms
+                # boundary scores the same gap in both engines
+                gap_val = ts_us // 1000 - last_ts_us // 1000
                 if (
                     r.event_type == "purchase"
                     and last_type == "error"
-                    and (ts_us - last_ts_us) // 1000 <= gap_ms
+                    and gap_val <= gap_ms
                 ):
-                    out.append(
-                        (key[0], last_id, int(r.event_id), (ts_us - last_ts_us) // 1000)
-                    )
+                    out.append((key[0], last_id, int(r.event_id), gap_val))
                 last_type, last_ts_us, last_id = (
                     r.event_type,
                     ts_us,

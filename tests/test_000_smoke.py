@@ -27,62 +27,64 @@ PKG = REPO / "flink_kakfa_spark"
 
 # The curated driver-verification window (first 50 registered names).
 # Rounds 1-2 spent the window on the relational block (all green);
-# round 4 spends it on the LLM-pipeline block (dedup / similarity /
-# text / multimodal / sql_surface / asof / merge / timeseries /
-# time_windows) so those queries earn driver CORRECTNESS rows.
-# Rotate DELIBERATELY (update this list + registry module order
-# together); never by accident.
+# round 4 spent it on the LLM-pipeline block (44/50 green); round 5
+# rotates in the 39 queries that had never had a driver row (scalar
+# tail + decontam/corpus/pii/quality/sketches/behavior/prep/
+# tpch_extra/media), the 4 r4 rows repaired this round, and new
+# round-5 queries — by end of round 5 the union of r1/r2/r4/r5 green
+# rows covers the whole registry. Rotate DELIBERATELY (update this
+# list + registry._WINDOW_FRONT together); never by accident.
 DRIVER_WINDOW = [
+    "scalar_array_funcs",
+    "scalar_json_extract",
+    "scalar_cast_funcs",
+    "reference_message_shape",
+    "scalar_from_json_struct",
+    "scalar_date_funcs2",
+    "scalar_map_funcs",
+    "decontam_eval_overlap",
+    "text_repetition_ngrams",
+    "corpus_source_stats",
+    "corpus_mixture_weights",
+    "corpus_temperature_sample",
+    "corpus_domain_filter",
+    "emb_centroid_purity",
+    "emb_quality_stats",
+    "pii_redact",
+    "pii_scan_stats",
+    "quality_gopher_filter",
+    "quality_containment_score",
+    "agg_hll_mergeable_rollup",
+    "sql_recursive_month_spine",
+    "agg_approx_percentile_bounds",
+    "funnel_signup_click_purchase",
+    "agg_salted_wordcount",
+    "cep_error_then_purchase",
+    "anomaly_zscore_events",
+    "pipeline_chunk_documents",
+    "text_unigram_surprisal",
+    "sample_k_per_source",
+    "tpch_q2_min_unit_price",
+    "tpch_q8_market_share",
+    "tpch_q10_returned_revenue",
+    "tpch_q18_big_orders",
+    "tpch_q4_late_shipments",
+    "tpch_q12_priority_by_linestatus",
+    "tpch_q14_promo_share",
+    "tpch_q19_disjunctive_predicates",
+    "mm_wav_roundtrip_features",
+    "mm_bmp_roundtrip_features",
+    "text_lang_distribution",
+    "pipeline_training_prep",
+    "pipeline_pack_sequences",
+    "mm_extract_features",
     "wordcount",
     "wordcount_topk",
     "dedup_exact_stats",
     "dedup_exact_keep_first",
     "dedup_ngram_jaccard",
     "dedup_ngram_jaccard_guarded",
-    "dedup_minhash_lsh",
     "dedup_minhash_portable",
-    "dedup_simhash",
-    "dedup_embedding_cosine",
-    "dedup_clusters",
-    "dedup_near_unique",
-    "dedup_fuzzy_partnames",
-    "sim_cosine_topk",
-    "sim_euclidean_topk",
-    "sim_lsh_ann_topk",
-    "sim_ivf_cell_stats",
-    "sim_ivf_kmeans_topk",
-    "sim_cosine_topk_pandas",
-    "sim_ivf_portable_topk",
-    "text_token_stats",
-    "text_lang_distribution",
-    "text_quality_score",
-    "text_lang_id",
-    "text_fingerprint",
-    "text_fingerprint_rolling",
-    "text_token_count_estimate",
-    "text_bigram_top20",
-    "text_tfidf_top20",
-    "pipeline_training_prep",
-    "pipeline_pack_sequences",
-    "pipeline_stratified_sample",
-    "mm_binary_metadata",
-    "mm_decode_frames",
-    "mm_extract_features",
-    "sql_cte_top_nations",
-    "sql_grouping_sets",
-    "sql_having_scalar_subquery",
-    "sql_correlated_exists",
-    "sql_pivot_status_by_priority",
-    "sql_ranked_subquery_filter",
-    "sql_in_subquery_not_in",
-    "sql_lateral_posexplode",
-    "asof_last_purchase",
-    "merge_scd1_orders",
-    "ts_resample_gapfill",
-    "ts_gapfill_locf",
-    "window_tumbling_events",
-    "window_sliding_events",
-    "window_session_events",
 ]
 
 

@@ -161,7 +161,11 @@ def test_mm_decode_frames_contract(spark, sf_dir):
 
 def test_mm_extract_features_dim(spark, sf_dir):
     rows = all_queries()["mm_extract_features"](spark, sf_dir).limit(5).collect()
-    assert all(len(r["feature"]) == 4 for r in rows)
+    # 4 scalar feature dims (de-arrayed in r5 so the driver canonicalizer
+    # can sort the result) + byte count
+    for r in rows:
+        assert {"f_mean", "f_min", "f_max", "f_mod", "n_bytes"} <= set(r.asDict())
+        assert 0.0 <= r["f_min"] <= r["f_mean"] <= r["f_max"] <= 255.0
     assert all(r["n_bytes"] > 0 for r in rows)
 
 
