@@ -56,6 +56,12 @@ HEADLINE = [
     "funnel_signup_click_purchase",  # ordered funnel: one user_id exchange
     "cep_error_then_purchase",  # CEP pattern: one lead-window exchange
     "tpch_q10_returned_revenue",  # star-join top-k with broadcast dims
+    # round-5 additions: the round-4 modules' heavy hitters, tracked
+    # round-over-round like the rest (VERDICT r4 item 7)
+    "quality_containment_score",  # inverted-index containment join
+    "emb_centroid_purity",      # embedding diagnostics: decimal-sum agg
+    "dedup_clusters",           # iterative label propagation (slowest query)
+    "corpus_temperature_sample",  # temperature-weighted corpus sampling
 ]
 
 

@@ -823,13 +823,40 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .cache()
     )
-    labels = (
-        sym.select("src").distinct().select(F.col("src").alias("node"), F.col("src").alias("label"))
+    result = propagate_min_labels(sym).select(
+        F.col("label").alias("cluster_id"), F.col("node").alias("doc_id")
+    )
+    sym.unpersist()
+    edges.unpersist()
+    return result
+
+
+def propagate_min_labels(sym: DataFrame, checkpoint_every: int = 5) -> DataFrame:
+    """Connected components by iterative min-label propagation.
+
+    ``sym`` is a symmetric edge list (src, dst); returns (node, label)
+    with label = min node id in the component. Each round is one
+    distributed join+agg; the driver only reads a 0/1 convergence flag.
+
+    Min-label propagation terminates unconditionally: labels decrease
+    monotonically and are bounded below, so `changed` must reach 0
+    within component-diameter rounds — loop to convergence, no cap
+    (a fixed cap would silently return wrong labels on a long chain).
+
+    Lineage hardening for deep components: `.cache()` truncates
+    recomputation but NOT the logical plan, so on a diameter-d
+    component the plan nests d joins deep — analysis cost grows per
+    round and a lost executor would recompute the whole chain. Every
+    ``checkpoint_every`` rounds the labels are localCheckpoint-ed
+    (eager), cutting the plan back to a leaf; tested on a 60-node
+    path graph (test_dedup_clusters_long_chain) where the plan string
+    stays bounded while the un-checkpointed variant's grows ~linearly
+    per round.
+    """
+    labels = sym.select("src").distinct().select(
+        F.col("src").alias("node"), F.col("src").alias("label")
     ).cache()
-    # Min-label propagation terminates unconditionally: labels decrease
-    # monotonically and are bounded below, so `changed` must reach 0
-    # within component-diameter rounds — loop to convergence, no cap
-    # (a fixed cap would silently return wrong labels on a long chain).
+    rounds = 0
     while True:
         neighbor_min = (
             sym.join(labels, sym.dst == labels.node)
@@ -842,8 +869,12 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "node",
                 F.least(F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))).alias("label"),
             )
-            .cache()
         )
+        rounds += 1
+        if rounds % checkpoint_every == 0:
+            new_labels = new_labels.localCheckpoint()  # eager: truncates lineage
+        else:
+            new_labels = new_labels.cache()
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
@@ -855,12 +886,10 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
-    result = labels.select(
-        F.col("label").alias("cluster_id"), F.col("node").alias("doc_id")
-    ).localCheckpoint()  # materialize before releasing the caches below
+    # materialize before the caller releases upstream caches; also the
+    # final lineage cut if the loop ended between checkpoints
+    result = labels.localCheckpoint()
     labels.unpersist()
-    sym.unpersist()
-    edges.unpersist()
     return result
 
 

@@ -270,3 +270,30 @@ def test_repetition_ngrams_exact_counts_and_narrow_plan(spark, tmp_path):
     # is parallelize()'s fixture-oriented round-robin repartition)
     assert "hashpartitioning" not in plan
     assert "rangepartitioning" not in plan
+
+
+def test_dedup_clusters_long_chain_bounded_lineage(spark):
+    """A 60-node path graph (diameter 59) converges to one component
+    with correct labels AND bounded plan depth — the r5 lineage
+    hardening: labels are localCheckpoint-ed every 5 rounds, so the
+    plan resets to a leaf instead of nesting one join per round."""
+    from pyspark.sql import functions as F
+
+    from flink_kakfa_spark.operators.dedup import propagate_min_labels
+
+    chain = [(i, i + 1) for i in range(59)]          # 0-1-2-...-59
+    tri = [(100, 101), (101, 102), (100, 102)]       # separate component
+    edges = spark.createDataFrame(chain + tri, ["src", "dst"])
+    sym = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+
+    labels = propagate_min_labels(sym, checkpoint_every=5)
+    got = {r["node"]: r["label"] for r in labels.collect()}
+    assert all(got[i] == 0 for i in range(60))
+    assert all(got[i] == 100 for i in (100, 101, 102))
+    # localCheckpoint truncation: the converged result's plan is a
+    # scan of checkpointed partitions, not 59 nested join rounds
+    plan = labels._jdf.queryExecution().executedPlan().toString()
+    assert len(plan) < 2000, f"lineage not truncated: {len(plan)} chars"
+    assert "Scan ExistingRDD" in plan or "LocalTableScan" in plan

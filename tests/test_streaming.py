@@ -698,3 +698,103 @@ def test_streaming_negative_cep_alerts_on_unresolved_error(spark, tmp_path):
         if r["user_id"] in (1, 2)
     }
     assert got == {(1, 1)}  # u1 alerted by silence; u2 resolved, no alert
+
+
+def _ev_batch(spark, tmp_path, rows, subdir):
+    import time
+
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string",
+    ).withColumn("ts", F.to_timestamp("ts")).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{tmp_path}/src/{subdir}")
+    time.sleep(1.1)  # distinct mtimes keep file-source batch order
+
+
+def test_streaming_cep_restart_no_dup_or_loss(spark, tmp_path):
+    """T6 rigor for the stateful CEP op: kill the query after the error
+    arrives, restart from checkpoint, deliver the purchase — the pair
+    must be detected EXACTLY once (keyed state recovered, no replay
+    duplicate)."""
+    from flink_kakfa_spark.streaming.stateful import error_purchase_matches
+
+    out = f"{tmp_path}/out"
+    ckpt = f"{tmp_path}/ckpt"
+
+    def run_once():
+        src = (
+            spark.readStream.schema(
+                "event_id long, ts timestamp, user_id long, event_type string"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{tmp_path}/src/*")
+        )
+        q = (
+            error_purchase_matches(src)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    _ev_batch(spark, tmp_path, [(1, "2024-01-01 00:00:00", 1, "error")], "b0")
+    run_once()  # error buffered in state; query stops (simulated kill)
+    _ev_batch(spark, tmp_path, [(2, "2024-01-01 00:01:00", 1, "purchase")], "b1")
+    run_once()  # restart: state must survive, purchase matches the error
+    run_once()  # second restart with nothing new: must add nothing
+    got = [
+        (r["user_id"], r["error_event_id"], r["purchase_event_id"], r["gap_ms"])
+        for r in spark.read.parquet(out).collect()
+    ]
+    assert got == [(1, 1, 2, 60_000)]  # exactly once across restarts
+
+
+def test_streaming_negative_cep_restart_alert_exactly_once(spark, tmp_path):
+    """Restart twin for absence detection: u1's unresolved error alert
+    fires after a restart (timeout state + watermark recovered from the
+    checkpoint) and is not re-emitted by a further restart; u2 resolved
+    before the deadline stays silent."""
+    from flink_kakfa_spark.streaming.stateful import error_without_purchase
+
+    out = f"{tmp_path}/out"
+    ckpt = f"{tmp_path}/ckpt"
+
+    def run_once():
+        src = (
+            spark.readStream.schema(
+                "event_id long, ts timestamp, user_id long, event_type string"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{tmp_path}/src/*")
+        )
+        q = (
+            error_without_purchase(src)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    _ev_batch(
+        spark,
+        tmp_path,
+        [(1, "2024-01-01 00:00:01", 1, "error"), (2, "2024-01-01 00:00:05", 2, "error")],
+        "b0",
+    )
+    run_once()  # both errors pending; stop before any deadline passes
+    _ev_batch(spark, tmp_path, [(3, "2024-01-01 00:00:30", 2, "purchase")], "b1")
+    _ev_batch(spark, tmp_path, [(4, "2024-01-01 00:30:00", 9, "error")], "b2")
+    _ev_batch(spark, tmp_path, [(5, "2024-01-01 01:00:00", 9, "purchase")], "b3")
+    run_once()  # restart: u2 resolves, watermark passes u1's deadline -> alert
+    run_once()  # third run, no new data: alert must not duplicate
+    got = sorted(
+        (r["user_id"], r["error_event_id"])
+        for r in spark.read.parquet(out).collect()
+        if r["user_id"] in (1, 2)
+    )
+    assert got == [(1, 1)]
