@@ -386,3 +386,59 @@ def q_emb_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("nrm"), 4).alias("max_norm"),
         F.sum(F.when(F.col("nrm") < 1e-6, 1).otherwise(0)).alias("n_degenerate"),
     )
+
+
+@query(
+    "emb_matryoshka_quality",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+      FROM embeddings
+    ),
+    norms AS (
+      SELECT
+        vec_id, label,
+        SQRT(list_sum(list_transform(emb[1:16], x -> x * x))) AS norm16,
+        SQRT(list_sum(list_transform(emb, x -> x * x))) AS norm_full
+      FROM v
+    )
+    SELECT
+      label,
+      CAST(COUNT(*) AS BIGINT) AS n_vecs,
+      ROUND(AVG(norm16 / norm_full), 6) AS avg_retention,
+      ROUND(MIN(norm16 / norm_full), 6) AS min_retention
+    FROM norms
+    GROUP BY label
+    """,
+)
+def q_emb_matryoshka_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-truncation diagnostic: how much of each vector's norm
+    the first 16 of 64 dimensions retain, summarized per label.
+
+    For a zero-padded prefix truncation, cosine(full, truncated) equals
+    ||v[:16]|| / ||v|| — so retention IS the exact cosine between the
+    full vector and its 16-dim matryoshka truncation. Run before
+    swapping a pipeline to truncated embeddings: labels with low
+    retention lose their geometry first.
+
+    100 TB shape: one narrow map computes both norms with in-array
+    folds (no explode, nothing but (label, two doubles) reaches the
+    shuffle), then a label-count-sized aggregate. AVG order-dependence
+    is rounded off at 6 decimals on both engines.
+    """
+    e = load_table(spark, "embeddings", sf_dir)
+    emb = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    sq_sum = lambda col: F.aggregate(  # noqa: E731 - local fold helper
+        col, F.lit(0.0), lambda s, x: s + x * x
+    )
+    norms = e.select(
+        "label",
+        F.sqrt(sq_sum(F.slice(emb, 1, 16))).alias("norm16"),
+        F.sqrt(sq_sum(emb)).alias("norm_full"),
+    )
+    retention = F.col("norm16") / F.col("norm_full")
+    return norms.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(F.avg(retention), 6).alias("avg_retention"),
+        F.round(F.min(retention), 6).alias("min_retention"),
+    )

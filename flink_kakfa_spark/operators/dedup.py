@@ -999,3 +999,86 @@ def q_dedup_fuzzy_partnames(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("edit_dist").asc(), F.col("key_a").asc(), F.col("key_b").asc())
         .limit(20)
     )
+
+
+@query(
+    "dedup_paragraphs",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+    ),
+    seg AS (
+      SELECT
+        doc_id,
+        md5(array_to_string(ts[(k*16+1):(k*16+16)], ' ')) AS h,
+        len(ts[(k*16+1):(k*16+16)]) AS ntok
+      FROM tok,
+           UNNEST(generate_series(
+             0, CAST(CEIL(len(ts) / 16.0) AS BIGINT) - 1)) AS g(k)
+    ),
+    shared AS (
+      SELECT h FROM seg GROUP BY h HAVING COUNT(DISTINCT doc_id) > 1
+    )
+    SELECT
+      seg.doc_id,
+      CAST(COUNT(*) AS BIGINT) AS n_segments,
+      CAST(SUM(CASE WHEN s.h IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+        AS n_dup_segments,
+      CAST(SUM(CASE WHEN s.h IS NOT NULL THEN ntok ELSE 0 END) AS DOUBLE)
+        / SUM(ntok) AS dup_token_fraction
+    FROM seg LEFT JOIN shared s ON seg.h = s.h
+    GROUP BY seg.doc_id
+    """,
+)
+def q_dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-level dedup diagnostics (the Dolma/CCNet pass that
+    removes boilerplate paragraphs repeated across documents, applied
+    at segment granularity since the fixture corpus is unsegmented
+    prose: consecutive 16-token blocks stand in for paragraphs).
+
+    Per doc: segment count, segments shared with at least one OTHER
+    document, and the token fraction those shared segments cover —
+    the decision signal for paragraph-level removal vs whole-doc drop.
+
+    100 TB plan: segments hash to md5 IMMEDIATELY after the narrow
+    split/slice map, so the shared-segment groupBy and the join back
+    shuffle only (doc_id, 32-byte hash, token count) — never segment
+    text. The shared set is joined (not collected); no driver action,
+    no broadcast assumption about duplicate volume.
+    """
+    d = parallelize(load_table(spark, "documents", sf_dir), spark)
+    t = F.split(F.col("text"), " ")
+    n_seg = F.ceil(F.size(t) / F.lit(16.0)).cast("long")
+    seg_texts = F.transform(
+        F.sequence(F.lit(0), n_seg - 1),
+        lambda k: F.array_join(F.slice(t, k * 16 + 1, 16), " "),
+    )
+    seg = d.select(
+        "doc_id", F.explode(seg_texts).alias("seg_text")
+    ).select(
+        "doc_id",
+        F.md5(F.col("seg_text").cast("binary")).alias("h"),
+        F.size(F.split(F.col("seg_text"), " ")).alias("ntok"),
+    )
+    shared = (
+        seg.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") > 1)
+        .select("h", F.lit(1).alias("is_shared"))
+    )
+    return (
+        seg.join(shared, "h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            F.sum(F.when(F.col("is_shared").isNull(), 0).otherwise(1)).alias(
+                "n_dup_segments"
+            ),
+            (
+                F.sum(
+                    F.when(F.col("is_shared").isNotNull(), F.col("ntok")).otherwise(0)
+                ).cast("double")
+                / F.sum("ntok")
+            ).alias("dup_token_fraction"),
+        )
+    )

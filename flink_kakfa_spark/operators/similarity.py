@@ -477,3 +477,141 @@ def q_sim_ivf_portable_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
         .limit(10)
     )
+
+
+@query(
+    "sim_sq8_rescore_topk",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+      FROM embeddings
+    ),
+    comp AS (
+      SELECT vec_id, i, emb[i] AS val
+      FROM v, UNNEST(generate_series(1, len(emb))) AS g(i)
+    ),
+    dimstats AS (SELECT i, MIN(val) AS mn, MAX(val) AS mx FROM comp GROUP BY i),
+    packed AS (
+      SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs
+      FROM dimstats
+    ),
+    q AS (SELECT emb AS qvec FROM v WHERE vec_id = 0),
+    quant AS (
+      SELECT
+        vec_id, label, emb,
+        list_transform(list_zip(emb, mns, mxs), z ->
+          CASE WHEN (z[3] - z[2]) = 0 THEN 0.0
+               ELSE LEAST(255.0, FLOOR(((z[1] - z[2]) / (z[3] - z[2])) * 255.0))
+          END) AS qq
+      FROM v, packed
+      WHERE vec_id <> 0
+    ),
+    dequant AS (
+      SELECT
+        vec_id, label, emb,
+        list_transform(list_zip(qq, mns, mxs), z ->
+          z[2] + ((z[1] + 0.5) * (z[3] - z[2])) / 256.0) AS dq
+      FROM quant, packed
+    ),
+    approx AS (
+      SELECT
+        vec_id, label, emb,
+        list_sum(list_transform(list_zip(dq, qvec), z -> z[1] * z[2]))
+          / (SQRT(list_sum(list_transform(dq, x -> x * x)))
+             * SQRT(list_sum(list_transform(qvec, x -> x * x)))) AS approx_cos
+      FROM dequant, q
+    ),
+    cut AS (
+      SELECT vec_id, label, emb, approx_cos,
+             ROW_NUMBER() OVER (ORDER BY approx_cos DESC, vec_id ASC) AS rn
+      FROM approx
+    )
+    SELECT
+      c.vec_id,
+      c.label,
+      ROUND(c.approx_cos, 6) AS approx_cos,
+      ROUND(list_cosine_similarity(c.emb, q.qvec), 6) AS cos_sim
+    FROM cut c, q
+    WHERE c.rn <= 50
+    ORDER BY cos_sim DESC, c.vec_id ASC
+    LIMIT 10
+    """,
+)
+def q_sim_sq8_rescore_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 scale path: int8 scalar quantization (SQ8) candidate scan +
+    exact rescore — the memory-bound ANN recipe (4x smaller vectors
+    scanned, full precision only for the shortlist).
+
+    Stages: (1) per-dimension min/max over the corpus — a 64-row
+    aggregate, broadcast back; (2) quantize each vector to 8-bit codes
+    with floor((v-mn)/range*255) (floor, not round: identical halfway
+    behavior across engines); (3) approximate cosine against the
+    full-precision query using bucket-midpoint dequantization
+    (asymmetric distance); (4) TakeOrdered(50) shortlist; (5) exact
+    cosine rescore of the shortlist, top-10.
+
+    At 100 TB the quantized scan is what makes brute-force candidate
+    generation feasible (codes are 64 B/vector vs 256 B float32 —
+    cache-resident per executor); the shortlist rescore touches 50
+    full vectors. All folds are in-array (no exploded shuffle); the
+    only wide ops are the 64-row dim-stats aggregate and the
+    TakeOrderedAndProject cut. The whole candidate scan is one narrow
+    map — same plan family as sim_cosine_topk, minus 4x the bytes.
+    """
+    e = parallelize(load_table(spark, "embeddings", sf_dir), spark).select(
+        "vec_id", as_double("embedding").alias("emb"), "label"
+    )
+    stats = (
+        e.select(F.posexplode("emb").alias("pos0", "val"))
+        .groupBy(F.col("pos0").alias("pos"))
+        .agg(F.min("val").alias("mn"), F.max("val").alias("mx"))
+    )
+    packed = stats.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "mn"))), lambda s: s["mn"]
+        ).alias("mns"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "mx"))), lambda s: s["mx"]
+        ).alias("mxs"),
+    )
+    qvec = e.filter(F.col("vec_id") == 0).select(F.col("emb").alias("qvec"))
+    cand = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(packed))
+        .crossJoin(F.broadcast(qvec))
+    )
+    rs = F.zip_with(F.col("mxs"), F.col("mns"), lambda a, b: a - b)
+    z1 = F.zip_with(F.col("emb"), F.col("mns"), lambda v, mn: v - mn)
+    qq = F.zip_with(
+        z1,
+        rs,
+        lambda d, r: F.when(r == 0, F.lit(0.0)).otherwise(
+            F.least(F.lit(255.0), F.floor((d / r) * 255.0).cast("double"))
+        ),
+    )
+    half_step = F.zip_with(qq, rs, lambda q_, r: ((q_ + 0.5) * r) / 256.0)
+    dq = F.zip_with(half_step, F.col("mns"), lambda x, mn: mn + x)
+
+    def fold_dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x
+        )
+
+    approx = fold_dot(dq, F.col("qvec")) / (
+        F.sqrt(fold_dot(dq, dq)) * F.sqrt(fold_dot(F.col("qvec"), F.col("qvec")))
+    )
+    shortlist = (
+        cand.select("vec_id", "label", "emb", "qvec", approx.alias("approx_raw"))
+        .orderBy(F.col("approx_raw").desc(), F.col("vec_id").asc())
+        .limit(50)
+    )
+    return (
+        shortlist.select(
+            "vec_id",
+            "label",
+            F.round(F.col("approx_raw"), 6).alias("approx_cos"),
+            F.round(cosine(F.col("emb"), F.col("qvec")), 6).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+        .limit(10)
+    )

@@ -516,3 +516,118 @@ def q_pipeline_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_if(F.col("h16") % 100 < F.col("pct")).alias("n_kept"),
         F.any_value("pct").alias("target_pct"),
     )
+
+
+@query(
+    "text_length_histogram",
+    oracle="""
+    WITH counted AS (
+      SELECT CAST(FLOOR(LOG2(len(string_split(text, ' ')))) AS BIGINT)
+               AS bucket
+      FROM documents
+    ),
+    hist AS (
+      SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM counted GROUP BY bucket
+    )
+    SELECT
+      bucket,
+      CAST(POW(2, bucket) AS BIGINT) AS bucket_lo,
+      CAST(POW(2, bucket + 1) - 1 AS BIGINT) AS bucket_hi,
+      n_docs,
+      CAST(n_docs AS DOUBLE)
+        / CAST(SUM(n_docs) OVER () AS DOUBLE) AS frac_docs
+    FROM hist
+    """,
+)
+def q_text_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token-length histogram in log2 buckets — the length
+    datasheet a curation run reads before choosing context length and
+    packing strategy.
+
+    One narrow map (token count → bucket) + one tiny groupBy; the
+    window SUM for fractions runs over the aggregated frame (≤ ~64
+    rows regardless of corpus size), so the only data-sized shuffle is
+    the map-side-combined bucket count. log2/floor are exact at bucket
+    boundaries (powers of two are IEEE-exact in both engines).
+    """
+    from pyspark.sql import Window
+
+    d = load_table(spark, "documents", sf_dir)
+    bucket = F.floor(F.log2(F.size(tokens()))).cast("long")
+    hist = d.select(bucket.alias("bucket")).groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    total = Window.partitionBy()
+    return hist.select(
+        "bucket",
+        F.pow(F.lit(2), F.col("bucket")).cast("long").alias("bucket_lo"),
+        (F.pow(F.lit(2), F.col("bucket") + 1) - 1).cast("long").alias("bucket_hi"),
+        "n_docs",
+        (
+            F.col("n_docs").cast("double")
+            / F.sum("n_docs").over(total).cast("double")
+        ).alias("frac_docs"),
+    )
+
+
+@query(
+    "text_oov_rate",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word
+      FROM documents
+    ),
+    freq AS (SELECT word, COUNT(*) AS c FROM tok GROUP BY word),
+    total AS (SELECT CAST(SUM(c) AS DOUBLE) AS n FROM freq),
+    vocab AS (
+      SELECT f.word FROM freq f, total t WHERE f.c >= 0.001 * t.n
+    )
+    SELECT
+      tok.doc_id,
+      CAST(COUNT(*) AS BIGINT) AS n_tokens,
+      CAST(SUM(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_oov,
+      CAST(SUM(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        / COUNT(*) AS oov_rate
+    FROM tok LEFT JOIN vocab v ON tok.word = v.word
+    GROUP BY tok.doc_id
+    """,
+)
+def q_text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-pruning diagnostic: per-doc out-of-vocabulary rate
+    against the corpus vocabulary kept at a relative frequency floor
+    (count >= 0.1% of all tokens).
+
+    Tokenizer/vocab design feedback for a training run: documents
+    dominated by sub-floor words are candidates for the junk gate.
+    Plan: one explode+groupBy builds the frequency table (map-side
+    combined; vocabulary-sized, bounded by 1/floor = ≤1000 rows
+    regardless of corpus size), the total rides a lazy 1-row cross
+    join, and the vocab joins back BROADCAST against the exploded
+    corpus — per-doc agg is the only data-sized shuffle. The floor is
+    relative, so the vocab (and the plan) is scale-invariant.
+    """
+    d = load_table(spark, "documents", sf_dir)
+    tok = d.select("doc_id", F.explode(tokens()).alias("word"))
+    freq = tok.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+    total = freq.agg(F.sum("c").cast("double").alias("n"))
+    vocab = (
+        freq.crossJoin(F.broadcast(total))
+        .filter(F.col("c") >= 0.001 * F.col("n"))
+        .select("word")
+    )
+    return (
+        tok.join(
+            F.broadcast(vocab.withColumn("in_vocab", F.lit(1))), "word", "left"
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0)).alias("n_oov"),
+            (
+                F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1))
+            ).alias("oov_rate"),
+        )
+    )

@@ -363,3 +363,124 @@ def q_tpch_q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataF
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
+
+
+@query(
+    "tpch_q7_nation_volume",
+    oracle="""
+    SELECT
+      n1.n_name AS supp_nation,
+      n2.n_name AS cust_nation,
+      CAST(EXTRACT(year FROM l.l_shipdate) AS INTEGER) AS l_year,
+      ROUND(CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                 AS DECIMAL(18,6))) AS DOUBLE), 2) AS revenue
+    FROM lineitem l
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+    WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_8')
+        OR (n1.n_name = 'NATION_8' AND n2.n_name = 'NATION_3'))
+      AND l.l_shipdate BETWEEN TIMESTAMP '1995-01-01 00:00:00'
+                           AND TIMESTAMP '1996-12-31 23:59:59'
+    GROUP BY 1, 2, 3
+    """,
+)
+def q_tpch_q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q7 shape: shipping volume between two nations, by direction and
+    year.
+
+    Two independent nation joins (supplier side / customer side) with
+    a disjunctive cross-side pair predicate. All three dims broadcast;
+    the fact table shuffles once for the 3-key aggregate. At 100 TB
+    the pair predicate prunes at the join (both nation sides filter to
+    the two named nations before the fact join, so only matching
+    supplier/customer keys reach the probe side).
+    """
+    li = load_table(spark, "lineitem", sf_dir)
+    s = load_table(spark, "supplier", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    c = load_table(spark, "customer", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+    pair = ("NATION_3", "NATION_8")
+    n1 = n.filter(F.col("n_name").isin(*pair)).select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = n.filter(F.col("n_name").isin(*pair)).select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,6)"
+    )
+    return (
+        li.filter(
+            F.col("l_shipdate").between("1995-01-01 00:00:00", "1996-12-31 23:59:59")
+        )
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(F.round(F.sum(rev).cast("double"), 2).alias("revenue"))
+    )
+
+
+@query(
+    "tpch_q16_supplier_relationship",
+    oracle="""
+    SELECT
+      p.p_brand,
+      p.p_type,
+      CASE WHEN p.p_size < 10 THEN 'small'
+           WHEN p.p_size < 25 THEN 'medium'
+           ELSE 'large' END AS size_class,
+      CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_type <> 'ECONOMY'
+      AND l.l_suppkey NOT IN (
+        SELECT s.s_suppkey FROM supplier s WHERE s.s_acctbal < 1000
+      )
+    GROUP BY 1, 2, 3
+    """,
+)
+def q_tpch_q16_supplier_relationship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q16 shape: distinct suppliers per (brand, type, size class),
+    excluding a NOT-IN supplier set.
+
+    The fixture schema has no partsupp, so lineitem stands in as the
+    part-supplier relationship (same join/agg/anti-join shape). The
+    NOT IN subquery becomes a broadcast left-anti join (the excluded
+    set is tiny by construction); COUNT(DISTINCT) shuffles the fact
+    side once on the group keys with the distinct folded into the
+    aggregate. p_type filter pushes to the part scan.
+    """
+    li = load_table(spark, "lineitem", sf_dir)
+    p = load_table(spark, "part", sf_dir)
+    s = load_table(spark, "supplier", sf_dir)
+    excluded = s.filter(F.col("s_acctbal") < 1000).select("s_suppkey")
+    size_class = (
+        F.when(F.col("p_size") < 10, "small")
+        .when(F.col("p_size") < 25, "medium")
+        .otherwise("large")
+    )
+    return (
+        li.join(
+            F.broadcast(excluded),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .join(
+            F.broadcast(p.filter(F.col("p_type") != "ECONOMY")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy("p_brand", "p_type", size_class.alias("size_class"))
+        .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
+    )

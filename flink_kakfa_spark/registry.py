@@ -118,7 +118,14 @@ _WINDOW_FRONT = [
     "pipeline_training_prep",
     "pipeline_pack_sequences",
     "mm_extract_features",
-    # new round-5 queries claim the remaining window slots here
+    # new round-5 queries (7 = exactly the remaining window slots)
+    "tpch_q7_nation_volume",
+    "tpch_q16_supplier_relationship",
+    "text_length_histogram",
+    "text_oov_rate",
+    "dedup_paragraphs",
+    "emb_matryoshka_quality",
+    "sim_sq8_rescore_topk",
 ]
 
 # Queries registered WITHOUT oracle SQL (rows-only driver check, by

@@ -78,13 +78,13 @@ DRIVER_WINDOW = [
     "pipeline_training_prep",
     "pipeline_pack_sequences",
     "mm_extract_features",
-    "wordcount",
-    "wordcount_topk",
-    "dedup_exact_stats",
-    "dedup_exact_keep_first",
-    "dedup_ngram_jaccard",
-    "dedup_ngram_jaccard_guarded",
-    "dedup_minhash_portable",
+    "tpch_q7_nation_volume",
+    "tpch_q16_supplier_relationship",
+    "text_length_histogram",
+    "text_oov_rate",
+    "dedup_paragraphs",
+    "emb_matryoshka_quality",
+    "sim_sq8_rescore_topk",
 ]
 
 

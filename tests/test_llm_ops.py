@@ -297,3 +297,75 @@ def test_dedup_clusters_long_chain_bounded_lineage(spark):
     plan = labels._jdf.queryExecution().executedPlan().toString()
     assert len(plan) < 2000, f"lineage not truncated: {len(plan)} chars"
     assert "Scan ExistingRDD" in plan or "LocalTableScan" in plan
+
+
+def test_text_length_histogram_partitions_corpus(spark, sf_dir):
+    """Buckets cover every doc exactly once and fractions sum to 1."""
+    rows = all_queries()["text_length_histogram"](spark, sf_dir).collect()
+    n_docs = sum(r["n_docs"] for r in rows)
+    assert n_docs == all_queries()["dedup_exact_stats"](spark, sf_dir).collect()[0]["n_docs"]
+    assert abs(sum(r["frac_docs"] for r in rows) - 1.0) < 1e-9
+    for r in rows:
+        assert r["bucket_lo"] == 2 ** r["bucket"]
+        assert r["bucket_hi"] == 2 ** (r["bucket"] + 1) - 1
+
+
+def test_text_oov_rate_flags_rare_words(spark, tmp_path):
+    """A word below the 0.1% floor counts as OOV; frequent words don't."""
+    from pyspark.sql import Row
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text="common " * 99 + "common", lang="en",
+             source="s", n_chars=700) for i in range(10)]
+        + [Row(doc_id=99, text="common rareword " + "common " * 97 + "common",
+               lang="en", source="s", n_chars=700)]
+    )
+    docs.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    out = {r["doc_id"]: r for r in all_queries()["text_oov_rate"](spark, str(tmp_path)).collect()}
+    # 'rareword' appears once in ~1100 tokens -> below the 0.1% floor
+    assert out[99]["n_oov"] == 1
+    assert out[0]["n_oov"] == 0
+    assert abs(out[99]["oov_rate"] - 1 / out[99]["n_tokens"]) < 1e-12
+
+
+def test_dedup_paragraphs_detects_shared_segment(spark, tmp_path):
+    """Two docs sharing an identical 16-token block are flagged; a
+    unique doc is not."""
+    from pyspark.sql import Row
+
+    shared = " ".join(f"s{i}" for i in range(16))
+    uniq_a = " ".join(f"a{i}" for i in range(16))
+    uniq_b = " ".join(f"b{i}" for i in range(16))
+    uniq_c = " ".join(f"c{i}" for i in range(32))
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=shared + " " + uniq_a, lang="en", source="s", n_chars=1),
+            Row(doc_id=2, text=shared + " " + uniq_b, lang="en", source="s", n_chars=1),
+            Row(doc_id=3, text=uniq_c, lang="en", source="s", n_chars=1),
+        ]
+    )
+    docs.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    out = {r["doc_id"]: r for r in all_queries()["dedup_paragraphs"](spark, str(tmp_path)).collect()}
+    assert out[1]["n_segments"] == 2 and out[1]["n_dup_segments"] == 1
+    assert out[2]["n_dup_segments"] == 1
+    assert out[3]["n_dup_segments"] == 0
+    assert abs(out[1]["dup_token_fraction"] - 0.5) < 1e-12
+
+
+def test_emb_matryoshka_retention_bounds(spark, sf_dir):
+    """Retention is a cosine in (0, 1]; prefix can't exceed full norm."""
+    rows = all_queries()["emb_matryoshka_quality"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 < r["min_retention"] <= r["avg_retention"] <= 1.0
+
+
+def test_sim_sq8_rescore_recall_vs_exact(spark, sf_dir):
+    """SQ8 shortlist + rescore must recover the exact brute-force
+    top-10 (64-dim, 8-bit codes: quantization error is far below the
+    neighbor gap in the fixture) and report approx close to exact."""
+    exact = [r["vec_id"] for r in all_queries()["sim_cosine_topk"](spark, sf_dir).collect()]
+    sq8 = all_queries()["sim_sq8_rescore_topk"](spark, sf_dir).collect()
+    assert [r["vec_id"] for r in sq8] == exact
+    for r in sq8:
+        assert abs(r["approx_cos"] - r["cos_sim"]) < 0.01
