@@ -55,6 +55,7 @@ _QUERY_MODULES = [
     "flink_kakfa_spark.operators.behavior",
     "flink_kakfa_spark.operators.prep",
     "flink_kakfa_spark.operators.tpch_extra",
+    "flink_kakfa_spark.operators.tpch_extra2",
     "flink_kakfa_spark.operators.media",
 ]
 
