@@ -442,3 +442,68 @@ def q_emb_matryoshka_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg(retention), 6).alias("avg_retention"),
         F.round(F.min(retention), 6).alias("min_retention"),
     )
+
+
+@query(
+    "corpus_dataset_card",
+    oracle="""
+    WITH tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS total_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS corpus_chars
+      FROM documents
+    )
+    SELECT
+      d.source,
+      d.lang,
+      CAST(COUNT(*) AS BIGINT) AS n_docs,
+      CAST(SUM(d.n_chars) AS BIGINT) AS total_chars,
+      CAST(SUM(len(string_split(d.text, ' '))) AS BIGINT) AS total_tokens,
+      ROUND(CAST(SUM(d.n_chars) AS DOUBLE) / COUNT(*), 4) AS avg_chars,
+      ROUND(100.0 * COUNT(*) / ANY_VALUE(t.total_docs), 4) AS pct_docs,
+      ROUND(100.0 * CAST(SUM(d.n_chars) AS DOUBLE)
+            / ANY_VALUE(t.corpus_chars), 4) AS pct_chars
+    FROM documents d CROSS JOIN tot t
+    GROUP BY d.source, d.lang
+    """,
+)
+def q_corpus_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dataset card: per-(source, language) composition datasheet.
+
+    What every released corpus publishes (C4, The Pile, Dolma dataset
+    cards): document/char/token volumes per slice plus each slice's
+    share of the whole. Shares divide exact integer sums by exact
+    integer totals in double — bit-deterministic at any parallelism.
+
+    Scale (100 TB): one fact shuffle at (source, lang) grain; the
+    corpus-wide totals are a 1-row broadcast attached before the
+    aggregate (no driver action, plan stays lazy). Token counts ride
+    the same pass as char sums — the corpus is read once.
+    """
+    d = load_table(spark, "documents", sf_dir)
+    tot = d.agg(
+        F.count(F.lit(1)).alias("total_docs"),
+        F.sum("n_chars").alias("corpus_chars"),
+    )
+    n_tok = F.size(F.split(F.col("text"), " ")).cast("long")
+    return (
+        d.crossJoin(F.broadcast(tot))
+        .groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.sum(n_tok).alias("total_tokens"),
+            F.round(
+                F.sum("n_chars").cast("double") / F.count(F.lit(1)), 4
+            ).alias("avg_chars"),
+            F.round(
+                F.lit(100.0) * F.count(F.lit(1)) / F.any_value("total_docs"),
+                4,
+            ).alias("pct_docs"),
+            F.round(
+                F.lit(100.0)
+                * F.sum("n_chars").cast("double")
+                / F.any_value("corpus_chars"),
+                4,
+            ).alias("pct_chars"),
+        )
+    )

@@ -165,3 +165,119 @@ def q_sample_k_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("doc_id", "source", F.row_number().over(w).alias("rk"))
         .filter(F.col("rk") <= _RESERVOIR_K)
     )
+
+
+_CURRICULUM_STAGES = 4
+
+
+@query(
+    "pipeline_curriculum_order",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS n_tokens,
+             NTILE({_CURRICULUM_STAGES}) OVER (
+               ORDER BY len(string_split(text, ' ')), doc_id
+             ) AS stage
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(stage AS INTEGER) AS stage,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY stage
+             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+           ) AS BIGINT) AS pos
+    FROM scored
+    """,
+)
+def q_pipeline_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum ordering: shortest-first stages, shuffled within.
+
+    The standard curriculum-learning data layout: documents are split
+    into K difficulty stages (here: token count as the difficulty
+    proxy, NTILE over a total order — doc_id breaks ties so both
+    engines tile identically), and within each stage rows get a
+    deterministic pseudo-random training position (portable md5 rank,
+    same trick as ``sample_k_per_source``) so every epoch, engine and
+    retry sees the same order — reproducible runs being the point.
+
+    Scale (100 TB): the global NTILE is a range-partitioned sort over a
+    skinny (doc_id, n_tokens) projection — Spark's distributed sort
+    handles it without collecting; the within-stage rank partitions by
+    stage (K partitions) which at extreme scale would re-split as
+    (stage, md5-prefix) subranks — noted, not needed at test scale.
+    """
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, "documents", sf_dir)
+    n_tok = F.size(F.split(F.col("text"), " ")).cast("long")
+    scored = d.select("doc_id", n_tok.alias("n_tokens"))
+    stage = F.ntile(_CURRICULUM_STAGES).over(
+        W.orderBy("n_tokens", "doc_id")
+    )
+    staged = scored.withColumn("stage", stage)
+    pos = F.row_number().over(
+        W.partitionBy("stage").orderBy(
+            F.md5(F.col("doc_id").cast("string")), "doc_id"
+        )
+    )
+    return staged.select(
+        "doc_id", "n_tokens", "stage", pos.cast("long").alias("pos")
+    )
+
+
+_N_SHARDS = 16
+
+
+@query(
+    "pipeline_shuffle_shards",
+    oracle=f"""
+    WITH hashed AS (
+      SELECT doc_id,
+             md5(CAST(doc_id AS VARCHAR)) AS hx,
+             (
+               (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+               + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)
+             ) % {_N_SHARDS} AS shard
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(shard AS INTEGER) AS shard,
+           CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY hx, doc_id)
+                AS BIGINT) AS pos,
+           CAST(COUNT(*) OVER (PARTITION BY shard) AS BIGINT) AS shard_size
+    FROM hashed
+    """,
+)
+def q_pipeline_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle into training shards.
+
+    The write-side of every pretraining run: assign each document a
+    shard (first md5 byte mod N — uniform, engine-portable, stable
+    under retries) and a position within the shard (md5 order — the
+    "shuffle"). Downstream trainers read shard files sequentially and
+    still see a pseudo-random document order with no RNG state to
+    coordinate.
+
+    Scale (100 TB): one shuffle on the shard key (the same exchange the
+    physical write would need anyway); the md5 sort is per-shard, i.e.
+    1/N of the data per task, and only (doc_id, 32-byte hex) ever
+    moves. In production the same frame feeds
+    ``write.partitionBy("shard")`` (sources/io.py).
+    """
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, "documents", sf_dir)
+    hx = F.md5(F.col("doc_id").cast("string"))
+    shard = (
+        F.conv(F.substring(hx, 1, 2), 16, 10).cast("int") % _N_SHARDS
+    )
+    hashed = d.select("doc_id", hx.alias("hx"), shard.alias("shard"))
+    w = W.partitionBy("shard").orderBy("hx", "doc_id")
+    return hashed.select(
+        "doc_id",
+        "shard",
+        F.row_number().over(w).cast("long").alias("pos"),
+        F.count(F.lit(1)).over(W.partitionBy("shard")).alias("shard_size"),
+    )

@@ -631,3 +631,75 @@ def q_text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("oov_rate"),
         )
     )
+
+
+@query(
+    "text_char_entropy",
+    oracle="""
+    WITH chars AS (
+      SELECT doc_id, unnest(string_split(text, '')) AS ch
+      FROM documents
+    ),
+    counted AS (
+      SELECT doc_id, ch, CAST(COUNT(*) AS BIGINT) AS c
+      FROM chars WHERE ch <> '' GROUP BY doc_id, ch
+    ),
+    sized AS (
+      SELECT doc_id, ch, c,
+             SUM(c) OVER (PARTITION BY doc_id) AS n
+      FROM counted
+    )
+    SELECT
+      doc_id,
+      CAST(MAX(n) AS BIGINT) AS n_chars,
+      CAST(COUNT(*) AS BIGINT) AS n_distinct_chars,
+      ROUND(CAST(SUM(CAST(
+        (CAST(c AS DOUBLE) / n) * log2(CAST(n AS DOUBLE) / c)
+        AS DECIMAL(18,12))) AS DOUBLE), 6) AS entropy_bits
+    FROM sized
+    GROUP BY doc_id
+    """,
+)
+def q_text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level Shannon entropy per document.
+
+    A classic quality gate for training corpora: near-zero entropy
+    flags repeated-character garbage, very high entropy flags
+    random/binary junk (Gopher uses the same family of signals).
+
+    Determinism: each term -p*log2(p) is computed with a pinned IEEE
+    expression shape ((c/n) * log2(n/c), both operands derived from
+    identical integers) and cast to DECIMAL(18,12) BEFORE the sum, so
+    the per-doc accumulation is exact decimal addition — immune to
+    summation order across partitions/engines; the final ROUND(...,6)
+    leaves ~5 decimal digits of safety under the per-term cast.
+
+    Scale (100 TB): the char explode is a 1000x row multiplier but each
+    row is (doc_id, 1-char) and the per-(doc,char) partial aggregate
+    combines map-side before the one shuffle at doc grain; nothing
+    wider than ~20 bytes crosses the wire. All built-in, codegen'd,
+    Python-free.
+    """
+    d = load_table(spark, "documents", sf_dir)
+    chars = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), "")).alias("ch")
+    ).filter(F.col("ch") != "")
+    counted = chars.groupBy("doc_id", "ch").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    from pyspark.sql import Window as W
+
+    n = F.sum("c").over(W.partitionBy("doc_id"))
+    term = (
+        (F.col("c").cast("double") / F.col("n"))
+        * F.log2(F.col("n").cast("double") / F.col("c"))
+    ).cast("decimal(18,12)")
+    return (
+        counted.withColumn("n", n)
+        .groupBy("doc_id")
+        .agg(
+            F.max("n").alias("n_chars"),
+            F.count(F.lit(1)).alias("n_distinct_chars"),
+            F.round(F.sum(term).cast("double"), 6).alias("entropy_bits"),
+        )
+    )

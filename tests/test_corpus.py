@@ -107,3 +107,16 @@ def test_temperature_sample_respects_rates(spark, sf_dir):
         n, p = r["n_docs"], r["sample_rate"]
         sigma = math.sqrt(n * p * (1 - p))
         assert abs(got.get(src, 0) - n * p) <= 6 * sigma + 1e-9, (src, got.get(src), n, p)
+
+
+def test_dataset_card_shares_sum_to_100(spark, sf_dir):
+    from flink_kakfa_spark.registry import all_queries
+    from flink_kakfa_spark.sources.tables import load_table
+
+    rows = all_queries()["corpus_dataset_card"](spark, sf_dir).collect()
+    d = load_table(spark, "documents", sf_dir)
+    assert sum(r["n_docs"] for r in rows) == d.count()
+    assert abs(sum(r["pct_docs"] for r in rows) - 100.0) < 0.01 * len(rows)
+    assert abs(sum(r["pct_chars"] for r in rows) - 100.0) < 0.01 * len(rows)
+    for r in rows:
+        assert r["total_tokens"] >= r["n_docs"]  # >=1 token per doc

