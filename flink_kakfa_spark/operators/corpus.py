@@ -251,10 +251,10 @@ def q_corpus_domain_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     dist AS (
       SELECT comp.vec_id, comp.label, cent.c_label,
-             SUM(CAST(
+             SUM(CAST(ROUND(
                (CAST(comp.val AS DOUBLE) - cent.c_val)
                * (CAST(comp.val AS DOUBLE) - cent.c_val)
-             AS DECIMAL(38,18))) AS d2
+               * 1e12) AS BIGINT)) AS d2
       FROM comp JOIN cent ON comp.pos = cent.pos
       GROUP BY comp.vec_id, comp.label, cent.c_label
     ),
@@ -285,9 +285,10 @@ def q_emb_centroid_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: centroids are O(#labels × dim) — KBs — computed with
     one aggregation and broadcast; the assignment pass is a narrow map
     over vectors (explode to components only inside the aggregation,
-    never shuffled raw). The vec_id row_number window partitions by
-    vector, i.e. the shuffle carries #labels rows per vector of 3
-    columns, not the embeddings themselves.
+    never shuffled raw). The per-vector argmin is min(struct(d2,
+    c_label)) — a hash aggregate with map-side partials, i.e. the
+    shuffle carries #labels rows per vector of 3 small columns, not
+    the embeddings themselves, and no window sort.
     """
     e = load_table(spark, "embeddings", sf_dir)
     comp = e.select(
@@ -298,17 +299,34 @@ def q_emb_centroid_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_val"
         )
     )
-    # d2 through DECIMAL: the 64-term sum becomes associative, so the
-    # nearest-centroid argmin is bit-deterministic at any partitioning
-    # (and identical in the oracle engine — no float-tie flakiness)
+    # d2 quantized to int64: each term is the same IEEE double in both
+    # engines ((x-c)^2 * 1e12, < 2^53 so ROUND is exact), and integer
+    # addition is associative — any accumulation order produces the
+    # same value, so the argmin cannot flip on float-summation ties.
+    # Primitive longs stay inside whole-stage codegen; the previous
+    # DECIMAL(38,18) accumulator boxed a BigDecimal per term (~2x wall
+    # time), and an array-fold variant dropped out of codegen entirely
+    # (higher-order functions interpret their lambdas). The x64xL row
+    # blowup below is pipelined inside one codegen stage — never
+    # materialized — and the partial aggregate combines map-side, so
+    # the one exchange carries N_vecs x N_labels rows of 3 small
+    # columns. Argmin via min(struct(d2, c_label)): lexicographic
+    # struct ordering = the oracle's ROW_NUMBER ORDER BY d2, c_label.
     diff = F.col("val").cast("double") - F.col("c_val")
+    term = F.round(diff * diff * F.lit(1e12)).cast("long")
     dist = (
         comp.join(F.broadcast(cent), "pos")
         .groupBy("vec_id", "label", "c_label")
-        .agg(F.sum((diff * diff).cast("decimal(38,18)")).alias("d2"))
+        .agg(F.sum(term).alias("d2"))
     )
-    w = Window.partitionBy("vec_id").orderBy("d2", "c_label")
-    nearest = dist.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    nearest = (
+        dist.groupBy("vec_id")
+        .agg(
+            F.any_value("label").alias("label"),
+            F.min(F.struct("d2", "c_label")).alias("b"),
+        )
+        .select("vec_id", "label", F.col("b.c_label").alias("c_label"))
+    )
     pure = F.sum(F.when(F.col("c_label") == F.col("label"), 1).otherwise(0))
     n = F.count(F.lit(1))
     return nearest.groupBy("label").agg(
