@@ -236,3 +236,67 @@ def q_anomaly_zscore_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("zraw"), 4).alias("z"),
         )
     )
+
+
+@query(
+    "streak_longest_purchase_days",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+      FROM events WHERE event_type = 'purchase'
+    ),
+    grouped AS (
+      SELECT user_id, day,
+             day - CAST(ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY day) AS INTEGER) AS anchor
+      FROM days
+    ),
+    streaks AS (
+      SELECT user_id, anchor,
+             CAST(COUNT(*) AS BIGINT) AS streak_len,
+             MIN(day) AS streak_start
+      FROM grouped GROUP BY user_id, anchor
+    ),
+    best AS (
+      SELECT user_id, streak_len, streak_start,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id
+               ORDER BY streak_len DESC, streak_start) AS rn
+      FROM streaks
+    )
+    SELECT user_id, streak_len, streak_start
+    FROM best WHERE rn = 1 AND streak_len >= 3
+    """,
+)
+def q_streak_longest_purchase_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: each user's longest run of consecutive purchase
+    days (reported when it reaches 3+ days).
+
+    The classic island key — calendar day minus the day's per-user row
+    number — is constant exactly within a consecutive run, so streaks
+    fall out of one groupBy. All three windows/aggregations share the
+    same ``partitionBy(user_id)`` hash partitioning, so the fact rows
+    shuffle once (the distinct day set is the only thing that moves).
+    """
+    ev = load_table(spark, "events", sf_dir)
+    days = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", F.to_date("ts").alias("day"))
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    grouped = days.withColumn(
+        "anchor", F.date_sub(F.col("day"), F.row_number().over(w))
+    )
+    streaks = grouped.groupBy("user_id", "anchor").agg(
+        F.count(F.lit(1)).alias("streak_len"),
+        F.min("day").alias("streak_start"),
+    )
+    wb = Window.partitionBy("user_id").orderBy(
+        F.col("streak_len").desc(), F.col("streak_start")
+    )
+    return (
+        streaks.withColumn("rn", F.row_number().over(wb))
+        .filter((F.col("rn") == 1) & (F.col("streak_len") >= 3))
+        .select("user_id", "streak_len", "streak_start")
+    )

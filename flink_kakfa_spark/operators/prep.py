@@ -281,3 +281,65 @@ def q_pipeline_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w).cast("long").alias("pos"),
         F.count(F.lit(1)).over(W.partitionBy("shard")).alias("shard_size"),
     )
+
+
+@query(
+    "pipeline_train_split",
+    oracle="""
+    WITH tagged AS (
+      SELECT
+        n_chars,
+        CASE
+          WHEN strpos('0123456789abcdef',
+                      substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 < 12
+            THEN 'train'
+          WHEN strpos('0123456789abcdef',
+                      substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 < 14
+            THEN 'val'
+          ELSE 'test'
+        END AS split
+      FROM documents
+    )
+    SELECT split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           ROUND(CAST(SUM(n_chars) AS DOUBLE)
+                 / (SELECT SUM(n_chars) FROM documents), 4) AS char_share
+    FROM tagged GROUP BY split
+    """,
+)
+def q_pipeline_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 75/12.5/12.5 train/val/test split by content-free
+    hash of the document id.
+
+    The split is a pure function of ``md5(doc_id)`` — stable across
+    runs, engines, partitionings, and re-shards, which is what makes
+    it safe to recompute instead of materializing a membership table.
+    One narrow map plus a 3-group aggregate; the scalar total attaches
+    lazily (no driver action). Leakage check: a doc's split never
+    depends on anything but its id, so regenerating any other column
+    cannot migrate documents between splits.
+    """
+    d = load_table(spark, "documents", sf_dir)
+    nib = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1), 16, 10
+    ).cast("int")
+    tagged = d.select(
+        "n_chars",
+        F.when(nib < 12, "train").when(nib < 14, "val").otherwise("test").alias(
+            "split"
+        ),
+    )
+    total = d.agg(F.sum("n_chars").alias("_total"))
+    per = tagged.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+    return per.crossJoin(F.broadcast(total)).select(
+        "split",
+        "n_docs",
+        "total_chars",
+        F.round(F.col("total_chars").cast("double") / F.col("_total"), 4).alias(
+            "char_share"
+        ),
+    )

@@ -581,3 +581,76 @@ def q_unpivot_price_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="measure",
         valueColumnName="val",
     )
+
+
+@query(
+    "agg_corr_covar",
+    oracle="""
+    WITH s AS (
+      SELECT
+        l_returnflag,
+        COUNT(*) AS n,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sx,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS sy,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(19,6))
+                 * CAST(l_extendedprice AS DECIMAL(19,6)))
+             AS DOUBLE) AS sxy,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(19,6))
+                 * CAST(l_quantity AS DECIMAL(19,6)))
+             AS DOUBLE) AS sx2,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,6))
+                 * CAST(l_extendedprice AS DECIMAL(19,6)))
+             AS DOUBLE) AS sy2
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT
+      l_returnflag,
+      CAST(n AS BIGINT) AS n,
+      ROUND((sxy - sx * sy / n) / (n - 1), 4) AS covar_qty_price,
+      ROUND((sxy - sx * sy / n)
+        / SQRT((sx2 - sx * sx / n) * (sy2 - sy * sy / n)), 9) AS corr_qty_price
+    FROM s
+    """,
+)
+def q_agg_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample covariance and Pearson correlation of quantity vs price
+    per return flag, bit-stable at any parallelism.
+
+    Built-in corr/covar_samp accumulate float partials whose merge
+    order varies with partitioning; like ``agg_variance_exact``, the
+    five raw moments route through DECIMAL sums (order-insensitive;
+    operands cast to decimal BEFORE the product so both engines sum
+    the identical exact decimals, dodging double->decimal rounding-
+    mode skew),
+    and the closed-form combination of their double casts is then the
+    same IEEE arithmetic in every engine (the one residual skew —
+    DuckDB's scaled-int128 decimal->double cast double-rounds vs
+    Java's correctly-rounded BigDecimal — sits at 1 ulp and is
+    absorbed by the fixed ROUND). One aggregation, no second pass
+    over the data.
+    """
+    li = load_table(spark, "lineitem", sf_dir)
+    d19 = "decimal(19,6)"
+    qty = F.col("l_quantity").cast(d19)
+    price = F.col("l_extendedprice").cast(d19)
+    n = F.count(F.lit(1))
+    agg = li.groupBy("l_returnflag").agg(
+        n.alias("n"),
+        F.sum(F.col("l_quantity").cast("decimal(30,6)")).cast("double").alias("sx"),
+        F.sum(F.col("l_extendedprice").cast("decimal(30,6)")).cast("double").alias("sy"),
+        F.sum(qty * price).cast("double").alias("sxy"),
+        F.sum(qty * qty).cast("double").alias("sx2"),
+        F.sum(price * price).cast("double").alias("sy2"),
+    )
+    nn = F.col("n")
+    cov = (F.col("sxy") - F.col("sx") * F.col("sy") / nn) / (nn - 1)
+    corr = (F.col("sxy") - F.col("sx") * F.col("sy") / nn) / F.sqrt(
+        (F.col("sx2") - F.col("sx") * F.col("sx") / nn)
+        * (F.col("sy2") - F.col("sy") * F.col("sy") / nn)
+    )
+    return agg.select(
+        "l_returnflag",
+        "n",
+        F.round(cov, 4).alias("covar_qty_price"),
+        F.round(corr, 9).alias("corr_qty_price"),
+    )

@@ -703,3 +703,50 @@ def q_text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(term).cast("double"), 6).alias("entropy_bits"),
         )
     )
+
+
+@query(
+    "text_bpe_merge_pairs",
+    oracle="""
+    WITH words AS (
+      SELECT UNNEST(string_split(text, ' ')) AS word FROM documents
+    ),
+    pairs AS (
+      SELECT substr(word, CAST(UNNEST(generate_series(1, length(word) - 1))
+                           AS INTEGER), 2) AS pair
+      FROM words WHERE length(word) >= 2
+    )
+    SELECT pair, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM pairs GROUP BY pair
+    ORDER BY cnt DESC, pair LIMIT 20
+    """,
+)
+def q_text_bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First BPE merge iteration: corpus-wide adjacent character-pair
+    frequencies (the statistic byte-pair-encoding tokenizer training
+    maximizes at every step).
+
+    Words explode into their overlapping 2-grams with posexplode over
+    an in-array index sequence — a narrow ~|word| fan-out with no
+    shuffle until the pair counts (2-char keys, so the aggregate state
+    is bounded by the alphabet squared regardless of corpus size, and
+    partial aggregation collapses almost everything map-side). The
+    TakeOrdered(20) top-k never sorts the full pair table. A full BPE
+    trainer iterates this query against a shrinking symbol table; each
+    iteration is the same one-shuffle shape.
+    """
+    d = load_table(spark, "documents", sf_dir)
+    words = d.select(F.explode(F.split("text", " ")).alias("word")).filter(
+        F.length("word") >= 2
+    )
+    pairs = words.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))")
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "pair")
+        .limit(20)
+    )
