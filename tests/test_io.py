@@ -92,3 +92,28 @@ def test_streaming_parquet_sink(spark, sf_dir, tmp_path):
     )
     q.awaitTermination(60)
     assert spark.read.parquet(str(tmp_path / "out")).count() == src.count()
+
+
+def test_parallelize_is_noop_on_many_split_input(spark, tmp_path):
+    """VERDICT r4 design note: when a scan already yields enough splits,
+    parallelize() must NOT add a repartition exchange."""
+    from flink_kakfa_spark.sources.tables import parallelize
+
+    path = str(tmp_path / "many")
+    # 16 small files -> one split each; target parallelism is local[4]=4,
+    # so splits*2 > target and the input must pass through untouched
+    spark.range(0, 1000).repartition(16).write.parquet(path)
+    df = spark.read.parquet(path)
+    out = parallelize(df, spark)
+    assert out is df  # identical object: no new plan node at all
+
+
+def test_parallelize_restores_parallelism_on_single_split(spark, tmp_path):
+    from flink_kakfa_spark.sources.tables import parallelize
+
+    path = str(tmp_path / "single")
+    spark.range(0, 1000).coalesce(1).write.parquet(path)
+    df = spark.read.parquet(path)
+    out = parallelize(df, spark)
+    assert out is not df
+    assert "Repartition" in out._jdf.queryExecution().logical().toString()
