@@ -798,3 +798,58 @@ def test_streaming_negative_cep_restart_alert_exactly_once(spark, tmp_path):
         if r["user_id"] in (1, 2)
     )
     assert got == [(1, 1)]
+
+
+def test_streaming_cms_merges_to_batch_sketch(spark, tmp_path):
+    """Incremental CMS across micro-batches == one-shot batch CMS, and
+    a crash replay of the last batch converges to the same cells."""
+    from flink_kakfa_spark.streaming.sketch import (
+        cms_delta,
+        materialize_cms,
+        read_cms,
+    )
+
+    src = tmp_path / "src"
+    out = str(tmp_path / "sketch")
+    ckpt = str(tmp_path / "ckpt")
+    b0 = [Row(key="a", value="alpha beta alpha", ts="2024-01-01 00:00:01")]
+    b1 = [Row(key="b", value="beta gamma", ts="2024-01-01 00:00:02")]
+    _write_messages(spark, str(src), b0, "b0")
+
+    def run_once():
+        stream = spark.readStream.schema(MSG_SCHEMA).parquet(f"{src}/*")
+        q = materialize_cms(stream, out, ckpt)
+        q.awaitTermination(120)
+
+    run_once()
+    _write_messages(spark, str(src), b1, "b1")
+    run_once()  # restart from checkpoint: folds ONLY b1 into the sketch
+
+    got = {
+        (r["salt"], r["bucket"]): r["total"]
+        for r in read_cms(spark, out).collect()
+    }
+    all_words = spark.createDataFrame(
+        [("alpha",), ("alpha",), ("beta",), ("beta",), ("gamma",)], "word string"
+    )
+    want = {
+        (r["salt"], r["bucket"]): r["total"]
+        for r in cms_delta(all_words).collect()
+    }
+    assert got == want
+
+    # estimate >= exact for every word (CMS one-sided error)
+    from flink_kakfa_spark.operators.sketches import _cms_bucket_spark
+
+    probe = all_words.distinct().select(
+        "word", *[_cms_bucket_spark(F.col("word"), s).alias(f"b{s}") for s in range(3)]
+    )
+    exact = {"alpha": 2, "beta": 2, "gamma": 1}
+    for r in probe.collect():
+        est = min(got[(s, r[f"b{s}"])] for s in range(3))
+        assert est >= exact[r["word"]]
+
+    # idempotent replay: re-running with no new files adds nothing
+    before = sorted((tmp_path / "sketch").iterdir())
+    run_once()
+    assert sorted((tmp_path / "sketch").iterdir()) == before
