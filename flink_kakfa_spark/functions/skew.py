@@ -38,3 +38,42 @@ def salted_agg(
         F.sum(value.cast("decimal(18,4)")).alias("_s")
     )
     return partial.groupBy(key).agg(F.sum("_s").cast("double").alias(out))
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    n_salts: int = 8,
+) -> DataFrame:
+    """Equi-join with the fact side's hot keys salt-split ``n_salts`` ways.
+
+    A skewed join key (one order carrying millions of line items, one
+    user carrying a third of all events) funnels every matching fact
+    row into a single shuffle partition under a plain sort-merge join.
+    Salting spreads each fact key across ``n_salts`` subpartitions —
+    the salt varies WITHIN a key (partition id + row id), unlike
+    aggregation salting where any spread works — and replicates each
+    dim row once per salt so every fact row still finds its match.
+    Shuffle cost: fact unchanged, dim × ``n_salts`` (dim is the
+    smaller side by assumption). AQE's skew-join split handles the
+    common cases automatically; this is the explicit form for when AQE
+    is off or the skew is within a single key's sort-merge buffer.
+
+    The result is exactly the plain inner equi-join (salt columns are
+    dropped); callers' aggregates are unaffected.
+    """
+    salted = fact.withColumn(
+        "_fsalt",
+        F.pmod(F.spark_partition_id() + F.monotonically_increasing_id(), F.lit(n_salts)),
+    )
+    replicated = dim.withColumn(
+        "_dsalt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    joined = salted.join(
+        replicated,
+        (salted[fact_key] == replicated[dim_key])
+        & (salted["_fsalt"] == replicated["_dsalt"]),
+    )
+    return joined.drop("_fsalt", "_dsalt")

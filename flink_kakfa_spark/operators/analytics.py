@@ -1,0 +1,473 @@
+"""Product/behavioral analytics over the event stream and order history
+(Tier C extension; round 5).
+
+The reference's consumer terminates at a log line per message
+(``go/consumer/consumer.go:79-81``); these are the standing reports a
+team with that event stream actually ships: cohort retention, revenue
+growth, behavioral transition matrices, BM25 retrieval over the
+document corpus, skew-hardened fact-to-dim joins, and smoothed
+time-series views.
+
+Scale posture (100 TB of events / documents):
+
+- every query shuffles the fact table at most once (on ``user_id`` or
+  ``doc_id``); all second-stage relations are per-cohort / per-month /
+  per-type aggregates that are KB-sized at any corpus size;
+- global scalars (corpus size, average document length) attach as
+  broadcast 1-row frames — the same lazy pattern as
+  ``prep.py::text_unigram_surprisal`` — never as driver-side
+  ``collect``;
+- the EWMA uses alpha = 0.5 so every smoothing weight is a power of
+  two: scaling by 2**i is exact in IEEE-754, which keeps the recursive
+  smoother bit-identical across engines and partitionings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from flink_kakfa_spark.registry import query
+from flink_kakfa_spark.sources.tables import load_table
+
+
+@query(
+    "cohort_weekly_retention",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+      FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT
+        e.user_id,
+        fs.cohort_week,
+        CAST(date_trunc('week', e.ts) AS DATE) AS act_week
+      FROM events e JOIN first_seen fs ON e.user_id = fs.user_id
+      WHERE CAST(date_trunc('week', e.ts) AS DATE) >= fs.cohort_week
+    ),
+    counts AS (
+      SELECT
+        cohort_week,
+        CAST(datediff('day', cohort_week, act_week) / 7 AS INTEGER) AS week_offset,
+        CAST(COUNT(*) AS BIGINT) AS n_active
+      FROM activity GROUP BY 1, 2
+    )
+    SELECT
+      cohort_week, week_offset, n_active,
+      CAST(n_active AS DOUBLE)
+        / MAX(CASE WHEN week_offset = 0 THEN n_active END)
+            OVER (PARTITION BY cohort_week) AS retention
+    FROM counts
+    """,
+)
+def q_cohort_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly signup-cohort retention matrix.
+
+    Users are assigned to the ISO week of their first ``signup``; each
+    later week in which the user produced ANY event marks them active
+    for that (cohort, offset) cell. ``retention`` is the cell count
+    over the cohort's week-0 size (week 0 always contains the signup
+    itself, so offset 0 is the cohort census).
+
+    Scale: one shuffle of the fact table on ``user_id`` (the
+    first-signup aggregate and the activity join share the hash
+    partitioning); the distinct and the cell counts run over
+    (user, week) pairs — ~1/1000th of event volume — and the
+    retention window runs over the cohort × offset grid, which is
+    KB-sized forever.
+    """
+    ev = load_table(spark, "events", sf_dir)
+    week = lambda c: F.to_date(F.date_trunc("week", c))  # noqa: E731
+    first_seen = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(week(F.min("ts")).alias("cohort_week"))
+    )
+    activity = (
+        ev.select("user_id", week(F.col("ts")).alias("act_week"))
+        .join(first_seen, "user_id")
+        .filter(F.col("act_week") >= F.col("cohort_week"))
+        .select("user_id", "cohort_week", "act_week")
+        .distinct()
+    )
+    counts = activity.groupBy(
+        "cohort_week",
+        (F.datediff("act_week", "cohort_week") / 7).cast("int").alias("week_offset"),
+    ).agg(F.count(F.lit(1)).alias("n_active"))
+    w0 = Window.partitionBy("cohort_week")
+    base = F.max(F.when(F.col("week_offset") == 0, F.col("n_active"))).over(w0)
+    return counts.select(
+        "cohort_week",
+        "week_offset",
+        "n_active",
+        (F.col("n_active").cast("double") / base).alias("retention"),
+    )
+
+
+@query(
+    "growth_mom_revenue",
+    oracle="""
+    WITH m AS (
+      SELECT
+        CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS rev
+      FROM orders GROUP BY 1
+    )
+    SELECT
+      month,
+      rev AS revenue,
+      rev - LAG(rev) OVER (ORDER BY month) AS delta,
+      (rev - LAG(rev) OVER (ORDER BY month))
+        / LAG(rev) OVER (ORDER BY month) AS mom_pct
+    FROM m
+    """,
+)
+def q_growth_mom_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue growth (absolute and percent).
+
+    The monthly rollup is the only fact-sized shuffle (partial
+    map-side sums over a decimal cast, so the totals are
+    order-insensitive). The ``lag`` runs over the month spine — ~12
+    rows per year of history regardless of corpus size — so the
+    unpartitioned window's single-partition exchange moves a
+    KB-sized relation, the same justified shape as
+    ``corpus.py::_mixture_rates``. First month reports NULL deltas.
+    """
+    o = load_table(spark, "orders", sf_dir)
+    monthly = o.groupBy(
+        F.to_date(F.date_trunc("month", F.col("o_orderdate"))).alias("month")
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double").alias("rev"))
+    w = Window.orderBy("month")
+    prev = F.lag("rev").over(w)
+    return monthly.select(
+        "month",
+        F.col("rev").alias("revenue"),
+        (F.col("rev") - prev).alias("delta"),
+        ((F.col("rev") - prev) / prev).alias("mom_pct"),
+    )
+
+
+@query(
+    "markov_event_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT
+        event_type AS from_type,
+        LEAD(event_type) OVER (
+          PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+      FROM events
+    ),
+    pairs AS (
+      SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+      FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT
+      from_type, to_type, n,
+      CAST(n AS DOUBLE)
+        / CAST(SUM(n) OVER (PARTITION BY from_type) AS BIGINT) AS p
+    FROM pairs
+    """,
+)
+def q_markov_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event streams.
+
+    P(next = to | current = from), estimated from adjacent event pairs
+    within each user's timeline. The session-modeling workhorse:
+    navigation models, next-action prediction baselines, anomaly
+    scores for improbable transitions.
+
+    Scale: one ``lead`` window over ``partitionBy(user_id)`` — a
+    single exchange of the fact table, reusing the same hash
+    partitioning every behavioral query here uses. The pair counts
+    and the row-normalizing window run over the |event_type|² grid
+    (25 cells here; bounded by the type vocabulary, not the data).
+    """
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wf = Window.partitionBy("from_type")
+    return pairs.select(
+        "from_type",
+        "to_type",
+        "n",
+        (F.col("n").cast("double") / F.sum("n").over(wf)).alias("p"),
+    )
+
+
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TERMS = ("window", "merge", "scan")
+_BM25_TOPK = 10
+
+
+def _bm25_oracle() -> str:
+    tf_cols = ",\n        ".join(
+        f"CAST(SUM(CASE WHEN w = '{t}' THEN 1 ELSE 0 END) AS BIGINT) AS tf{i}"
+        for i, t in enumerate(_BM25_TERMS)
+    )
+    df_cols = ",\n        ".join(
+        f"CAST(SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df{i}"
+        for i in range(len(_BM25_TERMS))
+    )
+    score_terms = "\n        + ".join(
+        f"LN(1 + (n_docs - df{i} + 0.5) / (df{i} + 0.5))"
+        f" * (tf{i} * ({_BM25_K1} + 1))"
+        f" / (tf{i} + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * dl / avgdl))"
+        for i in range(len(_BM25_TERMS))
+    )
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, UNNEST(string_split(text, ' ')) AS w FROM documents
+    ),
+    per_doc AS (
+      SELECT
+        doc_id,
+        CAST(COUNT(*) AS BIGINT) AS dl,
+        {tf_cols}
+      FROM tok WHERE w <> '' GROUP BY doc_id
+    ),
+    stats AS (
+      SELECT
+        CAST(COUNT(*) AS BIGINT) AS n_docs,
+        AVG(CAST(dl AS DOUBLE)) AS avgdl,
+        {df_cols}
+      FROM per_doc
+    ),
+    scored AS (
+      SELECT
+        doc_id,
+        {score_terms} AS score
+      FROM per_doc, stats
+      WHERE tf0 + tf1 + tf2 > 0
+    )
+    SELECT doc_id, ROUND(score, 4) AS score
+    FROM scored ORDER BY score DESC, doc_id LIMIT {_BM25_TOPK}
+    """
+
+
+@query("rag_bm25_topk", oracle=_bm25_oracle())
+def q_rag_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval: top-k documents for the fixed query
+    {'window', 'merge', 'scan'} (k1 = 1.2, b = 0.75).
+
+    The lexical half of a RAG retrieval stack (the dense half is the
+    ``sim_*`` family). idf uses the Lucene-style
+    ``ln(1 + (N - df + 0.5)/(df + 0.5))`` form — always positive, so
+    stopword-frequency terms can't flip scores negative.
+
+    Scale: the corpus is tokenized ONCE; per-doc term frequencies and
+    document length come from one ``groupBy(doc_id)`` (conditional
+    sums — no per-term passes). Corpus stats (N, avgdl, per-term df)
+    reduce to a 1-row frame that attaches as a broadcast nested-loop
+    join (the lazy scalar-attach pattern), and the final top-k is a
+    ``TakeOrderedAndProject`` — no global sort. Docs containing no
+    query term are filtered before scoring, so the scored relation is
+    df-sized, not corpus-sized.
+    """
+    d = load_table(spark, "documents", sf_dir)
+    tok = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("w")
+    ).filter(F.col("w") != "")
+    tf_aggs = [
+        F.sum(F.when(F.col("w") == t, 1).otherwise(0)).alias(f"tf{i}")
+        for i, t in enumerate(_BM25_TERMS)
+    ]
+    per_doc = tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("dl"), *tf_aggs
+    )
+    df_aggs = [
+        F.sum(F.when(F.col(f"tf{i}") > 0, 1).otherwise(0)).alias(f"df{i}")
+        for i in range(len(_BM25_TERMS))
+    ]
+    stats = per_doc.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg(F.col("dl").cast("double")).alias("avgdl"),
+        *df_aggs,
+    )
+    hit = sum(F.col(f"tf{i}") for i in range(len(_BM25_TERMS)))
+    scored = per_doc.crossJoin(F.broadcast(stats)).filter(hit > 0)
+    score = None
+    for i in range(len(_BM25_TERMS)):
+        idf = F.log(
+            1 + (F.col("n_docs") - F.col(f"df{i}") + 0.5) / (F.col(f"df{i}") + 0.5)
+        )
+        part = (
+            idf
+            * (F.col(f"tf{i}") * (_BM25_K1 + 1))
+            / (
+                F.col(f"tf{i}")
+                + _BM25_K1
+                * (1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+            )
+        )
+        score = part if score is None else score + part
+    return (
+        scored.select("doc_id", score.alias("raw"))
+        .orderBy(F.col("raw").desc(), "doc_id")
+        .limit(_BM25_TOPK)
+        .select("doc_id", F.round("raw", 4).alias("score"))
+    )
+
+
+@query(
+    "join_salted_skew_revenue",
+    oracle="""
+    SELECT
+      o.o_orderpriority,
+      CAST(COUNT(*) AS BIGINT) AS n_items,
+      ROUND(CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                          AS DECIMAL(18,6))) AS DOUBLE), 2) AS revenue
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q_join_salted_skew_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue by order priority through the salt-split fact-to-dim join.
+
+    The skew-hardened twin of ``join_inner_revenue``: the fact side
+    (lineitem) is salted 8 ways and the dim side (orders) replicated
+    per salt, so a pathological hot key spreads over 8 reducers
+    instead of one (``functions/skew.py::salted_join``). The oracle is
+    the PLAIN join-aggregate — salting must be invisible in the
+    result. At local test scale AQE may still broadcast the dim side
+    (which also defeats skew); the salted plan is the explicit form
+    for dims too large to broadcast with AQE disabled.
+    """
+    from flink_kakfa_spark.functions.skew import salted_join
+
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    o = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_orderpriority")
+    joined = salted_join(li, o, "l_orderkey", "o_orderkey", n_salts=8)
+    rev = F.sum(
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(rev.cast("double"), 2).alias("revenue"),
+    )
+
+
+@query(
+    "window_first_last_nth",
+    oracle="""
+    SELECT
+      o_orderkey,
+      o_custkey,
+      first_value(o_totalprice) OVER w AS first_price,
+      last_value(o_totalprice) OVER w AS last_price,
+      nth_value(o_totalprice, 2) OVER w AS second_price
+    FROM orders
+    WINDOW w AS (
+      PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def q_window_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W-family completion: first_value / last_value / nth_value.
+
+    Each order row carries its customer's first, latest, and second
+    order price (date order, orderkey tie-break). The frame is pinned
+    to the full partition explicitly — ``last_value`` under the
+    default frame (CURRENT ROW upper bound) is the classic silent-bug;
+    both engines get the identical frame spec. One exchange on
+    ``o_custkey``.
+    """
+    o = load_table(spark, "orders", sf_dir)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.first("o_totalprice").over(w).alias("first_price"),
+        F.last("o_totalprice").over(w).alias("last_price"),
+        F.nth_value("o_totalprice", 2).over(w).alias("second_price"),
+    )
+
+
+# EWMA with alpha = 0.5: the weight ratio r = 1/(1-alpha) = 2, so every
+# smoothing weight is an exact power of two and the normalized form
+#   ewma_t = SUM_{i<=t} x_i * 2^i / SUM_{i<=t} 2^i
+# (the common (1-alpha)^t factor cancels) is bit-deterministic: scaling
+# a double by 2^i is exact, and the cumulative window sums evaluate in
+# the same row order in both engines.
+_EWMA_R = 2
+
+
+@query(
+    "ts_ewma_event_value",
+    oracle=f"""
+    WITH daily AS (
+      SELECT
+        event_type,
+        CAST(ts AS DATE) AS day,
+        CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    seq AS (
+      SELECT event_type, day, x,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS i
+      FROM daily
+    )
+    SELECT
+      event_type, day,
+      x AS daily_mean,
+      SUM(x * POWER({_EWMA_R}, i)) OVER w / SUM(POWER({_EWMA_R}, i)) OVER w
+        AS ewma
+    FROM seq
+    WINDOW w AS (PARTITION BY event_type ORDER BY i
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_ts_ewma_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average (alpha = 0.5) of the daily
+    mean event value, per event type.
+
+    The EWMA recurrence is order-dependent and so normally
+    oracle-hostile; rewriting it as a ratio of two cumulative
+    power-weighted sums (weights 2^i — exact in IEEE-754, see module
+    constant) makes it a pure window expression both engines evaluate
+    identically. The daily mean itself sums through a decimal cast so
+    the pre-smoothing input is partitioning-independent too.
+
+    Scale: one fact shuffle into the (type, day) rollup; the smoothing
+    windows run over the per-type day spine (365 rows/year/type).
+    """
+    ev = load_table(spark, "events", sf_dir)
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(
+        (
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("x")
+    )
+    wi = Window.partitionBy("event_type").orderBy("day")
+    seq = daily.withColumn("i", F.row_number().over(wi))
+    wc = (
+        Window.partitionBy("event_type")
+        .orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    weight = F.pow(F.lit(float(_EWMA_R)), F.col("i"))
+    return seq.select(
+        "event_type",
+        "day",
+        F.col("x").alias("daily_mean"),
+        (F.sum(F.col("x") * weight).over(wc) / F.sum(weight).over(wc)).alias(
+            "ewma"
+        ),
+    )

@@ -58,6 +58,7 @@ _QUERY_MODULES = [
     "flink_kakfa_spark.operators.tpch_extra2",
     "flink_kakfa_spark.operators.media",
     "flink_kakfa_spark.operators.lake",
+    "flink_kakfa_spark.operators.analytics",
 ]
 
 # ROUND-5 WINDOW ROTATION (executes the plan written here in round 4):

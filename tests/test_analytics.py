@@ -1,0 +1,212 @@
+"""Behavioral/product analytics operators: semantics + scale posture."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from flink_kakfa_spark.registry import all_queries
+
+
+def _events(spark, tmp_path, rows):
+    df = spark.createDataFrame(
+        [
+            Row(
+                event_id=i,
+                ts=t,
+                user_id=u,
+                event_type=et,
+                value=v,
+                props="{}",
+            )
+            for i, (u, et, t, v) in enumerate(rows)
+        ],
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    df.write.parquet(str(tmp_path / "events.parquet"))
+
+
+def test_cohort_retention_offsets_and_rates(spark, tmp_path):
+    """Two users signing up in week of 2024-01-01 (Monday); one active
+    the next week -> 50% week-1 retention. Pre-signup activity ignored."""
+    _events(
+        spark,
+        tmp_path,
+        [
+            (1, "signup", "2024-01-02 10:00:00", 1.0),
+            (1, "click", "2024-01-09 10:00:00", 1.0),  # week offset 1
+            (2, "signup", "2024-01-03 10:00:00", 1.0),
+            (2, "view", "2023-12-20 10:00:00", 1.0),  # before signup: ignored
+            (3, "click", "2024-01-02 10:00:00", 1.0),  # never signs up
+        ],
+    )
+    rows = {
+        (str(r["cohort_week"]), r["week_offset"]): r
+        for r in all_queries()["cohort_weekly_retention"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert set(rows) == {("2024-01-01", 0), ("2024-01-01", 1)}
+    assert rows[("2024-01-01", 0)]["n_active"] == 2
+    assert rows[("2024-01-01", 0)]["retention"] == 1.0
+    assert rows[("2024-01-01", 1)]["n_active"] == 1
+    assert rows[("2024-01-01", 1)]["retention"] == 0.5
+
+
+def test_markov_rows_are_conditional_probabilities(spark, sf_dir):
+    """Per-from_type probabilities sum to 1 and counts match a manual
+    lead-pair recount."""
+    rows = all_queries()["markov_event_transitions"](spark, sf_dir).collect()
+    by_from: dict[str, float] = {}
+    for r in rows:
+        by_from[r["from_type"]] = by_from.get(r["from_type"], 0.0) + r["p"]
+    for ft, total in by_from.items():
+        assert abs(total - 1.0) < 1e-9, (ft, total)
+
+
+def test_ewma_first_row_equals_daily_mean_and_smooths(spark, tmp_path):
+    """ewma_1 = x_1; ewma_2 with alpha=.5 and normalized weights is
+    (x1*2 + x2*4)/(2+4) = x1/3 + 2*x2/3."""
+    _events(
+        spark,
+        tmp_path,
+        [
+            (1, "view", "2024-01-01 01:00:00", 3.0),
+            (2, "view", "2024-01-01 02:00:00", 9.0),  # day 1 mean = 6.0
+            (1, "view", "2024-01-02 01:00:00", 12.0),  # day 2 mean = 12.0
+        ],
+    )
+    rows = sorted(
+        all_queries()["ts_ewma_event_value"](spark, str(tmp_path)).collect(),
+        key=lambda r: r["day"],
+    )
+    assert rows[0]["daily_mean"] == 6.0 and rows[0]["ewma"] == 6.0
+    assert rows[1]["daily_mean"] == 12.0
+    assert abs(rows[1]["ewma"] - (6.0 / 3 + 2 * 12.0 / 3)) < 1e-12
+
+
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    """Salting must be invisible: same aggregate as the plain join."""
+    got = {
+        r["o_orderpriority"]: (r["n_items"], r["revenue"])
+        for r in all_queries()["join_salted_skew_revenue"](spark, sf_dir).collect()
+    }
+    from flink_kakfa_spark.sources.tables import load_table
+
+    li = load_table(spark, "lineitem", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    want = {
+        r["o_orderpriority"]: (r["n_items"], r["revenue"])
+        for r in li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(18,6)"
+                    )
+                ).cast("double"),
+                2,
+            ).alias("revenue"),
+        )
+        .collect()
+    }
+    assert got == want
+
+
+def test_bm25_scores_positive_and_ordered(spark, sf_dir):
+    rows = all_queries()["rag_bm25_topk"](spark, sf_dir).collect()
+    assert len(rows) == 10
+    scores = [r["score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    assert all(s > 0 for s in scores)
+
+
+def test_bm25_single_doc_shuffle(spark, sf_dir):
+    """The corpus is tokenized and aggregated ONCE: at runtime AQE's
+    stage cache turns the stats branch's per-doc aggregate into a
+    ReusedExchange, so only one doc_id exchange (plus the tiny 1-row
+    stats fold and broadcast) actually moves data. Asserted on the
+    FINAL adaptive plan — the static plan prints both exchanges."""
+    df = all_queries()["rag_bm25_topk"](spark, sf_dir)
+    df.collect()  # finalize the adaptive plan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # AQE's toString appends the pre-execution "Initial Plan" section —
+    # count only the stages that actually ran
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "ReusedExchange" in plan, plan
+    exchanges = plan.count("Exchange ") + plan.count("Exchange(")
+    reuses = plan.count("ReusedExchange")
+    # non-reused stages: the doc_id fact exchange, the 1-row stats fold
+    # (SinglePartition over per-partition partials), its broadcast, and
+    # the top-k result stage — only the first moves fact-sized data
+    assert exchanges - reuses <= 4, plan
+
+
+def test_first_last_nth_frame_is_full_partition(spark, tmp_path):
+    """last_value must see the whole partition (explicit frame), and
+    nth_value(2) is NULL for single-order customers."""
+    spark.createDataFrame(
+        [
+            Row(
+                o_orderkey=k,
+                o_custkey=c,
+                o_orderstatus="O",
+                o_totalprice=p,
+                o_orderdate=d,
+                o_orderpriority="1-URGENT",
+            )
+            for k, c, p, d in [
+                (1, 10, 100.0, "1995-01-01"),
+                (2, 10, 200.0, "1995-02-01"),
+                (3, 10, 300.0, "1995-03-01"),
+                (4, 20, 50.0, "1995-01-15"),
+            ]
+        ],
+        "o_orderkey long, o_custkey long, o_orderstatus string, o_totalprice double, o_orderdate string, o_orderpriority string",
+    ).withColumn("o_orderdate", F.to_timestamp("o_orderdate")).write.parquet(
+        str(tmp_path / "orders.parquet")
+    )
+    rows = {
+        r["o_orderkey"]: r
+        for r in all_queries()["window_first_last_nth"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert rows[1]["first_price"] == 100.0
+    assert rows[1]["last_price"] == 300.0  # full frame, not CURRENT ROW
+    assert rows[1]["second_price"] == 200.0
+    assert rows[4]["second_price"] is None
+
+
+def test_growth_first_month_null_then_exact(spark, tmp_path):
+    spark.createDataFrame(
+        [
+            Row(
+                o_orderkey=k,
+                o_custkey=1,
+                o_orderstatus="O",
+                o_totalprice=p,
+                o_orderdate=d,
+                o_orderpriority="1-URGENT",
+            )
+            for k, p, d in [
+                (1, 100.0, "1995-01-05"),
+                (2, 50.0, "1995-01-20"),
+                (3, 300.0, "1995-02-10"),
+            ]
+        ],
+        "o_orderkey long, o_custkey long, o_orderstatus string, o_totalprice double, o_orderdate string, o_orderpriority string",
+    ).withColumn("o_orderdate", F.to_timestamp("o_orderdate")).write.parquet(
+        str(tmp_path / "orders.parquet")
+    )
+    rows = sorted(
+        all_queries()["growth_mom_revenue"](spark, str(tmp_path)).collect(),
+        key=lambda r: r["month"],
+    )
+    assert rows[0]["revenue"] == 150.0
+    assert rows[0]["delta"] is None and rows[0]["mom_pct"] is None
+    assert rows[1]["revenue"] == 300.0
+    assert rows[1]["delta"] == 150.0
+    assert rows[1]["mom_pct"] == 1.0

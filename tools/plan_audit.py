@@ -42,6 +42,7 @@ ALLOWED_QUADRATIC = {
     "constraint_check_summary",    # three 1-row check aggregates crossJoined
     "pipeline_train_split",        # 1-row corpus-total broadcast cross join
     "join_bloom_filtered_revenue", # 1-row Bloom-bitmap broadcast cross join
+    "rag_bm25_topk",               # 1-row corpus-stats (N, avgdl, df) broadcast
 }
 ALLOWED_PYTHON = {
     "mm_decode_frames", "mm_extract_features", "sim_cosine_topk_pandas",
