@@ -62,6 +62,10 @@ HEADLINE = [
     "emb_centroid_purity",      # embedding diagnostics: decimal-sum agg
     "dedup_clusters",           # iterative label propagation (slowest query)
     "corpus_temperature_sample",  # temperature-weighted corpus sampling
+    # round-5 analytics module
+    "rag_bm25_topk",            # BM25 retrieval: 1 doc_id shuffle + stats broadcast
+    "cohort_weekly_retention",  # cohort matrix: 1 user_id shuffle
+    "join_salted_skew_revenue", # skew-salted fact-to-dim join
 ]
 
 
