@@ -471,3 +471,118 @@ def q_ts_ewma_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ewma"
         ),
     )
+
+
+_ATTR_WINDOW_DAYS = 7
+
+
+@query(
+    "attribution_last_touch",
+    oracle=f"""
+    SELECT
+      p.event_id AS purchase_event_id,
+      p.user_id,
+      t.event_id AS touch_event_id,
+      t.event_type AS touch_type
+    FROM events p, LATERAL (
+      SELECT event_id, event_type
+      FROM events t
+      WHERE t.user_id = p.user_id
+        AND t.event_type IN ('click', 'view')
+        AND (t.ts, t.event_id) < (p.ts, p.event_id)
+        AND t.ts >= p.ts - INTERVAL {_ATTR_WINDOW_DAYS} DAY
+      ORDER BY t.ts DESC, t.event_id DESC LIMIT 1
+    ) t
+    WHERE p.event_type = 'purchase'
+    """,
+)
+def q_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase credits the user's most
+    recent click/view within the preceding 7 days.
+
+    The per-purchase "latest preceding touch" is a running ``max`` of a
+    ``struct(ts, event_id, event_type)`` over the 1-PRECEDING frame —
+    struct ordering is lexicographic, so the max IS the latest-then-
+    highest-id touch, exactly the oracle's ``ORDER BY ts DESC,
+    event_id DESC LIMIT 1`` lateral pick. One exchange on ``user_id``;
+    the oracle's per-row lateral scan is the formulation you'd never
+    run at scale.
+    """
+    ev = load_table(spark, "events", sf_dir)
+    relevant = ev.filter(
+        F.col("event_type").isin("click", "view", "purchase")
+    ).select("user_id", "event_id", "event_type", "ts")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.max(
+        F.when(
+            F.col("event_type").isin("click", "view"),
+            F.struct("ts", "event_id", "event_type"),
+        )
+    ).over(w)
+    return (
+        relevant.withColumn("touch", touch)
+        .filter(
+            (F.col("event_type") == "purchase")
+            & F.col("touch").isNotNull()
+            & (
+                F.col("touch.ts")
+                >= F.col("ts") - F.expr(f"INTERVAL {_ATTR_WINDOW_DAYS} DAYS")
+            )
+        )
+        .select(
+            F.col("event_id").alias("purchase_event_id"),
+            "user_id",
+            F.col("touch.event_id").alias("touch_event_id"),
+            F.col("touch.event_type").alias("touch_type"),
+        )
+    )
+
+
+_WAU_DAYS = 7
+
+
+@query(
+    "rolling_wau_7d",
+    oracle=f"""
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    days AS (SELECT DISTINCT day FROM ud)
+    SELECT
+      d.day,
+      CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS wau
+    FROM days d JOIN ud u
+      ON u.day BETWEEN d.day - {_WAU_DAYS - 1} AND d.day
+    GROUP BY d.day
+    """,
+)
+def q_rolling_wau_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day active users (WAU) for every observed day.
+
+    Spark has no ``COUNT(DISTINCT) OVER RANGE``; the scalable rewrite
+    explodes each distinct (user, day) into the {_WAU_DAYS} report days
+    it contributes to, then counts distinct users per report day — a
+    bounded ×{_WAU_DAYS} fan-out of the (user, day) relation (already
+    ~1/1000th of event volume), versus the oracle's day×activity range
+    join, which is quadratic in the day span. Contribution days past
+    the observed range are clipped by the semi join with the observed
+    day set.
+    """
+    ev = load_table(spark, "events", sf_dir)
+    ud = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    days = ud.select("day").distinct()
+    exploded = ud.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("day"), F.date_add(F.col("day"), _WAU_DAYS - 1))
+        ).alias("rday"),
+    )
+    return (
+        exploded.join(days.withColumnRenamed("day", "rday"), "rday", "left_semi")
+        .groupBy(F.col("rday").alias("day"))
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )

@@ -210,3 +210,47 @@ def test_growth_first_month_null_then_exact(spark, tmp_path):
     assert rows[1]["revenue"] == 300.0
     assert rows[1]["delta"] == 150.0
     assert rows[1]["mom_pct"] == 1.0
+
+
+def test_attribution_picks_latest_touch_within_window(spark, tmp_path):
+    """Latest preceding click/view wins; touches older than 7 days or
+    after the purchase don't count."""
+    _events(
+        spark,
+        tmp_path,
+        [
+            # u1: view then click then purchase -> click (latest) wins
+            (1, "view", "2024-01-01 10:00:00", 1.0),
+            (1, "click", "2024-01-02 10:00:00", 1.0),
+            (1, "purchase", "2024-01-03 10:00:00", 1.0),
+            # u2: only touch is 8 days before purchase -> no attribution
+            (2, "click", "2024-01-01 00:00:00", 1.0),
+            (2, "purchase", "2024-01-09 00:00:01", 1.0),
+            # u3: touch after purchase only -> no attribution
+            (3, "purchase", "2024-01-05 00:00:00", 1.0),
+            (3, "click", "2024-01-06 00:00:00", 1.0),
+        ],
+    )
+    rows = all_queries()["attribution_last_touch"](spark, str(tmp_path)).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["user_id"] == 1 and r["touch_type"] == "click"
+
+
+def test_rolling_wau_counts_trailing_window(spark, tmp_path):
+    """A user active on day d contributes to days d..d+6 (observed only)."""
+    _events(
+        spark,
+        tmp_path,
+        [
+            (1, "view", "2024-01-01 10:00:00", 1.0),
+            (2, "view", "2024-01-05 10:00:00", 1.0),
+            (1, "view", "2024-01-20 10:00:00", 1.0),
+        ],
+    )
+    rows = {
+        str(r["day"]): r["wau"]
+        for r in all_queries()["rolling_wau_7d"](spark, str(tmp_path)).collect()
+    }
+    # observed days only: Jan 1, Jan 5, Jan 20
+    assert rows == {"2024-01-01": 1, "2024-01-05": 2, "2024-01-20": 1}
