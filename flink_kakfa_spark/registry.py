@@ -131,6 +131,29 @@ _WINDOW_FRONT = [
     "sim_sq8_rescore_topk",
 ]
 
+# ROUND-6 ROTATION PLAN (write of record, same protocol as the round-4
+# plan this file's round-5 list executed): after r5's driver run lands,
+# exactly 32 oracle-backed queries remain with zero driver CORRECTNESS
+# evidence — rotate ALL of them into the front of the round-6 window:
+#   text_char_entropy, text_bpe_merge_pairs, agg_corr_covar,
+#   corpus_dataset_card, sketch_cms_heavy_hitters,
+#   streak_longest_purchase_days, pipeline_curriculum_order,
+#   pipeline_shuffle_shards, pipeline_train_split,
+#   tpch_q6_forecast_revenue, tpch_q9_product_type_profit,
+#   tpch_q11_important_stock, tpch_q13_customer_distribution,
+#   tpch_q15_top_supplier, tpch_q17_small_quantity_revenue,
+#   tpch_q20_potential_promotion, tpch_q21_waiting_suppliers,
+#   tpch_q22_global_sales_opportunity, merge_scd2_orders,
+#   cdc_apply_changelog, profile_orders_columns,
+#   constraint_check_summary, join_bloom_filtered_revenue,
+#   cohort_weekly_retention, growth_mom_revenue,
+#   markov_event_transitions, rag_bm25_topk, join_salted_skew_revenue,
+#   window_first_last_nth, ts_ewma_event_value, attribution_last_touch,
+#   rolling_wau_7d
+# The remaining 18 slots: any round-6 additions first, then backfill
+# with the oldest driver evidence (r1/r2 rows) for re-verification.
+# Update tests/test_000_smoke.py::DRIVER_WINDOW in the same commit.
+
 # Queries registered WITHOUT oracle SQL (rows-only driver check, by
 # design — engine-seeded algorithms). Their oracle-exact portable
 # twins (dedup_minhash_portable, sim_ivf_portable_topk) carry the
