@@ -343,3 +343,59 @@ def q_pipeline_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             "char_share"
         ),
     )
+
+
+from pyspark.sql import Window as _W
+
+from flink_kakfa_spark.operators.corpus import _SQL_UNIFORM, _portable_uniform
+
+_WEIGHTED_K = 20
+# exact half-ULP-of-2^32 shift: u = (raw + 0.5) / 2^32 stays strictly
+# inside (0,1) and every term is an exact dyadic, so u is bit-identical
+# across engines
+_HALF_STEP = 1.0 / 8589934592.0
+
+
+@query(
+    "sample_weighted_topk",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT
+        doc_id, source, n_chars,
+        LN(({_SQL_UNIFORM}) + {_HALF_STEP!r}) / n_chars AS k
+      FROM documents
+    )
+    SELECT doc_id, source, n_chars,
+           CAST(ROW_NUMBER() OVER (ORDER BY k DESC, doc_id) AS INTEGER) AS rk
+    FROM keyed
+    ORDER BY k DESC, doc_id LIMIT {_WEIGHTED_K}
+    """,
+)
+def q_sample_weighted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement: Efraimidis–Spirakis
+    exponential keys, selection probability proportional to doc length.
+
+    The length-biased counterpart of ``sample_k_per_source``: each doc
+    draws a deterministic uniform u from md5(doc_id) and ranks by
+    ln(u)/weight — the distributed one-pass equivalent of weighted
+    reservoir sampling (Efraimidis & Spirakis 2006). Both engines see
+    bit-identical u (exact dyadic arithmetic on the md5 prefix), so
+    the SAME k docs are selected everywhere, every retry — the
+    determinism rand()-based sampling cannot give an oracle. Top-k by
+    key is a TakeOrdered partial — no global sort at scale.
+    """
+    d = load_table(spark, "documents", sf_dir)
+    u = _portable_uniform(F.col("doc_id")) + F.lit(_HALF_STEP)
+    keyed = d.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        (F.log(u) / F.col("n_chars")).alias("k"),
+    )
+    w = _W.orderBy(F.col("k").desc(), "doc_id")
+    return (
+        keyed.orderBy(F.col("k").desc(), "doc_id")
+        .limit(_WEIGHTED_K)
+        .withColumn("rk", F.row_number().over(w).cast("int"))
+        .drop("k")
+    )

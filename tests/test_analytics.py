@@ -254,3 +254,21 @@ def test_rolling_wau_counts_trailing_window(spark, tmp_path):
     }
     # observed days only: Jan 1, Jan 5, Jan 20
     assert rows == {"2024-01-01": 1, "2024-01-05": 2, "2024-01-20": 1}
+
+
+def test_rolling_wau_hll_matches_exact_within_tol(spark, sf_dir):
+    """The merged-sketch estimate agrees with the exact rolling count
+    on every day (within_tol all TRUE), and the exact counts equal the
+    explode-rewrite query's."""
+    hll = {
+        str(r["day"]): r
+        for r in all_queries()["rolling_wau_hll"](spark, sf_dir).collect()
+    }
+    exact = {
+        str(r["day"]): r["wau"]
+        for r in all_queries()["rolling_wau_7d"](spark, sf_dir).collect()
+    }
+    assert set(hll) == set(exact)
+    for day, r in hll.items():
+        assert r["exact_wau"] == exact[day]
+        assert r["within_tol"] is True

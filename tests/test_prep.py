@@ -149,3 +149,23 @@ def test_shuffle_shards_partition_and_positions(spark, sf_dir):
     assert {(r["doc_id"], r["shard"], r["pos"]) for r in rows2} == {
         (r["doc_id"], r["shard"], r["pos"]) for r in rows
     }
+
+
+def test_weighted_sample_prefers_heavy_docs(spark, sf_dir):
+    """E-S keys: expected length bias — the sampled docs' mean n_chars
+    should exceed the corpus mean (weights proportional to length);
+    ranks are 1..k and deterministic across repeated runs."""
+    from flink_kakfa_spark.registry import all_queries
+    from flink_kakfa_spark.sources.tables import load_table
+    import pyspark.sql.functions as F
+
+    q = all_queries()["sample_weighted_topk"]
+    rows1 = q(spark, sf_dir).collect()
+    rows2 = q(spark, sf_dir).collect()
+    assert [r["doc_id"] for r in rows1] == [r["doc_id"] for r in rows2]
+    assert [r["rk"] for r in rows1] == list(range(1, len(rows1) + 1))
+    corpus_mean = (
+        load_table(spark, "documents", sf_dir).agg(F.avg("n_chars")).collect()[0][0]
+    )
+    sample_mean = sum(r["n_chars"] for r in rows1) / len(rows1)
+    assert sample_mean > corpus_mean

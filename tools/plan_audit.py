@@ -58,6 +58,12 @@ ALLOWED_SMALL_SIDE_SHUFFLES = {
     # build side = supplier-subset keys: distinct + bit-position groupBy
     # + 1-row bitmap fold are all shuffles of <=O(|suppliers|) rows
     "join_bloom_filtered_revenue",
+    # two independent single-shuffle fact passes (daily sketch build;
+    # exact user-day distinct for the tolerance contract) — everything
+    # else shuffles the day-spine-sized sketch/count relations. At
+    # production scale the exact branch doesn't exist: the standing
+    # daily sketch table is the only fact-derived artifact.
+    "rolling_wau_hll",
 }
 
 
