@@ -586,3 +586,67 @@ def q_rolling_wau_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("rday").alias("day"))
         .agg(F.countDistinct("user_id").alias("wau"))
     )
+
+
+@query(
+    "trend_slope_per_type",
+    oracle="""
+    WITH s AS (
+      SELECT
+        event_type,
+        COUNT(*) AS n,
+        CAST(SUM(CAST(CAST(ts AS DATE) - DATE '1970-01-01'
+                      AS DECIMAL(19,6))) AS DOUBLE) AS sx,
+        CAST(SUM(CAST(value AS DECIMAL(19,6))) AS DOUBLE) AS sy,
+        CAST(SUM(CAST(CAST(ts AS DATE) - DATE '1970-01-01'
+                      AS DECIMAL(19,6))
+                 * CAST(value AS DECIMAL(19,6))) AS DOUBLE) AS sxy,
+        CAST(SUM(CAST(CAST(ts AS DATE) - DATE '1970-01-01'
+                      AS DECIMAL(19,6))
+                 * CAST(CAST(ts AS DATE) - DATE '1970-01-01'
+                        AS DECIMAL(19,6))) AS DOUBLE) AS sx2
+      FROM events GROUP BY event_type
+    )
+    SELECT
+      event_type,
+      CAST(n AS BIGINT) AS n,
+      ROUND((sxy - sx * sy / n) / (sx2 - sx * sx / n), 6) AS slope_per_day,
+      ROUND((sy - ((sxy - sx * sy / n) / (sx2 - sx * sx / n)) * sx) / n, 4)
+        AS intercept
+    FROM s
+    """,
+)
+def q_trend_slope_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type linear trend of event value over calendar days —
+    ordinary least squares from exact raw moments in ONE pass.
+
+    The distributed-regression workhorse: slope and intercept come from
+    n, Σx, Σy, Σxy, Σx² (x = epoch day), which are algebraic aggregates
+    — map-side partials, one shuffle, no per-group iteration. Like
+    ``agg_corr_covar``, the moments route through DECIMAL sums with
+    operands cast BEFORE the product, so every partitioning and both
+    engines sum identical exact decimals; the closed-form combination
+    is then the same IEEE arithmetic everywhere (residual 1-ulp
+    decimal→double cast skew absorbed by the fixed ROUND).
+    """
+    ev = load_table(spark, "events", sf_dir)
+    d19 = "decimal(19,6)"
+    x = F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")).cast(d19)
+    y = F.col("value").cast(d19)
+    agg = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x * y).cast("double").alias("sxy"),
+        F.sum(x * x).cast("double").alias("sx2"),
+    )
+    nn = F.col("n")
+    slope = (F.col("sxy") - F.col("sx") * F.col("sy") / nn) / (
+        F.col("sx2") - F.col("sx") * F.col("sx") / nn
+    )
+    return agg.select(
+        "event_type",
+        "n",
+        F.round(slope, 6).alias("slope_per_day"),
+        F.round((F.col("sy") - slope * F.col("sx")) / nn, 4).alias("intercept"),
+    )

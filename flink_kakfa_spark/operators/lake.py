@@ -398,3 +398,72 @@ def q_join_bloom_filtered_revenue(spark: SparkSession, sf_dir: str) -> DataFrame
         F.count(F.lit(1)).alias("n_items"),
         F.round(revenue.cast("double"), 2).alias("revenue"),
     )
+
+
+_Z_BITS = 8
+
+
+def _z_terms_sql(px: str, py: str) -> str:
+    """Morton interleave as a sum of shift/mask terms (SQL text)."""
+    terms = []
+    for i in range(_Z_BITS):
+        terms.append(f"((({px} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({py} >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(terms)
+
+
+def _z_terms_col(px, py):
+    """Morton interleave as a sum of shift/mask Columns (same structure
+    as the SQL twin so both engines evaluate identical integer math)."""
+    z = F.lit(0)
+    for i in range(_Z_BITS):
+        z = z + F.shiftleft(F.shiftright(px, i).bitwiseAND(F.lit(1)), 2 * i)
+        z = z + F.shiftleft(F.shiftright(py, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+    return z
+
+
+@query(
+    "lake_zorder_layout",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT
+        o_orderkey,
+        CAST({_z_terms_sql("(o_custkey % 256)",
+                           "((CAST(o_orderdate AS DATE) - DATE '1970-01-01') % 256)")}
+             AS BIGINT) AS zval,
+        o_custkey % 256 AS cust_bucket,
+        (CAST(o_orderdate AS DATE) - DATE '1970-01-01') % 256 AS date_bucket
+      FROM orders
+    )
+    SELECT o_orderkey, zval,
+           CAST(cust_bucket AS BIGINT) AS cust_bucket,
+           CAST(date_bucket AS BIGINT) AS date_bucket
+    FROM keyed ORDER BY zval, o_orderkey LIMIT 50
+    """,
+)
+def q_lake_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) layout key over (customer, order date).
+
+    The data-layout half of lake maintenance: sorting files by the
+    bit-interleaved key clusters rows that are close in BOTH dimensions
+    into the same file, so min/max file statistics prune scans for
+    either predicate (`WHERE o_custkey = ?` AND/OR date ranges) — the
+    same effect Delta/Iceberg OPTIMIZE ZORDER provides. The key is pure
+    integer shift/mask math (identical in both engines); at scale the
+    full pipeline is `df.repartitionByRange(N, zval).sortWithinPartitions
+    (zval).write(...)` — this query emits the leading key block as the
+    verifiable artifact.
+    """
+    o = load_table(spark, "orders", sf_dir)
+    px = F.pmod(F.col("o_custkey"), F.lit(256)).cast("int")
+    py = F.pmod(
+        F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date")),
+        F.lit(256),
+    ).cast("int")
+    keyed = o.select(
+        "o_orderkey",
+        _z_terms_col(px, py).cast("bigint").alias("zval"),
+        px.cast("bigint").alias("cust_bucket"),
+        py.cast("bigint").alias("date_bucket"),
+    )
+    return keyed.orderBy("zval", "o_orderkey").limit(50)

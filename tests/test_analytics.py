@@ -272,3 +272,21 @@ def test_rolling_wau_hll_matches_exact_within_tol(spark, sf_dir):
     for day, r in hll.items():
         assert r["exact_wau"] == exact[day]
         assert r["within_tol"] is True
+
+
+def test_trend_slope_recovers_synthetic_line(spark, tmp_path):
+    """value = 2*(day index) + 5 exactly -> slope 2, intercept 5 vs
+    the 1970 epoch x-axis."""
+    base = 19723  # 2024-01-01 as days since epoch
+    _events(
+        spark,
+        tmp_path,
+        [
+            (1, "view", f"2024-01-0{d} 01:00:00", 2.0 * (base + d - 1) + 5.0)
+            for d in range(1, 8)
+        ],
+    )
+    rows = all_queries()["trend_slope_per_type"](spark, str(tmp_path)).collect()
+    assert len(rows) == 1
+    assert rows[0]["slope_per_day"] == 2.0
+    assert rows[0]["intercept"] == 5.0

@@ -87,3 +87,35 @@ def test_bloom_prefilter_actually_prunes(spark):
     n_true = big.join(small, big.k == small.sk, "left_semi").count()
     n_bloom = bloom_semi_join(big, small, "k", "sk").count()
     assert n_bloom == n_true  # exact confirm removes false positives
+
+
+def test_zorder_key_interleaves_bits(spark, sf_dir):
+    """z(px=0b11, py=0b01) = 0b0111 = 7: x bits occupy even positions,
+    y bits odd — verified via a synthetic frame."""
+    from pyspark.sql import functions as F
+    from flink_kakfa_spark.operators.lake import _z_terms_col
+
+    df = spark.range(1).select(
+        _z_terms_col(F.lit(3), F.lit(1)).alias("z"),
+        _z_terms_col(F.lit(0), F.lit(255)).alias("z_ymax"),
+        _z_terms_col(F.lit(255), F.lit(255)).alias("z_max"),
+    )
+    r = df.collect()[0]
+    assert r["z"] == 0b0111
+    assert r["z_ymax"] == 0b1010101010101010
+    assert r["z_max"] == 0xFFFF
+
+
+def test_zorder_layout_clusters_both_dimensions(spark, sf_dir):
+    """Within the leading z block, both bucket coordinates stay small —
+    the clustering property scan pruning relies on."""
+    from flink_kakfa_spark.registry import all_queries
+
+    rows = all_queries()["lake_zorder_layout"](spark, sf_dir).collect()
+    assert len(rows) == 50
+    zs = [r["zval"] for r in rows]
+    assert zs == sorted(zs)
+    # low z => both interleaved coordinates low (top-of-curve block)
+    for r in rows[:10]:
+        assert r["cust_bucket"] <= 0xFF and r["date_bucket"] <= 0xFF
+        assert r["zval"] < 1 << 10  # both buckets < 32 in the head block
