@@ -16,6 +16,13 @@ Semantics deltas vs the reference, by design:
   balancer (``go/producer/producer.go:74``).
 - Fetch batching (MinBytes/MaxBytes, ``go/consumer/consumer.go:103-104``)
   maps to ``maxOffsetsPerTrigger``/``minPartitions`` rate control.
+
+Jar-free alternative: when the connector jar is unobtainable (this
+container), the stdlib data plane (``wire.py`` + ``dataplane.py``)
+provides executable produce/consume — distributed per-partition
+fetch via ``mapInPandas``, Produce v3 RecordBatch writes, and a
+``foreachBatch`` streaming sink — verified against a wire-protocol
+fake broker in ``tests/test_dataplane.py``.
 """
 
 from __future__ import annotations

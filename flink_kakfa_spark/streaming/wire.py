@@ -1,0 +1,375 @@
+"""Kafka data-plane wire protocol: RecordBatch v2 codec + Produce /
+Fetch / ListOffsets client RPCs, standard library only.
+
+Extends the control-plane client (``topics.py``) to the data plane the
+reference actually exercises — produce (``go/producer/producer.go:
+105-115``) and consume (``go/consumer/consumer.go:41-76``) — without
+kafka-python or the Spark connector jar, neither of which exists in
+this container. Every layout below is the public Apache Kafka protocol
+spec (https://kafka.apache.org/protocol):
+
+- **RecordBatch, magic 2** (Kafka ≥0.11, the only format modern
+  brokers speak): varint/zigzag field widths, CRC-32C (Castagnoli)
+  over the post-crc bytes.
+- **Produce v3** (first version carrying RecordBatch; header v1).
+- **Fetch v4** (RecordBatch + isolation level; throttle-first layout).
+- **ListOffsets v1** (earliest/latest bounds for incremental reads).
+
+The unit tests run all of this against an in-process fake broker
+speaking the same spec frames over real TCP (mirroring the reference's
+env-gated integration idiom, ``go/producer/producer_test.go:21-23``);
+with ``KAFKA_BROKER`` set, the identical bytes go to a real broker.
+"""
+
+from __future__ import annotations
+
+import socket
+import struct
+import time
+from typing import NamedTuple
+
+from flink_kakfa_spark.streaming.topics import (
+    TopicAdminError,
+    _enc_request,
+    _enc_str,
+    _Reader,
+    _recv_exact,
+)
+
+API_PRODUCE = 0
+API_FETCH = 1
+API_LIST_OFFSETS = 2
+
+EARLIEST = -2
+LATEST = -1
+
+# Fetch frames carry data; allow more than the control-plane cap but
+# still bound allocation against corrupt/hostile length prefixes.
+_MAX_DATA_FRAME = 128 * 1024 * 1024
+
+
+# ------------------------------------------------------------- CRC-32C
+
+def _crc32c_table() -> list[int]:
+    poly = 0x82F63B78  # Castagnoli, reflected
+    table = []
+    for n in range(256):
+        c = n
+        for _ in range(8):
+            c = (c >> 1) ^ poly if c & 1 else c >> 1
+        table.append(c)
+    return table
+
+
+_CRC32C = _crc32c_table()
+
+
+def crc32c(data: bytes) -> int:
+    """CRC-32C (Castagnoli) — RecordBatch checksums use this, NOT the
+    IEEE crc32 in zlib."""
+    crc = 0xFFFFFFFF
+    for b in data:
+        crc = _CRC32C[(crc ^ b) & 0xFF] ^ (crc >> 8)
+    return crc ^ 0xFFFFFFFF
+
+
+# ----------------------------------------------------- varint encoding
+
+def _zigzag(n: int) -> int:
+    return (n << 1) ^ (n >> 63)
+
+
+def _unzigzag(n: int) -> int:
+    return (n >> 1) ^ -(n & 1)
+
+
+def enc_varint(n: int) -> bytes:
+    """Zigzag varint (Kafka record fields are SIGNED varints)."""
+    u = _zigzag(n) & 0xFFFFFFFFFFFFFFFF
+    out = bytearray()
+    while True:
+        b = u & 0x7F
+        u >>= 7
+        if u:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def dec_varint(buf: bytes, pos: int) -> tuple[int, int]:
+    shift = 0
+    u = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        u |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return _unzigzag(u), pos
+        shift += 7
+        if shift > 70:
+            raise TopicAdminError("malformed varint in record batch")
+
+
+# ------------------------------------------------- RecordBatch (magic 2)
+
+class Record(NamedTuple):
+    offset: int
+    timestamp_ms: int
+    key: bytes | None
+    value: bytes | None
+
+
+def encode_record_batch(
+    records: list[tuple[bytes | None, bytes | None]],
+    base_offset: int = 0,
+    timestamp_ms: int | None = None,
+) -> bytes:
+    """One RecordBatch (magic 2, uncompressed, idempotence off).
+
+    Layout per the spec: baseOffset int64, batchLength int32,
+    partitionLeaderEpoch int32, magic int8, crc uint32 (CRC-32C of
+    everything AFTER the crc field), attributes int16, lastOffsetDelta
+    int32, base/maxTimestamp int64, producerId int64 (-1),
+    producerEpoch int16 (-1), baseSequence int32 (-1), record count
+    int32, then varint-framed records.
+    """
+    if not records:
+        raise ValueError("empty record batch")
+    ts = int(time.time() * 1000) if timestamp_ms is None else timestamp_ms
+    body = bytearray()
+    for i, (key, value) in enumerate(records):
+        rec = bytearray()
+        rec += b"\x00"  # record attributes
+        rec += enc_varint(0)  # timestampDelta
+        rec += enc_varint(i)  # offsetDelta
+        for field in (key, value):
+            if field is None:
+                rec += enc_varint(-1)
+            else:
+                rec += enc_varint(len(field)) + field
+        rec += enc_varint(0)  # headers
+        body += enc_varint(len(rec)) + rec
+    n = len(records)
+    post_crc = (
+        struct.pack(">hiqq", 0, n - 1, ts, ts)  # attrs, lastOffsetDelta, ts, ts
+        + struct.pack(">qhi", -1, -1, -1)  # producerId/Epoch, baseSequence
+        + struct.pack(">i", n)
+        + bytes(body)
+    )
+    crc = crc32c(post_crc)
+    after_length = struct.pack(">ibI", 0, 2, crc) + post_crc  # epoch, magic, crc
+    return struct.pack(">qi", base_offset, len(after_length)) + after_length
+
+
+def decode_record_batches(buf: bytes) -> list[Record]:
+    """All records from a (possibly multi-batch) record set; verifies
+    each batch's CRC-32C. Tolerates a trailing partial batch (brokers
+    may truncate the last batch at max_bytes)."""
+    out: list[Record] = []
+    pos = 0
+    while pos + 12 <= len(buf):
+        base_offset, batch_len = struct.unpack_from(">qi", buf, pos)
+        start = pos + 12
+        end = start + batch_len
+        if batch_len <= 0 or end > len(buf):
+            break  # partial trailing batch
+        _epoch, magic, crc = struct.unpack_from(">ibI", buf, start)
+        if magic != 2:
+            raise TopicAdminError(f"unsupported record batch magic {magic}")
+        post = buf[start + 9 : end]
+        if crc32c(post) != crc:
+            raise TopicAdminError("record batch CRC-32C mismatch")
+        _attrs, _last_delta, base_ts, _max_ts = struct.unpack_from(">hiqq", post, 0)
+        # post-crc fixed fields: attrs(2) lastOffsetDelta(4) baseTs(8)
+        # maxTs(8) producerId(8) producerEpoch(2) baseSequence(4) = 36
+        (count,) = struct.unpack_from(">i", post, 36)
+        rpos = 40
+        for _ in range(count):
+            rec_len, rpos = dec_varint(post, rpos)
+            rend = rpos + rec_len
+            rpos += 1  # record attributes
+            ts_delta, rpos = dec_varint(post, rpos)
+            off_delta, rpos = dec_varint(post, rpos)
+            klen, rpos = dec_varint(post, rpos)
+            key = None if klen < 0 else post[rpos : rpos + klen]
+            rpos += max(klen, 0)
+            vlen, rpos = dec_varint(post, rpos)
+            value = None if vlen < 0 else post[rpos : rpos + vlen]
+            rpos += max(vlen, 0)
+            out.append(
+                Record(base_offset + off_delta, base_ts + ts_delta, key, value)
+            )
+            rpos = rend  # skip headers
+        pos = end
+    return out
+
+
+# ------------------------------------------------------------- RPC I/O
+
+def _rpc(
+    addr: tuple[str, int],
+    api_key: int,
+    api_version: int,
+    body: bytes,
+    timeout_s: float = 30.0,
+    correlation_id: int = 11,
+) -> _Reader:
+    """Data-plane twin of topics._rpc with a data-sized frame bound."""
+    with socket.create_connection(addr, timeout=timeout_s) as sock:
+        sock.sendall(_enc_request(api_key, api_version, correlation_id, body))
+        (size,) = struct.unpack(">i", _recv_exact(sock, 4))
+        if not 4 <= size <= _MAX_DATA_FRAME:
+            raise TopicAdminError(f"implausible response frame size: {size}")
+        rd = _Reader(_recv_exact(sock, size))
+    if rd.i32() != correlation_id:
+        raise TopicAdminError("correlation id mismatch")
+    return rd
+
+
+def _i64(rd: _Reader) -> int:
+    return struct.unpack(">q", rd._take(8))[0]
+
+
+def _i8(rd: _Reader) -> int:
+    return struct.unpack(">b", rd._take(1))[0]
+
+
+def _bytes(rd: _Reader) -> bytes:
+    n = rd.i32()
+    return b"" if n <= 0 else rd._take(n)
+
+
+# ------------------------------------------------------------ Produce v3
+
+def produce(
+    bootstrap: str,
+    topic: str,
+    records: list[tuple[bytes | None, bytes | None]],
+    partition: int = 0,
+    acks: int = -1,
+    timeout_ms: int = 30_000,
+) -> int:
+    """Produce v3: append one RecordBatch; returns the base offset.
+
+    ``acks=-1`` (all in-sync replicas) matches kafka-go's
+    ``RequireAll`` default the reference producer relies on for its
+    at-least-once claim.
+    """
+    host, port = bootstrap.rsplit(":", 1)
+    batch = encode_record_batch(records)
+    body = (
+        _enc_str(None)  # transactional_id
+        + struct.pack(">hi", acks, timeout_ms)
+        + struct.pack(">i", 1)  # one topic
+        + _enc_str(topic)
+        + struct.pack(">i", 1)  # one partition
+        + struct.pack(">i", partition)
+        + struct.pack(">i", len(batch))
+        + batch
+    )
+    rd = _rpc((host, int(port)), API_PRODUCE, 3, body)
+    base_offset = -1
+    for _ in range(rd.i32()):
+        name = rd.string()
+        for _ in range(rd.i32()):
+            pid = rd.i32()
+            err = rd.i16()
+            off = _i64(rd)
+            _i64(rd)  # log_append_time
+            if name == topic and pid == partition:
+                if err != 0:
+                    raise TopicAdminError(f"Produce({topic}/{pid}) error {err}")
+                base_offset = off
+    rd.i32()  # throttle_time_ms
+    if base_offset < 0:
+        raise TopicAdminError(f"Produce response missing {topic}/{partition}")
+    return base_offset
+
+
+# -------------------------------------------------------------- Fetch v4
+
+def fetch(
+    bootstrap: str,
+    topic: str,
+    partition: int = 0,
+    offset: int = 0,
+    max_bytes: int = 8 * 1024 * 1024,
+    max_wait_ms: int = 500,
+) -> tuple[list[Record], int]:
+    """Fetch v4 from ``offset``: returns (records, high_watermark)."""
+    host, port = bootstrap.rsplit(":", 1)
+    body = (
+        struct.pack(">iiii", -1, max_wait_ms, 1, max_bytes)  # replica/wait/min/max
+        + struct.pack(">b", 0)  # isolation_level: read_uncommitted
+        + struct.pack(">i", 1)
+        + _enc_str(topic)
+        + struct.pack(">i", 1)
+        + struct.pack(">iqi", partition, offset, max_bytes)
+    )
+    rd = _rpc((host, int(port)), API_FETCH, 4, body)
+    rd.i32()  # throttle_time_ms (first in Fetch v1+)
+    records: list[Record] = []
+    hwm = 0
+    for _ in range(rd.i32()):
+        name = rd.string()
+        for _ in range(rd.i32()):
+            pid = rd.i32()
+            err = rd.i16()
+            p_hwm = _i64(rd)
+            _i64(rd)  # last_stable_offset
+            n_aborted = rd.i32()
+            for _ in range(max(n_aborted, 0)):
+                _i64(rd)  # producer_id
+                _i64(rd)  # first_offset
+            record_set = _bytes(rd)
+            if name == topic and pid == partition:
+                if err != 0:
+                    raise TopicAdminError(f"Fetch({topic}/{pid}) error {err}")
+                hwm = p_hwm
+                records.extend(decode_record_batches(record_set))
+    return records, hwm
+
+
+def fetch_all(
+    bootstrap: str, topic: str, partition: int = 0, start: int = 0
+) -> list[Record]:
+    """Drain a partition from ``start`` to the current high watermark."""
+    out: list[Record] = []
+    offset = start
+    while True:
+        records, hwm = fetch(bootstrap, topic, partition, offset)
+        fresh = [r for r in records if r.offset >= offset]
+        out.extend(fresh)
+        offset = fresh[-1].offset + 1 if fresh else offset
+        if offset >= hwm or not fresh:
+            return out
+
+
+# -------------------------------------------------------- ListOffsets v1
+
+def list_offset(
+    bootstrap: str, topic: str, partition: int = 0, at: int = LATEST
+) -> int:
+    """ListOffsets v1: log start (EARLIEST) / high watermark (LATEST)."""
+    host, port = bootstrap.rsplit(":", 1)
+    body = (
+        struct.pack(">i", -1)  # replica_id
+        + struct.pack(">i", 1)
+        + _enc_str(topic)
+        + struct.pack(">i", 1)
+        + struct.pack(">iq", partition, at)
+    )
+    rd = _rpc((host, int(port)), API_LIST_OFFSETS, 1, body)
+    for _ in range(rd.i32()):
+        name = rd.string()
+        for _ in range(rd.i32()):
+            pid = rd.i32()
+            err = rd.i16()
+            _i64(rd)  # timestamp
+            off = _i64(rd)
+            if name == topic and pid == partition:
+                if err != 0:
+                    raise TopicAdminError(f"ListOffsets({topic}/{pid}) error {err}")
+                return off
+    raise TopicAdminError(f"ListOffsets response missing {topic}/{partition}")
