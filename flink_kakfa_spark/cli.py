@@ -73,9 +73,24 @@ def _start_sink(df: DataFrame, sink: str | None, cfg: ProducerConfig,
         if available_now:
             w = w.trigger(availableNow=True)
         return w.start()
-    from flink_kakfa_spark.streaming.kafka import write_kafka_stream
+    from flink_kakfa_spark.streaming.kafka import (
+        connector_available,
+        write_kafka_stream,
+    )
 
-    return write_kafka_stream(df, cfg, checkpoint)
+    if connector_available(df.sparkSession):
+        return write_kafka_stream(df, cfg, checkpoint)
+    # connector jar absent: sink through the stdlib data plane
+    # (Produce v3 record batches per micro-batch)
+    from flink_kakfa_spark.streaming.dataplane import foreach_batch_sink
+
+    w = (
+        df.writeStream.foreachBatch(foreach_batch_sink(cfg.broker, cfg.topic))
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
 
 
 def _await(query, duration: float | None, available_now: bool = False) -> None:
@@ -119,6 +134,22 @@ def cmd_producer(args) -> int:
 def cmd_consumer(args) -> int:
     cfg = load_consumer_config(args.config)
     spark = get_spark("consumer")
+    from flink_kakfa_spark.streaming.kafka import connector_available
+
+    if (args.source in (None, "kafka")) and not connector_available(spark):
+        # connector jar absent: one-shot drain through the stdlib data
+        # plane, logging each message like the reference consumer
+        # (go/consumer/consumer.go:80 "Received: %s")
+        from flink_kakfa_spark.streaming.dataplane import read_topic
+
+        rows = (
+            read_topic(spark, cfg.broker, cfg.topic)
+            .select(F.col("value").cast("string").alias("value"))
+            .collect()
+        )
+        for r in rows:
+            print(f"Received: {r['value']}")
+        return 0
     msgs = _source_stream(spark, args.source, cfg)
     # processMessage-as-log (go/consumer/consumer.go:79-81)
     w = (

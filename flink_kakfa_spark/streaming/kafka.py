@@ -41,6 +41,22 @@ def kafka_available() -> bool:
     return bool(os.environ.get("KAFKA_BROKER"))
 
 
+def connector_available(spark: SparkSession) -> bool:
+    """True when the spark-sql-kafka connector jar is on the classpath.
+
+    Gates the choice between the connector path (continuous streaming
+    reads) and the stdlib data plane (``dataplane.py``) the CLI falls
+    back to when the jar is absent.
+    """
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.spark.sql.kafka010.KafkaSourceProvider"
+        )
+        return True
+    except Exception:  # noqa: BLE001
+        return False
+
+
 def _require_kafka_connector(spark: SparkSession) -> None:
     """Fail with an actionable message when the Kafka connector jar is
     absent (it is not bundled with a plain Spark install — submit with

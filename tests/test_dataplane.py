@@ -429,3 +429,42 @@ def test_foreach_batch_sink_streams_to_kafka(spark, broker, tmp_path):
     recs = fetch_all(broker.addr, "s1", 0)
     assert recs, "no records reached the topic"
     assert all(bytes(r.value).startswith(b"r-") for r in recs)
+
+
+def test_cli_producer_consumer_via_stdlib_data_plane(
+    spark, broker, tmp_path, monkeypatch, capsys
+):
+    """The reference's full lifecycle, jar-free: `producer` streams
+    generated sentences into the topic through the foreachBatch
+    fallback, `consumer` drains and logs them reference-style
+    ("Received: ..."), both configured via the same env vars the
+    reference honors."""
+    import json
+    from argparse import Namespace
+
+    from flink_kakfa_spark.cli import cmd_consumer, cmd_producer
+
+    broker.add_topic("cli-words", 1)
+    monkeypatch.setenv("KAFKA_BROKER", broker.addr)
+    monkeypatch.setenv("KAFKA_TOPIC", "cli-words")
+    cfg_path = tmp_path / "producer.json"
+    cfg_path.write_text(json.dumps({"interval": "50ms"}))
+
+    rc = cmd_producer(
+        Namespace(
+            config=str(cfg_path),
+            sink=None,
+            checkpoint=str(tmp_path / "ckpt"),
+            duration=8,
+        )
+    )
+    assert rc == 0
+    n = list_offset(broker.addr, "cli-words", 0, LATEST)
+    assert n > 0, "producer wrote nothing through the stdlib sink"
+
+    rc = cmd_consumer(
+        Namespace(config=None, source=None, duration=None, available_now=True)
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert out.count("Received: ") == n
