@@ -127,6 +127,76 @@ def read_topic(spark: SparkSession, bootstrap: str, topic: str) -> DataFrame:
     )
 
 
+def read_topic_incremental(
+    spark: SparkSession,
+    bootstrap: str,
+    topic: str,
+    start_offsets: dict[int, int] | None = None,
+) -> tuple[DataFrame, dict[int, int]]:
+    """Offset-bounded incremental read: rows in
+    [start_offsets[p], high_watermark_p) per partition, plus the end
+    offsets to persist for the next call.
+
+    This is the consumer-group replacement the engine standardizes on
+    (SURVEY.md §1.2): the CALLER owns the offsets — persist them with
+    the output in one atomic commit (a checkpoint file, a table
+    column) and a replayed micro-batch reproduces exactly the same
+    rows, which is how Spark's Kafka source achieves exactly-once
+    where the reference's group coordination gives at-least-once. The
+    end offsets are snapshotted via ListOffsets BEFORE the fetch, so
+    rows produced mid-read land in the next increment, never split
+    across two.
+    """
+    pids = partition_ids(bootstrap, topic)
+    start = {p: 0 for p in pids}
+    if start_offsets:
+        start.update(start_offsets)
+    pkg_root = _PKG_ROOT
+    from flink_kakfa_spark.streaming.wire import LATEST, list_offset
+
+    end = {p: list_offset(bootstrap, topic, p, LATEST) for p in pids}
+
+    def gen(batches):
+        import sys
+
+        if pkg_root not in sys.path:
+            sys.path.insert(0, pkg_root)
+        import pandas as pd
+
+        from flink_kakfa_spark.streaming.wire import fetch
+
+        for pdf in batches:
+            for p, lo, hi in zip(pdf["partition"], pdf["lo"], pdf["hi"]):
+                p, lo, hi = int(p), int(lo), int(hi)
+                rows = []
+                offset = lo
+                while offset < hi:
+                    recs, _ = fetch(bootstrap, topic, p, offset)
+                    fresh = [r for r in recs if lo <= r.offset < hi]
+                    if not fresh:
+                        break
+                    rows.extend(fresh)
+                    offset = fresh[-1].offset + 1
+                yield pd.DataFrame(
+                    {
+                        "key": [r.key for r in rows],
+                        "value": [r.value for r in rows],
+                        "topic": [topic] * len(rows),
+                        "partition": [p] * len(rows),
+                        "offset": [r.offset for r in rows],
+                        "timestamp_ms": [r.timestamp_ms for r in rows],
+                    }
+                )
+
+    seed = spark.createDataFrame(
+        [(p, start[p], end[p]) for p in pids], "partition int, lo long, hi long"
+    )
+    df = seed.repartition(len(pids), "partition").mapInPandas(
+        gen, schema=READ_SCHEMA
+    )
+    return df, end
+
+
 def write_topic(
     df: DataFrame,
     bootstrap: str,
