@@ -54,3 +54,15 @@ def read_csv(spark: SparkSession, path: str, schema: str) -> DataFrame:
 def read_json(spark: SparkSession, path: str, schema: str) -> DataFrame:
     """JSON-lines source with an explicit schema."""
     return spark.read.schema(schema).json(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """ORC sink (zlib default) — the columnar interchange format for
+    Hive-ecosystem consumers; same pushdown/pruning behavior as
+    parquet through Spark's native vectorized ORC reader."""
+    df.write.mode(mode).orc(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC source (schema from file metadata, like parquet)."""
+    return spark.read.orc(path)

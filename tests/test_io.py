@@ -117,3 +117,26 @@ def test_parallelize_restores_parallelism_on_single_split(spark, tmp_path):
     out = parallelize(df, spark)
     assert out is not df
     assert "Repartition" in out._jdf.queryExecution().logical().toString()
+
+
+def test_orc_roundtrip_with_pushdown(spark, sf_dir, tmp_path):
+    """ORC round-trip preserves values; a filtered read shows pushed
+    filters in the scan (native vectorized ORC reader)."""
+    from flink_kakfa_spark.sources.io import read_orc, write_orc
+    from flink_kakfa_spark.sources.tables import load_table
+
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    path = str(tmp_path / "orders_orc")
+    write_orc(orders, path)
+    back = read_orc(spark, path)
+    assert back.count() == orders.count()
+    assert sorted(back.columns) == sorted(orders.columns)
+    filtered = back.filter(back.o_totalprice > 100000.0)
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "o_totalprice" in plan.split(
+        "PushedFilters"
+    )[1][:200], plan
+    want = orders.filter(orders.o_totalprice > 100000.0).count()
+    assert filtered.count() == want
