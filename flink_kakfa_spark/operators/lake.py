@@ -467,3 +467,117 @@ def q_lake_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         py.cast("bigint").alias("date_bucket"),
     )
     return keyed.orderBy("zval", "o_orderkey").limit(50)
+
+
+_SKEW_TOPN = 10
+
+
+@query(
+    "profile_join_key_skew",
+    oracle=f"""
+    WITH per_key AS (
+      SELECT l_orderkey AS key, CAST(COUNT(*) AS BIGINT) AS n
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    stats AS (
+      SELECT
+        CAST(COUNT(*) AS BIGINT) AS n_keys,
+        CAST(SUM(n) AS BIGINT) AS n_rows,
+        CAST(MAX(n) AS BIGINT) AS max_rows
+      FROM per_key
+    ),
+    top AS (
+      SELECT key, n, ROW_NUMBER() OVER (ORDER BY n DESC, key) AS rk
+      FROM per_key
+    )
+    SELECT
+      t.key, t.n, CAST(t.rk AS INTEGER) AS rk,
+      s.n_keys, s.n_rows,
+      CAST(s.max_rows AS DOUBLE) * s.n_keys / s.n_rows AS skew_ratio
+    FROM top t, stats s
+    WHERE t.rk <= {_SKEW_TOPN}
+    """,
+)
+def q_profile_join_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnosis: the heaviest join keys plus the global
+    skew ratio (max key frequency over mean key frequency).
+
+    The pre-flight check before any large shuffle join: a skew_ratio
+    near 1 means hash partitioning balances; a ratio of 10³ means the
+    hottest key's reducer gets 1000× the average and the join needs
+    AQE skew split or explicit salting (``join_salted_skew_revenue``).
+    One fact shuffle (per-key counts); stats fold to one row and
+    broadcast back; top-N is a TakeOrdered partial.
+    """
+    li = load_table(spark, "lineitem", sf_dir)
+    per_key = li.groupBy(F.col("l_orderkey").alias("key")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    stats = per_key.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("n").alias("n_rows"),
+        F.max("n").alias("max_rows"),
+    )
+    w = Window.orderBy(F.col("n").desc(), "key")
+    top = (
+        per_key.orderBy(F.col("n").desc(), "key")
+        .limit(_SKEW_TOPN)
+        .withColumn("rk", F.row_number().over(w).cast("int"))
+    )
+    return top.crossJoin(F.broadcast(stats)).select(
+        "key",
+        "n",
+        "rk",
+        "n_keys",
+        "n_rows",
+        (
+            F.col("max_rows").cast("double") * F.col("n_keys") / F.col("n_rows")
+        ).alias("skew_ratio"),
+    )
+
+
+_EQUIDEPTH_BINS = 8
+
+
+@query(
+    "profile_equidepth_price",
+    oracle=f"""
+    WITH binned AS (
+      SELECT
+        o_totalprice,
+        NTILE({_EQUIDEPTH_BINS}) OVER (ORDER BY o_totalprice, o_orderkey) AS bin
+      FROM orders
+    )
+    SELECT
+      bin,
+      CAST(COUNT(*) AS BIGINT) AS n,
+      MIN(o_totalprice) AS lo,
+      MAX(o_totalprice) AS hi
+    FROM binned GROUP BY bin
+    """,
+)
+def q_profile_equidepth_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth histogram of order prices: {_EQUIDEPTH_BINS} bins of
+    equal row count with their value ranges — the optimizer-statistics
+    shape (ANALYZE histograms) and the range-partitioner's split-point
+    computation.
+
+    The NTILE total ordering moves all rows through one partition; at
+    100 TB the same bins come from ``approx_percentile`` boundaries or
+    a ``repartitionByRange`` sampling pass — this query is the exact
+    small-relation form whose bin edges validate those approximations
+    (deterministic tie-break on o_orderkey).
+    """
+    o = load_table(spark, "orders", sf_dir)
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        o.select(
+            "o_totalprice", F.ntile(_EQUIDEPTH_BINS).over(w).alias("bin")
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+    )

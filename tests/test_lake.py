@@ -119,3 +119,31 @@ def test_zorder_layout_clusters_both_dimensions(spark, sf_dir):
     for r in rows[:10]:
         assert r["cust_bucket"] <= 0xFF and r["date_bucket"] <= 0xFF
         assert r["zval"] < 1 << 10  # both buckets < 32 in the head block
+
+
+def test_skew_profile_flags_heavy_keys(spark, sf_dir):
+    from flink_kakfa_spark.registry import all_queries
+
+    rows = sorted(
+        all_queries()["profile_join_key_skew"](spark, sf_dir).collect(),
+        key=lambda r: r["rk"],
+    )
+    assert [r["rk"] for r in rows] == list(range(1, 11))
+    ns = [r["n"] for r in rows]
+    assert ns == sorted(ns, reverse=True)
+    assert rows[0]["skew_ratio"] >= 1.0
+    assert rows[0]["n"] == max(ns)
+
+
+def test_equidepth_bins_are_balanced_and_ordered(spark, sf_dir):
+    from flink_kakfa_spark.registry import all_queries
+
+    rows = sorted(
+        all_queries()["profile_equidepth_price"](spark, sf_dir).collect(),
+        key=lambda r: r["bin"],
+    )
+    assert len(rows) == 8
+    ns = [r["n"] for r in rows]
+    assert max(ns) - min(ns) <= 1  # equi-depth
+    for a, b in zip(rows, rows[1:]):
+        assert a["hi"] <= b["lo"]  # non-overlapping, ascending ranges

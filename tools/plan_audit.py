@@ -43,6 +43,7 @@ ALLOWED_QUADRATIC = {
     "pipeline_train_split",        # 1-row corpus-total broadcast cross join
     "join_bloom_filtered_revenue", # 1-row Bloom-bitmap broadcast cross join
     "rag_bm25_topk",               # 1-row corpus-stats (N, avgdl, df) broadcast
+    "profile_join_key_skew",       # 1-row key-stats broadcast onto top-N keys
 }
 ALLOWED_PYTHON = {
     "mm_decode_frames", "mm_extract_features", "sim_cosine_topk_pandas",
