@@ -495,3 +495,65 @@ def test_incremental_read_sees_each_record_exactly_once(spark, broker):
     df1r, _ = read_topic_incremental(spark, broker.addr, "inc", {0: 0, 1: 0})
     full = {(r["partition"], r["offset"], bytes(r["value"])) for r in df1r.collect()}
     assert full == got1 | got2
+
+
+def _counts_dict(df):
+    return {r["word"]: r["cnt"] for r in df.collect()}
+
+
+def test_kafka_matview_exactly_once_across_increments_and_crash(
+    spark, broker, tmp_path
+):
+    """Two increments accumulate correctly; a simulated crash between
+    the table write and the commit rename replays the SAME offset range
+    without double counting."""
+    import json
+    import os
+    import shutil
+
+    from flink_kakfa_spark.streaming.kafka_matview import (
+        consume_wordcount_increment,
+        current_counts,
+    )
+
+    broker.add_topic("mv", 1)
+    state = str(tmp_path / "state")
+
+    produce(broker.addr, "mv", [(None, b"alpha beta"), (None, b"alpha")])
+    c1 = consume_wordcount_increment(spark, broker.addr, "mv", state)
+    assert c1["version"] == 1 and c1["new_rows"] == 2
+    assert _counts_dict(current_counts(spark, state)) == {"alpha": 2, "beta": 1}
+
+    produce(broker.addr, "mv", [(None, b"beta gamma")])
+    c2 = consume_wordcount_increment(spark, broker.addr, "mv", state)
+    assert c2["version"] == 2 and c2["new_rows"] == 1
+    assert _counts_dict(current_counts(spark, state)) == {
+        "alpha": 2,
+        "beta": 2,
+        "gamma": 1,
+    }
+
+    # no new data: no version churn
+    c3 = consume_wordcount_increment(spark, broker.addr, "mv", state)
+    assert c3["version"] == 2 and c3["new_rows"] == 0
+
+    # crash simulation: v3 was written but the commit rename never
+    # happened — roll the commit file back to v1 and delete v2's
+    # authority; replaying from the v1 offsets must reproduce v2's
+    # totals exactly (the same offset range re-read, not re-counted
+    # on top of itself)
+    with open(os.path.join(state, "commit.json")) as f:
+        committed = json.load(f)
+    assert committed["version"] == 2
+    rollback = {"version": 1, "offsets": {"0": 2}}
+    with open(os.path.join(state, "commit.json"), "w") as f:
+        json.dump(rollback, f)
+    shutil.rmtree(os.path.join(state, "v2"))
+
+    c4 = consume_wordcount_increment(spark, broker.addr, "mv", state)
+    assert c4["version"] == 2 and c4["new_rows"] == 1
+    assert _counts_dict(current_counts(spark, state)) == {
+        "alpha": 2,
+        "beta": 2,
+        "gamma": 1,
+    }
