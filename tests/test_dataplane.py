@@ -557,3 +557,25 @@ def test_kafka_matview_exactly_once_across_increments_and_crash(
         "beta": 2,
         "gamma": 1,
     }
+
+
+def test_record_batch_roundtrip_property():
+    """Property: any list of optional-bytes (key, value) pairs survives
+    encode->decode bit-exactly, at any base offset."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    opt_bytes = st.one_of(st.none(), st.binary(max_size=200))
+
+    @settings(max_examples=150, deadline=None)
+    @given(
+        st.lists(st.tuples(opt_bytes, opt_bytes), min_size=1, max_size=20),
+        st.integers(min_value=0, max_value=2**40),
+    )
+    def check(pairs, base):
+        batch = encode_record_batch(pairs, base_offset=base, timestamp_ms=1)
+        out = decode_record_batches(batch)
+        assert [(r.key, r.value) for r in out] == pairs
+        assert [r.offset for r in out] == list(range(base, base + len(pairs)))
+
+    check()
