@@ -23,6 +23,7 @@ with ``KAFKA_BROKER`` set, the identical bytes go to a real broker.
 
 from __future__ import annotations
 
+import gzip
 import socket
 import struct
 import time
@@ -118,27 +119,37 @@ class Record(NamedTuple):
     timestamp_ms: int
     key: bytes | None
     value: bytes | None
+    headers: tuple = ()
+
+
+_COMPRESSION_GZIP = 1  # attributes bits 0-2 (spec: 0=none, 1=gzip)
 
 
 def encode_record_batch(
-    records: list[tuple[bytes | None, bytes | None]],
+    records: list[tuple],
     base_offset: int = 0,
     timestamp_ms: int | None = None,
+    compress: bool = False,
 ) -> bytes:
-    """One RecordBatch (magic 2, uncompressed, idempotence off).
+    """One RecordBatch (magic 2, idempotence off; optional gzip).
 
-    Layout per the spec: baseOffset int64, batchLength int32,
-    partitionLeaderEpoch int32, magic int8, crc uint32 (CRC-32C of
-    everything AFTER the crc field), attributes int16, lastOffsetDelta
-    int32, base/maxTimestamp int64, producerId int64 (-1),
-    producerEpoch int16 (-1), baseSequence int32 (-1), record count
-    int32, then varint-framed records.
+    ``records``: (key, value) or (key, value, headers) tuples, headers
+    a list of (str, bytes) pairs. Layout per the spec: baseOffset
+    int64, batchLength int32, partitionLeaderEpoch int32, magic int8,
+    crc uint32 (CRC-32C of everything AFTER the crc field), attributes
+    int16 (bits 0-2 = compression codec), lastOffsetDelta int32,
+    base/maxTimestamp int64, producerId int64 (-1), producerEpoch
+    int16 (-1), baseSequence int32 (-1), record count int32, then
+    varint-framed records — gzip-compressed as a unit when the gzip
+    codec bit is set (record COUNT stays outside the compressed blob).
     """
     if not records:
         raise ValueError("empty record batch")
     ts = int(time.time() * 1000) if timestamp_ms is None else timestamp_ms
     body = bytearray()
-    for i, (key, value) in enumerate(records):
+    for i, rec_tuple in enumerate(records):
+        key, value = rec_tuple[0], rec_tuple[1]
+        headers = rec_tuple[2] if len(rec_tuple) > 2 else ()
         rec = bytearray()
         rec += b"\x00"  # record attributes
         rec += enc_varint(0)  # timestampDelta
@@ -148,14 +159,26 @@ def encode_record_batch(
                 rec += enc_varint(-1)
             else:
                 rec += enc_varint(len(field)) + field
-        rec += enc_varint(0)  # headers
+        rec += enc_varint(len(headers))
+        for hk, hv in headers:
+            hk_b = hk.encode("utf-8")
+            rec += enc_varint(len(hk_b)) + hk_b
+            if hv is None:
+                rec += enc_varint(-1)
+            else:
+                rec += enc_varint(len(hv)) + hv
         body += enc_varint(len(rec)) + rec
     n = len(records)
+    attrs = 0
+    records_blob = bytes(body)
+    if compress:
+        attrs |= _COMPRESSION_GZIP
+        records_blob = gzip.compress(records_blob)
     post_crc = (
-        struct.pack(">hiqq", 0, n - 1, ts, ts)  # attrs, lastOffsetDelta, ts, ts
+        struct.pack(">hiqq", attrs, n - 1, ts, ts)
         + struct.pack(">qhi", -1, -1, -1)  # producerId/Epoch, baseSequence
         + struct.pack(">i", n)
-        + bytes(body)
+        + records_blob
     )
     crc = crc32c(post_crc)
     after_length = struct.pack(">ibI", 0, 2, crc) + post_crc  # epoch, magic, crc
@@ -180,27 +203,50 @@ def decode_record_batches(buf: bytes) -> list[Record]:
         post = buf[start + 9 : end]
         if crc32c(post) != crc:
             raise TopicAdminError("record batch CRC-32C mismatch")
-        _attrs, _last_delta, base_ts, _max_ts = struct.unpack_from(">hiqq", post, 0)
+        attrs, _last_delta, base_ts, _max_ts = struct.unpack_from(">hiqq", post, 0)
         # post-crc fixed fields: attrs(2) lastOffsetDelta(4) baseTs(8)
         # maxTs(8) producerId(8) producerEpoch(2) baseSequence(4) = 36
         (count,) = struct.unpack_from(">i", post, 36)
-        rpos = 40
+        codec = attrs & 0x07
+        if codec == _COMPRESSION_GZIP:
+            recs_buf = gzip.decompress(post[40:])
+        elif codec == 0:
+            recs_buf = post[40:]
+        else:
+            raise TopicAdminError(f"unsupported compression codec {codec}")
+        rpos = 0
         for _ in range(count):
-            rec_len, rpos = dec_varint(post, rpos)
+            rec_len, rpos = dec_varint(recs_buf, rpos)
             rend = rpos + rec_len
             rpos += 1  # record attributes
-            ts_delta, rpos = dec_varint(post, rpos)
-            off_delta, rpos = dec_varint(post, rpos)
-            klen, rpos = dec_varint(post, rpos)
-            key = None if klen < 0 else post[rpos : rpos + klen]
+            ts_delta, rpos = dec_varint(recs_buf, rpos)
+            off_delta, rpos = dec_varint(recs_buf, rpos)
+            klen, rpos = dec_varint(recs_buf, rpos)
+            key = None if klen < 0 else recs_buf[rpos : rpos + klen]
             rpos += max(klen, 0)
-            vlen, rpos = dec_varint(post, rpos)
-            value = None if vlen < 0 else post[rpos : rpos + vlen]
+            vlen, rpos = dec_varint(recs_buf, rpos)
+            value = None if vlen < 0 else recs_buf[rpos : rpos + vlen]
             rpos += max(vlen, 0)
+            n_headers, rpos = dec_varint(recs_buf, rpos)
+            headers = []
+            for _ in range(max(n_headers, 0)):
+                hk_len, rpos = dec_varint(recs_buf, rpos)
+                hk = recs_buf[rpos : rpos + hk_len].decode("utf-8")
+                rpos += hk_len
+                hv_len, rpos = dec_varint(recs_buf, rpos)
+                hv = None if hv_len < 0 else recs_buf[rpos : rpos + hv_len]
+                rpos += max(hv_len, 0)
+                headers.append((hk, hv))
             out.append(
-                Record(base_offset + off_delta, base_ts + ts_delta, key, value)
+                Record(
+                    base_offset + off_delta,
+                    base_ts + ts_delta,
+                    key,
+                    value,
+                    tuple(headers),
+                )
             )
-            rpos = rend  # skip headers
+            rpos = rend
         pos = end
     return out
 

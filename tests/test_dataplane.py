@@ -167,7 +167,7 @@ class _DataHandler(socketserver.BaseRequestHandler):
                         continue
                     base = part["next"]
                     stored = encode_record_batch(
-                        [(r.key, r.value) for r in recs],
+                        [(r.key, r.value, r.headers) for r in recs],
                         base_offset=base,
                         timestamp_ms=recs[0].timestamp_ms,
                     )
@@ -579,3 +579,30 @@ def test_record_batch_roundtrip_property():
         assert [r.offset for r in out] == list(range(base, base + len(pairs)))
 
     check()
+
+
+def test_record_batch_gzip_and_headers_roundtrip(broker):
+    """Gzip-compressed batches with record headers survive the full
+    produce->store->fetch path (broker re-encodes uncompressed — codec
+    negotiation is per-batch, exactly as real brokers may down-convert)."""
+    hdrs = [("trace-id", b"abc123"), ("null-h", None)]
+    batch = encode_record_batch(
+        [(b"k", b"compressed payload " * 20, hdrs)],
+        base_offset=0,
+        timestamp_ms=5,
+        compress=True,
+    )
+    plain = encode_record_batch(
+        [(b"k", b"compressed payload " * 20, hdrs)],
+        base_offset=0,
+        timestamp_ms=5,
+    )
+    assert len(batch) < len(plain)  # gzip actually engaged
+    out = decode_record_batches(batch)
+    assert out[0].value == b"compressed payload " * 20
+    assert out[0].headers == (("trace-id", b"abc123"), ("null-h", None))
+
+    broker.add_topic("gz", 1)
+    produce(broker.addr, "gz", [(b"k", b"via-rpc", [("h", b"v")])])
+    recs, _ = fetch(broker.addr, "gz", 0, 0)
+    assert recs[0].headers == (("h", b"v"),)
