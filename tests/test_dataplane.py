@@ -606,3 +606,32 @@ def test_record_batch_gzip_and_headers_roundtrip(broker):
     produce(broker.addr, "gz", [(b"k", b"via-rpc", [("h", b"v")])])
     recs, _ = fetch(broker.addr, "gz", 0, 0)
     assert recs[0].headers == (("h", b"v"),)
+
+
+def test_decoder_never_crashes_on_arbitrary_bytes():
+    """Property: decode_record_batches on arbitrary bytes either
+    returns records or raises TopicAdminError — never hangs, never
+    raises anything else (hostile/corrupt broker hardening)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.binary(max_size=400))
+    def check(blob):
+        try:
+            decode_record_batches(blob)
+        except TopicAdminError:
+            pass
+
+    check()
+
+    # a structurally-valid prefix with a corrupted interior must raise
+    # TopicAdminError (CRC), not IndexError/struct.error
+    good = encode_record_batch([(b"k", b"v" * 50)])
+    for i in range(20, len(good), 7):
+        mutated = bytearray(good)
+        mutated[i] ^= 0x55
+        try:
+            decode_record_batches(bytes(mutated))
+        except TopicAdminError:
+            pass
