@@ -140,3 +140,36 @@ def test_orc_roundtrip_with_pushdown(spark, sf_dir, tmp_path):
     )[1][:200], plan
     want = orders.filter(orders.o_totalprice > 100000.0).count()
     assert filtered.count() == want
+
+
+def test_pyfiles_zip_is_importable_and_deterministic(tmp_path):
+    """The --py-files archive imports standalone (no repo on sys.path)
+    and rebuilds byte-identically."""
+    import hashlib
+    import subprocess
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools") if "/root/repo/tools" not in sys.path else None
+    from package_pyfiles import build
+
+    z1, z2 = str(tmp_path / "a.zip"), str(tmp_path / "b.zip")
+    n1, n2 = build(z1), build(z2)
+    assert n1 == n2 > 30
+    h = lambda p: hashlib.sha256(open(p, "rb").read()).hexdigest()  # noqa: E731
+    assert h(z1) == h(z2)  # deterministic artifact
+
+    probe = (
+        "import sys; sys.path.insert(0, sys.argv[1]); "
+        "import flink_kakfa_spark.streaming.wire as w; "
+        "assert w.crc32c(b'123456789') == 0xE3069283; "
+        "import flink_kakfa_spark.registry; print('zip-import-ok')"
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", probe, z1],
+        capture_output=True,
+        text=True,
+        cwd=str(tmp_path),  # NOT the repo: the zip must stand alone
+        timeout=120,
+    )
+    assert out.returncode == 0, out.stderr[-1500:]
+    assert "zip-import-ok" in out.stdout
