@@ -654,3 +654,122 @@ def q_agg_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(cov, 4).alias("covar_qty_price"),
         F.round(corr, 9).alias("corr_qty_price"),
     )
+
+
+@query(
+    "setop_all_variants",
+    oracle="""
+    WITH hi AS (SELECT o_custkey FROM orders WHERE o_totalprice > 150000),
+    urgent AS (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'),
+    ex AS (SELECT o_custkey FROM hi EXCEPT ALL SELECT o_custkey FROM urgent),
+    ix AS (SELECT o_custkey FROM hi INTERSECT ALL SELECT o_custkey FROM urgent)
+    SELECT 'except_all' AS op, o_custkey, CAST(COUNT(*) AS BIGINT) AS n
+    FROM ex GROUP BY o_custkey
+    UNION ALL
+    SELECT 'intersect_all' AS op, o_custkey, CAST(COUNT(*) AS BIGINT) AS n
+    FROM ix GROUP BY o_custkey
+    """,
+)
+def q_setop_all_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4 completion: EXCEPT ALL / INTERSECT ALL — the bag (multiset)
+    set operations. Unlike the DISTINCT forms, multiplicities carry:
+    a customer with 3 big orders and 1 urgent one keeps 2 rows in
+    EXCEPT ALL and 1 in INTERSECT ALL. Spark implements both as a
+    single hash aggregation over tagged counts (no join); the output
+    rolls each branch up to (key, multiplicity) so the oracle compare
+    is order-free.
+    """
+    o = load_table(spark, "orders", sf_dir)
+    hi = o.filter(F.col("o_totalprice") > 150000).select("o_custkey")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    ex = (
+        hi.exceptAll(urgent)
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("except_all").alias("op"), "o_custkey", "n")
+    )
+    ix = (
+        hi.intersectAll(urgent)
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("intersect_all").alias("op"), "o_custkey", "n")
+    )
+    return ex.unionByName(ix)
+
+
+@query(
+    "join_null_safe_props",
+    oracle="""
+    WITH tagged AS (
+      SELECT event_id,
+             CASE WHEN event_type = 'error' THEN NULL ELSE event_type END AS tag
+      FROM events
+    ),
+    dim AS (
+      SELECT DISTINCT
+             CASE WHEN event_type = 'error' THEN NULL ELSE event_type END AS tag,
+             CASE WHEN event_type = 'error' THEN 'untagged'
+                  ELSE upper(event_type) END AS label
+      FROM events
+    )
+    SELECT t.tag, d.label, CAST(COUNT(*) AS BIGINT) AS n
+    FROM tagged t JOIN dim d ON t.tag IS NOT DISTINCT FROM d.tag
+    GROUP BY t.tag, d.label
+    """,
+)
+def q_join_null_safe_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (``<=>`` / IS NOT DISTINCT FROM): NULL keys
+    MATCH each other instead of silently dropping — the semantics
+    corner that loses rows in naive dimension joins when the fact has
+    unclassified (NULL) keys. Spark's ``eqNullSafe`` stays a hash join
+    (NULL hashes like any value under null-safe equality), so the plan
+    is identical to the plain equi-join's.
+    """
+    ev = load_table(spark, "events", sf_dir)
+    tag = F.when(F.col("event_type") == "error", None).otherwise(
+        F.col("event_type")
+    )
+    tagged = ev.select("event_id", tag.alias("tag"))
+    dim = (
+        ev.select(
+            tag.alias("tag"),
+            F.when(F.col("event_type") == "error", "untagged")
+            .otherwise(F.upper("event_type"))
+            .alias("label"),
+        )
+        .distinct()
+    )
+    return (
+        tagged.join(dim, tagged["tag"].eqNullSafe(dim["tag"]))
+        .groupBy(tagged["tag"], "label")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "sql_explode_outer_keep_empty",
+    oracle="""
+    WITH src AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0 THEN []
+                  ELSE string_split(text, ' ')[1:3] END AS toks
+      FROM documents WHERE doc_id <= 50
+    )
+    SELECT s.doc_id, u.tok
+    FROM src s LEFT JOIN LATERAL (SELECT UNNEST(s.toks) AS tok) u ON TRUE
+    """,
+)
+def q_sql_explode_outer_keep_empty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``explode_outer``: rows with EMPTY arrays survive as a single
+    NULL-element row instead of vanishing — the difference between an
+    inner and outer lateral unnest. Plain ``explode`` silently drops
+    every 7th doc here; pipelines that must account for every input
+    row (audits, per-doc joins back) need the outer form.
+    """
+    d = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") <= 50)
+    toks = F.when(
+        F.col("doc_id") % 7 == 0, F.array().cast("array<string>")
+    ).otherwise(F.slice(F.split(F.col("text"), " "), 1, 3))
+    return d.select(
+        "doc_id", F.explode_outer(toks).alias("tok")
+    )

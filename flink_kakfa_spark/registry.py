@@ -133,7 +133,7 @@ _WINDOW_FRONT = [
 
 # ROUND-6 ROTATION PLAN (write of record, same protocol as the round-4
 # plan this file's round-5 list executed): after r5's driver run lands,
-# 38 oracle-backed queries remain with zero driver CORRECTNESS
+# 41 oracle-backed queries remain with zero driver CORRECTNESS
 # evidence — rotate ALL of them into the front of the round-6 window:
 #   text_char_entropy, text_bpe_merge_pairs, agg_corr_covar,
 #   corpus_dataset_card, sketch_cms_heavy_hitters,
@@ -151,8 +151,9 @@ _WINDOW_FRONT = [
 #   window_first_last_nth, ts_ewma_event_value, attribution_last_touch,
 #   rolling_wau_7d, rolling_wau_hll, sample_weighted_topk,
 #   lake_zorder_layout, trend_slope_per_type, profile_join_key_skew,
-#   profile_equidepth_price
-#   (38 total after the late round-5 additions)
+#   profile_equidepth_price, setop_all_variants, join_null_safe_props,
+#   sql_explode_outer_keep_empty
+#   (41 total after the late round-5 additions)
 # The remaining slots: any round-6 additions first, then backfill
 # with the oldest driver evidence (r1/r2 rows) for re-verification.
 # Update tests/test_000_smoke.py::DRIVER_WINDOW in the same commit.

@@ -124,3 +124,74 @@ def test_approx_count_distinct_within_rsd(spark, sf_dir):
         exact, approx = indep[r["l_returnflag"]]
         assert r["exact_n_part"] == exact
         assert abs(approx - exact) <= 0.1 * exact
+
+
+def test_setop_all_preserves_multiplicity(spark, tmp_path):
+    """EXCEPT ALL subtracts multiplicities; INTERSECT ALL takes the min."""
+    from pyspark.sql import Row
+
+    spark.createDataFrame(
+        [
+            Row(
+                o_orderkey=i,
+                o_custkey=c,
+                o_orderstatus="O",
+                o_totalprice=p,
+                o_orderdate=None,
+                o_orderpriority=pr,
+            )
+            for i, (c, p, pr) in enumerate(
+                # cust 1: three big orders, one of them urgent
+                [(1, 200000.0, "1-URGENT"), (1, 200000.0, "3-MEDIUM"),
+                 (1, 200000.0, "3-MEDIUM"),
+                 # cust 2: one big non-urgent, two urgent smalls
+                 (2, 160000.0, "3-MEDIUM"), (2, 100.0, "1-URGENT"),
+                 (2, 100.0, "1-URGENT")]
+            )
+        ],
+        "o_orderkey long, o_custkey long, o_orderstatus string, o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).write.parquet(str(tmp_path / "orders.parquet"))
+    from flink_kakfa_spark.registry import all_queries
+
+    rows = {
+        (r["op"], r["o_custkey"]): r["n"]
+        for r in all_queries()["setop_all_variants"](spark, str(tmp_path)).collect()
+    }
+    # cust 1: hi = {1,1,1}, urgent = {1} -> except_all 2 rows, intersect_all 1
+    assert rows[("except_all", 1)] == 2
+    assert rows[("intersect_all", 1)] == 1
+    # cust 2: hi = {2}, urgent = {2,2} -> except_all absent, intersect_all 1
+    assert ("except_all", 2) not in rows
+    assert rows[("intersect_all", 2)] == 1
+
+
+def test_null_safe_join_keeps_null_keys(spark, sf_dir):
+    """Every fact row survives the dimension join — including the NULL
+    tag — and the plain equi-join would have dropped the NULLs."""
+    from flink_kakfa_spark.registry import all_queries
+    from flink_kakfa_spark.sources.tables import load_table
+    import pyspark.sql.functions as F
+
+    rows = all_queries()["join_null_safe_props"](spark, sf_dir).collect()
+    total = sum(r["n"] for r in rows)
+    n_events = load_table(spark, "events", sf_dir).count()
+    assert total == n_events
+    null_rows = [r for r in rows if r["tag"] is None]
+    assert len(null_rows) == 1 and null_rows[0]["label"] == "untagged"
+    assert null_rows[0]["n"] > 0
+
+
+def test_explode_outer_keeps_empty_arrays(spark, sf_dir):
+    """Docs with doc_id % 7 == 0 surface as a NULL-token row; plain
+    explode would drop them entirely."""
+    from flink_kakfa_spark.registry import all_queries
+
+    rows = all_queries()["sql_explode_outer_keep_empty"](spark, sf_dir).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r["tok"])
+    for doc_id, toks in by_doc.items():
+        if doc_id % 7 == 0:
+            assert toks == [None], (doc_id, toks)
+        else:
+            assert len(toks) == 3 and None not in toks
