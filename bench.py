@@ -66,6 +66,10 @@ HEADLINE = [
     "rag_bm25_topk",            # BM25 retrieval: 1 doc_id shuffle + stats broadcast
     "cohort_weekly_retention",  # cohort matrix: 1 user_id shuffle
     "join_salted_skew_revenue", # skew-salted fact-to-dim join
+    # round-5 in-round additions
+    "sim_pq_adc_topk",          # PQ codes + ADC lookup: narrow pass + TakeOrdered
+    "text_winnow_fingerprints", # MOSS winnowing: in-array selection + fp join
+    "text_bigram_perplexity",   # corpus bigram LM scoring: 2 agg + broadcast vocab
 ]
 
 

@@ -1,0 +1,232 @@
+"""Advanced text analysis: bigram LM scoring and winnowing fingerprints.
+
+Two operators real pretraining pipelines run corpus-wide:
+
+- **Interpolated bigram cross-entropy** (`text_bigram_perplexity`):
+  per-document average negative log-probability under a corpus-level
+  Jelinek-Mercer bigram LM, ``p(w2|w1) = l*c(w1,w2)/c(w1) +
+  (1-l)*c(w2)/N`` — the classic KenLM-style quality signal used to
+  filter web text (CCNet uses exactly this shape with a 5-gram model).
+  Upgrades ``text_unigram_surprisal`` from context-free to contextual.
+- **Winnowing fingerprints** (`text_winnow_fingerprints`): the MOSS
+  algorithm (Schleimer, Wilkerson, Aiken, SIGMOD 2003) — hash every
+  k-gram, slide a window of w consecutive k-gram hashes, record the
+  window minimum. Guarantees any shared run of >= w+k-1 tokens yields
+  a shared fingerprint while storing ~2/(w+1) of the hashes — the
+  sub-linear substring-overlap detector between pure n-gram Jaccard
+  and suffix arrays.
+
+Scale notes: the bigram model is two hash aggregates (unigram,
+bigram); the vocabulary is broadcast (sublinear in corpus size) while
+the bigram join shuffles on the aggregated (w1, w2) key — the same
+key distribution as the pair stream itself, so no extra skew is
+introduced. Winnowing is computed entirely in-array (transform /
+array_distinct — zero shuffles until the fingerprint inverted-index
+self-join, which carries only (doc_id, fp) pairs). Both oracles are
+value-exact: integer hash math is engine-portable and the float
+cross-entropy is pinned to 4 decimals like ``text_unigram_surprisal``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_kakfa_spark.operators.text import _ROLL_B, _ROLL_H_SQL, _ROLL_M
+from flink_kakfa_spark.registry import query
+from flink_kakfa_spark.sources.tables import load_table
+
+_LAMBDA = 0.75  # Jelinek-Mercer interpolation weight on the bigram term
+
+_WINNOW_W = 4   # window: one fingerprint per 4 consecutive k-gram hashes
+
+# portable word hash (same 32-bit md5 prefix as text.py), Spark SQL form
+_H_SPARK = "cast(conv(substring(md5(w), 1, 8), 16, 10) as bigint)"
+
+
+@query(
+    "text_bigram_perplexity",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ),
+    toks AS (SELECT doc_id, u.w FROM d, UNNEST(ws) AS u(w)),
+    uni AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY w),
+    tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS n FROM uni),
+    pairs AS (
+      SELECT doc_id, ws[g.i] AS w1, ws[g.i + 1] AS w2
+      FROM d, UNNEST(generate_series(1, len(ws) - 1)) AS g(i)
+      WHERE len(ws) >= 2
+    ),
+    bi AS (
+      SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2
+      FROM pairs GROUP BY w1, w2
+    )
+    SELECT p.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND(AVG(-LN({_LAMBDA} * b.c2 / u1.c
+                         + {1 - _LAMBDA} * u2.c / t.n)), 4) AS bigram_xent
+    FROM pairs p
+    JOIN bi b ON p.w1 = b.w1 AND p.w2 = b.w2
+    JOIN uni u1 ON p.w1 = u1.w
+    JOIN uni u2 ON p.w2 = u2.w
+    CROSS JOIN tot t
+    GROUP BY p.doc_id
+    """,
+)
+def q_text_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc cross-entropy under the corpus Jelinek-Mercer bigram LM.
+
+    ``-ln(l*c2/c1 + (1-l)*c(w2)/N)`` averaged over a document's
+    adjacent word pairs. Both engines evaluate the identical
+    left-to-right double expression over identical integer counts, so
+    only the final ln/avg needs the 4-decimal pin.
+
+    Scale: unigram vocab + the 1-row total are broadcast; the bigram
+    count table joins the pair stream on its own (w1, w2) key — an
+    already-aggregated shuffle join, no skew beyond the corpus's own
+    bigram skew (mitigate hot bigrams with the salted-agg pattern in
+    ``functions/skew.py`` if a corpus demands it).
+    """
+    d = (
+        load_table(spark, "documents", sf_dir)
+        .select("doc_id", F.split("text", " ").alias("ws"))
+    )
+    toks = d.select(F.explode("ws").alias("w"))
+    uni = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    tot = uni.agg(F.sum("c").cast("double").alias("n"))
+    pairs = (
+        d.filter(F.size("ws") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(slice(ws, 1, size(ws) - 1),"
+                    " (w, i) -> struct(w AS w1, ws[i + 1] AS w2))"
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", "p.w1", "p.w2")
+    )
+    # bigram count as a window over the pair stream itself: ONE
+    # exchange on (w1, w2) instead of groupBy + re-join (same key
+    # distribution, half the shuffled volume)
+    from pyspark.sql import Window as W
+
+    with_c2 = pairs.withColumn(
+        "c2", F.count(F.lit(1)).over(W.partitionBy("w1", "w2"))
+    )
+    p = (
+        F.lit(_LAMBDA) * F.col("c2") / F.col("c1")
+        + F.lit(1 - _LAMBDA) * F.col("cw2") / F.col("n")
+    )
+    return (
+        with_c2
+        .join(
+            F.broadcast(
+                uni.withColumnRenamed("c", "c1").withColumnRenamed("w", "w1")
+            ),
+            "w1",
+        )
+        .join(
+            F.broadcast(
+                uni.withColumnRenamed("c", "cw2").withColumnRenamed("w", "w2")
+            ),
+            "w2",
+        )
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg(-F.log(p)), 4).alias("bigram_xent"),
+        )
+    )
+
+
+@query(
+    "text_winnow_fingerprints",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id,
+             list_transform(string_split(text, ' '),
+                            w -> CAST({_ROLL_H_SQL} AS BIGINT)) AS hs
+      FROM documents
+    ),
+    kg AS (
+      SELECT doc_id, g.i,
+             ((((hs[g.i] % {_ROLL_M}) * {_ROLL_B} + hs[g.i + 1]) % {_ROLL_M})
+              * {_ROLL_B} + hs[g.i + 2]) % {_ROLL_M} AS kh
+      FROM d, UNNEST(generate_series(1, len(hs) - 2)) AS g(i)
+      WHERE len(hs) >= 3
+    ),
+    wins AS (
+      SELECT doc_id, i,
+             MIN(kh) OVER (PARTITION BY doc_id ORDER BY i
+                           ROWS BETWEEN {_WINNOW_W - 1} PRECEDING
+                           AND CURRENT ROW) AS fp
+      FROM kg
+    ),
+    fps AS (
+      SELECT DISTINCT doc_id, fp FROM wins WHERE i >= {_WINNOW_W}
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    ORDER BY n_shared DESC, doc_a ASC, doc_b ASC
+    LIMIT 20
+    """,
+)
+def q_text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS winnowing: doc pairs ranked by shared selected fingerprints.
+
+    3-gram rolling hashes (same portable polynomial as
+    ``text_fingerprint_rolling``), window-of-4 minima selected as the
+    document's fingerprint set, then an inverted-index self-join
+    counts fingerprints shared per doc pair. Any shared token run of
+    length >= 6 (w + k - 1) is guaranteed to surface — the winnowing
+    coverage theorem — at ~2/(w+1) of full shingle storage.
+
+    Scale: hashing, k-gram folding, window minima, and dedup all
+    happen in-array per document (zero shuffles, plan-asserted in
+    tests); the self-join shuffles only (doc_id, fp) longs. At 100 TB
+    add a df-cap on hot fingerprints exactly as
+    ``dedup_ngram_jaccard_guarded`` does for shingles.
+    """
+    d = load_table(spark, "documents", sf_dir).select(
+        "doc_id",
+        F.expr(f"transform(split(text, ' '), w -> {_H_SPARK})").alias("hs"),
+    )
+    # 0-based twin of the oracle's 1-based folds: kgram j covers
+    # hs[j..j+2]; full windows end at kgram j >= W-1 (oracle i >= W)
+    kg = (
+        f"transform(sequence(0, size(hs) - 3),"
+        f" j -> ((((hs[j] % {_ROLL_M}) * {_ROLL_B} + hs[j + 1]) % {_ROLL_M})"
+        f" * {_ROLL_B} + hs[j + 2]) % {_ROLL_M})"
+    )
+    wins = (
+        f"transform(sequence({_WINNOW_W - 1}, size(kg) - 1),"
+        f" j -> array_min(slice(kg, j - {_WINNOW_W - 2}, {_WINNOW_W})))"
+    )
+    fps = (
+        d.filter(F.size("hs") >= 2 + _WINNOW_W)  # need >= W full windows source
+        .withColumn("kg", F.expr(kg))
+        .filter(F.size("kg") >= _WINNOW_W)
+        .withColumn("fp", F.explode(F.array_distinct(F.expr(wins))))
+        .select("doc_id", "fp")
+    )
+    a = fps.alias("a")
+    b = fps.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .orderBy(F.desc("n_shared"), F.asc("doc_a"), F.asc("doc_b"))
+        .limit(20)
+    )

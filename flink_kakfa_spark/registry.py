@@ -59,6 +59,10 @@ _QUERY_MODULES = [
     "flink_kakfa_spark.operators.media",
     "flink_kakfa_spark.operators.lake",
     "flink_kakfa_spark.operators.analytics",
+    "flink_kakfa_spark.operators.media_analysis",
+    "flink_kakfa_spark.operators.text_advanced",
+    "flink_kakfa_spark.operators.vector_extra",
+    "flink_kakfa_spark.operators.mlprep",
 ]
 
 # ROUND-5 WINDOW ROTATION (executes the plan written here in round 4):
@@ -152,8 +156,12 @@ _WINDOW_FRONT = [
 #   rolling_wau_7d, rolling_wau_hll, sample_weighted_topk,
 #   lake_zorder_layout, trend_slope_per_type, profile_join_key_skew,
 #   profile_equidepth_price, setop_all_variants, join_null_safe_props,
-#   sql_explode_outer_keep_empty
-#   (41 total after the late round-5 additions)
+#   sql_explode_outer_keep_empty,
+#   mm_image_ahash_groups, mm_audio_vad_features,
+#   text_bigram_perplexity, text_winnow_fingerprints,
+#   sim_pq_adc_topk, dedup_semdedup,
+#   feature_target_encode, privacy_k_anonymity, text_hashing_trick
+#   (50 total after the round-5 in-round additions)
 # The remaining slots: any round-6 additions first, then backfill
 # with the oldest driver evidence (r1/r2 rows) for re-verification.
 # Update tests/test_000_smoke.py::DRIVER_WINDOW in the same commit.

@@ -1,0 +1,185 @@
+"""Algorithmic contracts for the round-5 operators: perceptual image
+hashing, audio VAD features, winnowing fingerprints, bigram LM
+scoring, product quantization, and SemDeDup — micro-fixtures with
+KNOWN structure (the oracle differential proves engine parity; these
+prove the algorithms do what their papers say).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F  # noqa: F401
+
+from flink_kakfa_spark.registry import all_queries
+
+
+def _write_docs(spark, tmp_path, rows):
+    spark.createDataFrame(rows).write.mode("overwrite").parquet(
+        f"{tmp_path}/documents.parquet"
+    )
+    return str(tmp_path)
+
+
+def _write_embeddings(spark, tmp_path, vecs):
+    rows = [
+        Row(vec_id=i, embedding=[float(x) for x in v], label=0)
+        for i, v in enumerate(vecs)
+    ]
+    spark.createDataFrame(rows).write.mode("overwrite").parquet(
+        f"{tmp_path}/embeddings.parquet"
+    )
+    return str(tmp_path)
+
+
+# ---------------------------------------------------------------- media
+
+
+def test_ahash_known_bit_pattern_and_dup_groups(spark, tmp_path):
+    """doc 0's red crop is r(x,y)=y: exactly rows 4..7 exceed the mean,
+    so the hash is hi=0xFFFFFFFF/lo=0 — and doc 256 (same doc_id%256
+    class) must land in the same group."""
+    sf = _write_docs(
+        spark, tmp_path, [Row(doc_id=i) for i in [0, 1, 3, 256, 257]]
+    )
+    out = all_queries()["mm_image_ahash_groups"](spark, sf).collect()
+    groups = {r["min_doc_id"]: r for r in out}
+    assert set(groups) == {0, 1}          # (0,256) and (1,257); 3 alone
+    g0 = groups[0]
+    assert g0["n_images"] == 2
+    assert g0["hash_hi"] == 0xFFFFFFFF and g0["hash_lo"] == 0
+
+
+def test_vad_features_match_closed_form(spark, tmp_path):
+    sf = _write_docs(spark, tmp_path, [Row(doc_id=3)])
+    row = all_queries()["mm_audio_vad_features"](spark, sf).collect()[0]
+    n = 800 + 3 % 5 * 100
+    s = [(3 * 31 + i * 17) % 2048 - 1024 for i in range(n)]
+    zc = sum((s[i] >= 0) != (s[i - 1] >= 0) for i in range(1, n))
+    assert row["n_frames"] == n
+    assert row["zero_crossings"] == zc
+    assert row["peak"] == max(abs(x) for x in s)
+    assert row["n_active"] == sum(abs(x) > 512 for x in s)
+
+
+# ------------------------------------------------------------ winnowing
+
+
+def test_winnow_guarantees_shared_run_detection(spark, tmp_path):
+    """Coverage theorem: a shared token run of length >= w+k-1 (= 6)
+    must produce at least one shared fingerprint; disjoint-vocab docs
+    share none."""
+    shared = "alpha beta gamma delta epsilon zeta"  # 6-token shared run
+    a = "one two three four five " + shared + " six seven eight nine ten"
+    b = "uno dos tres cuatro cinco " + shared + " seis siete ocho nueve"
+    c = "red orange yellow green blue indigo violet amber cyan magenta"
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [Row(doc_id=0, text=a), Row(doc_id=1, text=b), Row(doc_id=2, text=c)],
+    )
+    out = all_queries()["text_winnow_fingerprints"](spark, sf).collect()
+    pairs = {(r["doc_a"], r["doc_b"]): r["n_shared"] for r in out}
+    assert pairs.get((0, 1), 0) >= 1
+    assert (0, 2) not in pairs and (1, 2) not in pairs
+
+
+# ------------------------------------------------------------- bigram LM
+
+
+def test_bigram_xent_lower_for_predictable_text(spark, tmp_path):
+    """A document of one repeated bigram pattern is maximally
+    predictable under the corpus bigram LM; a same-length document of
+    all-unique transitions scores strictly higher cross-entropy."""
+    predictable = " ".join(["ping pong"] * 12)
+    unique_words = " ".join(f"w{i}" for i in range(24))
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [
+            Row(doc_id=0, text=predictable),
+            Row(doc_id=1, text=unique_words),
+        ],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in all_queries()["text_bigram_perplexity"](spark, sf).collect()
+    }
+    assert out[0]["n_bigrams"] == 23 and out[1]["n_bigrams"] == 23
+    assert out[0]["bigram_xent"] < out[1]["bigram_xent"]
+    # all-unique transitions: every bigram occurs once, p = .75*1/1 + eps
+    assert out[1]["bigram_xent"] > 0
+
+
+# ------------------------------------------------------------------- PQ
+
+
+def test_pq_equals_brute_force_when_shortlist_covers_corpus(spark, tmp_path):
+    """With n <= shortlist the PQ candidate set is the whole corpus, so
+    the rescored top-10 must equal exact brute-force cosine top-10."""
+    import random
+
+    rng = random.Random(7)
+    vecs = [[rng.uniform(-1, 1) for _ in range(64)] for _ in range(40)]
+    # plant one near-duplicate of the query (vec 0) outside the codebook
+    vecs[30] = [x + 0.01 for x in vecs[0]]
+    sf = _write_embeddings(spark, tmp_path, vecs)
+    out = all_queries()["sim_pq_adc_topk"](spark, sf).collect()
+
+    def cos(a, b):
+        # mirror the engine: float32 storage, double math
+        import struct
+
+        a = [struct.unpack("f", struct.pack("f", x))[0] for x in a]
+        b = [struct.unpack("f", struct.pack("f", x))[0] for x in b]
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return round(d / (na * nb), 6)
+
+    brute = sorted(
+        ((cos(v, vecs[0]), -i) for i, v in enumerate(vecs) if i != 0),
+        reverse=True,
+    )[:10]
+    assert [r["vec_id"] for r in out] == [-i for _, i in brute]
+    assert out[0]["vec_id"] == 30  # the planted near-dup wins
+
+
+# ------------------------------------------------------------- SemDeDup
+
+
+def test_semdedup_drops_planted_semantic_duplicate(spark, tmp_path):
+    import random
+
+    rng = random.Random(11)
+    vecs = [[rng.uniform(-1, 1) for _ in range(64)] for _ in range(30)]
+    # vec 20 duplicates vec 9 (both land in the cell anchored nearest
+    # vec 9; cosine ~ 1 >= tau) — SemDeDup must count a drop somewhere
+    vecs[20] = [x + 0.001 for x in vecs[9]]
+    sf = _write_embeddings(spark, tmp_path, vecs)
+    out = all_queries()["dedup_semdedup"](spark, sf).collect()
+    assert sum(r["n_dropped"] for r in out) >= 1
+    for r in out:
+        assert 1 <= r["n_dropped"] + 1 <= r["n_members"] or r["n_dropped"] == 0
+        assert -1.0 <= r["avg_cos"] <= 1.0
+    # cells partition the corpus: reported members + singleton cells = n
+    assert sum(r["n_members"] for r in out) <= 30
+
+
+def test_semdedup_members_conserved(spark, tmp_path):
+    """Every vector lands in exactly one cell; cells with >= 2 members
+    all report, so total membership is conserved up to singletons."""
+    import random
+
+    rng = random.Random(3)
+    vecs = [[rng.uniform(-1, 1) for _ in range(64)] for _ in range(50)]
+    sf = _write_embeddings(spark, tmp_path, vecs)
+    out = all_queries()["dedup_semdedup"](spark, sf).collect()
+    n_cells = len(out)
+    assert 1 <= n_cells <= 8
+    # every vector lands in exactly one cell; only singleton cells are
+    # absent from the report, and there are at most 8 cells total
+    total = sum(r["n_members"] for r in out)
+    assert 50 - (8 - n_cells) <= total <= 50

@@ -44,6 +44,9 @@ ALLOWED_QUADRATIC = {
     "join_bloom_filtered_revenue", # 1-row Bloom-bitmap broadcast cross join
     "rag_bm25_topk",               # 1-row corpus-stats (N, avgdl, df) broadcast
     "profile_join_key_skew",       # 1-row key-stats broadcast onto top-N keys
+    "sim_pq_adc_topk",             # 1-row codebook + 1-row ADC table + 1-row query broadcasts
+    "dedup_semdedup",              # 1-row anchor codebook + #cells-row representative broadcasts
+    "text_bigram_perplexity",      # 1-row corpus-total broadcast cross join
 }
 ALLOWED_PYTHON = {
     "mm_decode_frames", "mm_extract_features", "sim_cosine_topk_pandas",
@@ -51,6 +54,8 @@ ALLOWED_PYTHON = {
     "dedup_minhash_lsh",    # pyspark.ml LSH
     "mm_wav_roundtrip_features",  # declared mapInPandas stdlib codec
     "mm_bmp_roundtrip_features",  # declared mapInPandas stdlib codec
+    "mm_image_ahash_groups",      # declared mapInPandas stdlib codec + aHash
+    "mm_audio_vad_features",      # declared mapInPandas stdlib codec + VAD
 }
 
 # Queries whose >4 exchanges all sit on KB-sized side inputs (the fact
@@ -65,6 +70,17 @@ ALLOWED_SMALL_SIDE_SHUFFLES = {
     # production scale the exact branch doesn't exist: the standing
     # daily sketch table is the only fact-derived artifact.
     "rolling_wau_hll",
+    # the pair stream shuffles ONCE (window count on its own (w1,w2)
+    # key); every other exchange moves vocab-sized data (unigram
+    # counts after map-side partial agg, the 1-row total) — sublinear
+    # in corpus size. At production scale the vocab aggregate is
+    # materialized once, collapsing the repeated build branches.
+    "text_bigram_perplexity",
+    # the fact (embeddings) shuffles once into the per-cell rep
+    # election and once into the final per-cell agg — both collapse
+    # map-side to #cells rows; the rest are 1-row codebook and
+    # #cells-row representative broadcasts.
+    "dedup_semdedup",
 }
 
 
