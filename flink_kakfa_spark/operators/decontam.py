@@ -199,3 +199,180 @@ def q_text_repetition_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("dup_fraction"),
         _max_run(F.array_sort(bigrams)).cast("long").alias("max_repeat"),
     )
+
+
+# ---- near-duplicate contamination: MinHash across train/eval ---------
+#
+# Exact n-gram decontamination (above) misses lightly-paraphrased
+# leaks; the production follow-up (e.g. GPT-3 appendix C, Dolma) runs
+# fuzzy dedup BETWEEN the training corpus and the benchmark split.
+# Reuses dedup.py's portable MinHash (16 affine perms over md5 shingle
+# hashes, 4x4 banding) so the whole cross-relation LSH is value-exact
+# under the DuckDB oracle.
+
+from flink_kakfa_spark.operators.dedup import (  # noqa: E402
+    _MH_BANDS,
+    _MH_M,
+    _MH_PERMS,
+    _MH_ROWS,
+    _mh_ab,
+    _MH_H_SQL,
+    _MH_SIG_SQL,
+    SHINGLE_K,
+)
+
+_XBAND_JOINS = " OR ".join(
+    "("
+    + " AND ".join(
+        f"tr.s{p} = ev.s{p}" for p in range(band * _MH_ROWS, (band + 1) * _MH_ROWS)
+    )
+    + ")"
+    for band in range(_MH_BANDS)
+)
+
+
+@query(
+    "decontam_minhash",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, len(ts) - 2),
+               i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
+             )) AS sharr
+      FROM tok WHERE len(ts) >= 3
+    ),
+    hashed AS (
+      SELECT doc_id, sharr,
+             list_transform(sharr, s -> CAST({_MH_H_SQL} AS BIGINT)) AS hl
+      FROM sh
+    ),
+    sigs AS (
+      SELECT doc_id, sharr,
+      {_MH_SIG_SQL}
+      FROM hashed
+    ),
+    ev AS (SELECT * FROM sigs WHERE doc_id % {EVAL_MOD} = 0),
+    tr AS (SELECT * FROM sigs WHERE doc_id % {EVAL_MOD} <> 0),
+    cand AS (
+      SELECT tr.doc_id AS train_doc, ev.doc_id AS eval_doc,
+             tr.sharr AS sh_t, ev.sharr AS sh_e
+      FROM tr JOIN ev ON ({_XBAND_JOINS})
+    )
+    SELECT
+      train_doc, eval_doc,
+      CAST(len(list_intersect(sh_t, sh_e)) AS DOUBLE)
+        / (len(sh_t) + len(sh_e) - len(list_intersect(sh_t, sh_e)))
+        AS jaccard
+    FROM cand
+    ORDER BY jaccard DESC, train_doc ASC, eval_doc ASC
+    LIMIT 20
+    """,
+)
+def q_decontam_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy decontamination: training docs whose MinHash signature
+    collides with a held-out eval doc in any LSH band, rescored by
+    exact shingle Jaccard — catches paraphrased benchmark leakage the
+    exact 4-gram overlap above cannot.
+
+    Plan shape: signatures are one narrow pass per side; the eval
+    side's banded keys BROADCAST (benchmarks are KB-MB at any corpus
+    size), so the training corpus streams past them map-side with no
+    corpus-sized shuffle; only bucket-mates reach the exact rescore.
+    """
+    d = parallelize(load_table(spark, "documents", sf_dir), spark)
+    toks = d.select("doc_id", F.split(F.col("text"), " ").alias("tokens")).filter(
+        F.size("tokens") >= SHINGLE_K
+    )
+    sh = toks.select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size("tokens") - (SHINGLE_K - 1)),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at("tokens", i),
+                    F.element_at("tokens", i + 1),
+                    F.element_at("tokens", i + 2),
+                ),
+            )
+        ).alias("sharr"),
+    )
+    h32 = lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")  # noqa: E731
+    hashed = sh.withColumn("hl", F.transform("sharr", h32))
+
+    def perm_min(p: int):
+        a, b = _mh_ab(p)
+        return F.array_min(
+            F.transform("hl", lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(_MH_M))
+        ).alias(f"s{p}")
+
+    sigs = hashed.select(
+        "doc_id", "sharr", *[perm_min(p) for p in range(_MH_PERMS)]
+    )
+    is_eval = (F.col("doc_id") % EVAL_MOD) == 0
+
+    def banded(df: DataFrame) -> DataFrame:
+        return df.select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(band).alias("band"),
+                            *[
+                                F.col(f"s{p}").alias(f"k{r}")
+                                for r, p in enumerate(
+                                    range(band * _MH_ROWS, (band + 1) * _MH_ROWS)
+                                )
+                            ],
+                        )
+                        for band in range(_MH_BANDS)
+                    ]
+                )
+            ).alias("bk"),
+        ).select("doc_id", "bk.*")
+
+    tr_b = banded(sigs.filter(~is_eval)).alias("tr")
+    ev_b = banded(sigs.filter(is_eval)).alias("ev")
+    key_eq = F.col("tr.band") == F.col("ev.band")
+    for r in range(_MH_ROWS):
+        key_eq = key_eq & (F.col(f"tr.k{r}") == F.col(f"ev.k{r}"))
+    pairs = (
+        tr_b.join(F.broadcast(ev_b), key_eq)
+        .select(
+            F.col("tr.doc_id").alias("train_doc"),
+            F.col("ev.doc_id").alias("eval_doc"),
+        )
+        .dropDuplicates(["train_doc", "eval_doc"])
+    )
+    sh_only = sigs.select("doc_id", "sharr")
+    cand = pairs.join(
+        sh_only.select(
+            F.col("doc_id").alias("train_doc"), F.col("sharr").alias("sh_t")
+        ),
+        "train_doc",
+    ).join(
+        F.broadcast(
+            sh_only.select(
+                F.col("doc_id").alias("eval_doc"), F.col("sharr").alias("sh_e")
+            ).filter(F.col("eval_doc") % EVAL_MOD == 0)
+        ),
+        "eval_doc",
+    )
+    inter = F.size(F.array_intersect("sh_t", "sh_e"))
+    return (
+        cand.select(
+            "train_doc",
+            "eval_doc",
+            (
+                inter.cast("double")
+                / (F.size("sh_t") + F.size("sh_e") - inter)
+            ).alias("jaccard"),
+        )
+        .orderBy(F.desc("jaccard"), F.asc("train_doc"), F.asc("eval_doc"))
+        .limit(20)
+    )

@@ -230,3 +230,85 @@ def q_text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_shared"), F.asc("doc_a"), F.asc("doc_b"))
         .limit(20)
     )
+
+
+# ---- model-evaluation-on-the-lake: classifier metrics ----------------
+
+from flink_kakfa_spark.operators.text import STOPWORDS, _SQL_STOPWORDS  # noqa: E402
+
+
+@query(
+    "eval_langid_metrics",
+    oracle=f"""
+    WITH pred AS (
+      SELECT lang,
+             CASE WHEN CAST(len(list_filter(string_split(text, ' '),
+                              w -> list_contains({_SQL_STOPWORDS}, w)))
+                       AS DOUBLE)
+                       / len(string_split(text, ' ')) >= 0.05
+                  THEN 'en' ELSE 'unk' END AS pred_lang
+      FROM documents
+    ),
+    m AS (
+      SELECT
+        CAST(SUM(CASE WHEN lang = 'en' AND pred_lang = 'en'
+                 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+        CAST(SUM(CASE WHEN lang <> 'en' AND pred_lang = 'en'
+                 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+        CAST(SUM(CASE WHEN lang = 'en' AND pred_lang <> 'en'
+                 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+        CAST(SUM(CASE WHEN lang <> 'en' AND pred_lang <> 'en'
+                 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+      FROM pred
+    )
+    SELECT tp, fp, fn, tn,
+           ROUND(CAST(tp AS DOUBLE) / (tp + fp), 4) AS precision_en,
+           ROUND(CAST(tp AS DOUBLE) / (tp + fn), 4) AS recall_en,
+           ROUND(2.0 * tp / (2.0 * tp + fp + fn), 4) AS f1_en
+    FROM m
+    """,
+)
+def q_eval_langid_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model evaluation at corpus scale: confusion counts and
+    precision/recall/F1 of the language-ID heuristic
+    (``text_lang_id``) against the labeled ``lang`` column, treating
+    'en' as the positive class.
+
+    The "score a model over the whole lake" shape: prediction is a
+    narrow map (here the stopword hit-rate classifier; in production
+    a Pandas-UDF model), metrics are one algebraic global aggregate —
+    a single reduce regardless of corpus size.
+    """
+    d = load_table(spark, "documents", sf_dir)
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
+    t = F.split(F.col("text"), " ")
+    hit_rate = (
+        F.size(F.filter(t, lambda w: F.array_contains(stop_arr, w))).cast(
+            "double"
+        )
+        / F.size(t)
+    )
+    pred = d.select(
+        "lang",
+        F.when(hit_rate >= 0.05, "en").otherwise("unk").alias("pred_lang"),
+    )
+    is_en = F.col("lang") == "en"
+    pred_en = F.col("pred_lang") == "en"
+    cnt = lambda c: F.sum(F.when(c, 1).otherwise(0))  # noqa: E731
+    m = pred.agg(
+        cnt(is_en & pred_en).alias("tp"),
+        cnt(~is_en & pred_en).alias("fp"),
+        cnt(is_en & ~pred_en).alias("fn"),
+        cnt(~is_en & ~pred_en).alias("tn"),
+    )
+    return m.select(
+        "tp", "fp", "fn", "tn",
+        F.round(F.col("tp").cast("double") / (F.col("tp") + F.col("fp")), 4)
+        .alias("precision_en"),
+        F.round(F.col("tp").cast("double") / (F.col("tp") + F.col("fn")), 4)
+        .alias("recall_en"),
+        F.round(
+            2.0 * F.col("tp") / (2.0 * F.col("tp") + F.col("fp") + F.col("fn")),
+            4,
+        ).alias("f1_en"),
+    )

@@ -135,3 +135,43 @@ def q_ts_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "observed",
         F.last("observed", ignorenulls=True).over(w).alias("filled"),
     )
+
+
+@query(
+    "ts_rolling_1h_value",
+    oracle="""
+    SELECT event_id, event_type,
+           CAST(SUM(CAST(value AS DECIMAL(18,4)))
+                OVER (PARTITION BY event_type
+                      ORDER BY epoch_us(ts)
+                      RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS rolling_1h
+    FROM events
+    """,
+)
+def q_ts_rolling_1h_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-interval window frame: per-type trailing-1-hour value sum
+    at every event (RANGE BETWEEN INTERVAL '1 hour' PRECEDING).
+
+    The frame is defined on microsecond epoch values, so tie handling
+    and the inclusive 1-hour bound are identical integer semantics in
+    both engines; the summed measure routes through DECIMAL so the
+    varying per-frame summation order cannot produce float drift.
+
+    Scale: one range-window pass partitioned by type — no global
+    sort; each partition sorts locally. The classic sliding-aggregate
+    shape streaming systems implement with OVER RANGE windows.
+    """
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    e = load_table(spark, "events", sf_dir)
+    return e.select(
+        "event_id",
+        "event_type",
+        F.sum(F.col("value").cast("decimal(18,4)")).over(w)
+        .cast("double")
+        .alias("rolling_1h"),
+    )

@@ -183,3 +183,84 @@ def test_semdedup_members_conserved(spark, tmp_path):
     # absent from the report, and there are at most 8 cells total
     total = sum(r["n_members"] for r in out)
     assert 50 - (8 - n_cells) <= total <= 50
+
+
+# --------------------------------------------------- cross-set minhash
+
+
+def test_decontam_minhash_finds_paraphrased_leak(spark, tmp_path):
+    eval_doc = "the quick brown fox jumps over the lazy dog again and again"
+    leaked = "the quick brown fox jumps over the lazy dog again and again ok"
+    clean = "entirely different vocabulary discussing shuffle partitions here"
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [
+            Row(doc_id=0, text=eval_doc),    # doc_id % 101 == 0 -> eval
+            Row(doc_id=5, text=leaked),      # near-copy in training set
+            Row(doc_id=7, text=clean),
+        ],
+    )
+    out = all_queries()["decontam_minhash"](spark, sf).collect()
+    pairs = {(r["train_doc"], r["eval_doc"]): r["jaccard"] for r in out}
+    assert pairs.get((5, 0), 0) > 0.5
+    assert (7, 0) not in pairs
+
+
+# ----------------------------------------------------- eval metrics
+
+
+def test_langid_metrics_confusion_counts(spark, tmp_path):
+    en_hit = "the cat sat on the mat and the dog is in it"     # stopword-rich
+    miss = "cats dogs birds fish reptiles mammals insects"     # no stopwords
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [
+            Row(doc_id=0, text=en_hit, lang="en"),   # tp
+            Row(doc_id=1, text=en_hit, lang="fr"),   # fp
+            Row(doc_id=2, text=miss, lang="en"),     # fn
+            Row(doc_id=3, text=miss, lang="de"),     # tn
+        ],
+    )
+    row = all_queries()["eval_langid_metrics"](spark, sf).collect()[0]
+    assert (row["tp"], row["fp"], row["fn"], row["tn"]) == (1, 1, 1, 1)
+    assert row["precision_en"] == 0.5 == row["recall_en"] == row["f1_en"]
+
+
+# ---------------------------------------------- interval range frames
+
+
+def test_rolling_1h_inclusive_boundary(spark, tmp_path):
+    from datetime import datetime, timedelta
+
+    t0 = datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        Row(event_id=0, ts=t0, user_id=1, event_type="x", value=1.0,
+            props="{}"),
+        Row(event_id=1, ts=t0 + timedelta(minutes=30), user_id=1,
+            event_type="x", value=2.0, props="{}"),
+        # exactly 1h after event 0: the inclusive RANGE bound keeps it
+        Row(event_id=2, ts=t0 + timedelta(hours=1), user_id=1,
+            event_type="x", value=4.0, props="{}"),
+        # 1h + 1us after event 1: event 0 has fallen out
+        Row(event_id=3, ts=t0 + timedelta(hours=1, minutes=30,
+                                          microseconds=1), user_id=1,
+            event_type="x", value=8.0, props="{}"),
+        Row(event_id=4, ts=t0, user_id=2, event_type="y", value=16.0,
+            props="{}"),  # other partition: untouched
+    ]
+    spark.createDataFrame(rows).write.mode("overwrite").parquet(
+        f"{tmp_path}/events.parquet"
+    )
+    out = {
+        r["event_id"]: r["rolling_1h"]
+        for r in all_queries()["ts_rolling_1h_value"](spark, str(tmp_path)).collect()
+    }
+    assert out[0] == 1.0
+    assert out[1] == 3.0
+    assert out[2] == 7.0      # includes event 0 at exactly -1h
+    # event 1 is 1h + 1us before event 3 — just past the bound, so the
+    # frame is {event 2, event 3} = 4 + 8
+    assert out[3] == 12.0
+    assert out[4] == 16.0
