@@ -1,0 +1,133 @@
+"""Iterative BPE tokenizer training (Sennrich et al., 2016).
+
+``text.py::text_bpe_merge_pairs`` computes ONE round of merge-pair
+statistics; this module runs the actual training loop: k rounds of
+(count adjacent symbol pairs weighted by word frequency) -> (pick the
+most frequent pair, ties to the lexicographically smallest) -> (merge
+that pair left-to-right in every vocabulary word). The learned merge
+table IS the tokenizer.
+
+Spark-first shape: training operates on the *word-frequency
+vocabulary* (one row per distinct word — sublinear in corpus size),
+exactly as reference BPE trainers do, never on the token stream. Each
+round is one hash aggregate over the vocab plus a narrow in-array
+merge fold; the chosen pair is a driver-side ``first()`` per round
+(k small, like ``dedup_clusters``'s per-round convergence count).
+Lineage is kept bounded by caching each round's vocab and unpersisting
+the previous one.
+
+Oracle: the loop is not expressible as one SQL statement, so the
+query registers rows-only for the driver; correctness evidence is the
+pure-Python reference implementation in tests/test_bpe.py, which must
+produce the identical merge table on micro corpora AND on the sf0.001
+fixture.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_kakfa_spark.registry import query
+from flink_kakfa_spark.sources.tables import load_table
+
+N_MERGES = 8
+EOW = "</w>"  # end-of-word marker, merged like any symbol
+
+
+def _sql_quote(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def _merge_expr(left: str, right: str) -> str:
+    """Left-to-right non-overlapping merge of (left, right) in ``syms``.
+
+    A fold with one pending symbol of lookahead: classic BPE merge
+    semantics (after merging at i, position i+1 cannot start a merge).
+    """
+    l, r, m = _sql_quote(left), _sql_quote(right), _sql_quote(left + right)
+    return f"""
+    aggregate(
+      syms,
+      named_struct('acc', cast(array() as array<string>),
+                   'pend', cast(null as string)),
+      (st, x) -> CASE
+          WHEN st.pend IS NULL
+            THEN named_struct('acc', st.acc, 'pend', x)
+          WHEN st.pend = {l} AND x = {r}
+            THEN named_struct('acc', array_append(st.acc, {m}),
+                              'pend', cast(null as string))
+          ELSE named_struct('acc', array_append(st.acc, st.pend), 'pend', x)
+        END,
+      st -> CASE WHEN st.pend IS NULL THEN st.acc
+                 ELSE array_append(st.acc, st.pend) END)
+    """
+
+
+def train_bpe(
+    spark: SparkSession, words: DataFrame, n_merges: int = N_MERGES
+) -> DataFrame:
+    """Run the BPE training loop over a (word, freq) vocabulary frame.
+
+    Returns the merge table (step, left, right, pair_freq) — the
+    driver-resident artifact every BPE trainer produces.
+    """
+    vocab = words.select(
+        F.expr(f"concat(split(word, ''), array('{EOW}'))").alias("syms"),
+        F.col("freq"),
+    ).cache()
+    merges = []
+    for step in range(n_merges):
+        pairs = (
+            vocab.select(
+                F.explode(
+                    F.expr(
+                        "transform(sequence(0, size(syms) - 2),"
+                        " i -> struct(syms[i] AS left, syms[i + 1] AS right))"
+                    )
+                ).alias("p"),
+                "freq",
+            )
+            .groupBy("p.left", "p.right")
+            .agg(F.sum("freq").alias("pair_freq"))
+        )
+        best = pairs.orderBy(
+            F.col("pair_freq").desc(), F.col("left").asc(), F.col("right").asc()
+        ).first()
+        if best is None or best["pair_freq"] < 2:
+            break  # nothing left worth merging
+        merges.append(
+            (step, best["left"], best["right"], int(best["pair_freq"]))
+        )
+        nxt = vocab.select(
+            F.expr(_merge_expr(best["left"], best["right"])).alias("syms"),
+            "freq",
+        ).cache()
+        nxt.count()  # materialize before dropping the parent
+        vocab.unpersist()
+        vocab = nxt
+    vocab.unpersist()
+    return spark.createDataFrame(
+        merges, "step int, left string, right string, pair_freq long"
+    )
+
+
+@query("text_bpe_train_merges")  # iterative: rows-only driver check
+def q_text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train {N_MERGES} BPE merges on the documents corpus.
+
+    Word frequencies come from one corpus pass; every training round
+    then touches only the vocabulary (distinct words), the same
+    train-on-vocab shortcut reference BPE implementations use. Ties
+    break (freq desc, left asc, right asc), so the merge table is
+    fully deterministic — pinned against an independent pure-Python
+    trainer in tests, including on this very fixture.
+    """
+    d = load_table(spark, "documents", sf_dir)
+    words = (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    return train_bpe(spark, words, N_MERGES)

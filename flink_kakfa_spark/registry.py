@@ -63,6 +63,7 @@ _QUERY_MODULES = [
     "flink_kakfa_spark.operators.text_advanced",
     "flink_kakfa_spark.operators.vector_extra",
     "flink_kakfa_spark.operators.mlprep",
+    "flink_kakfa_spark.operators.bpe",
 ]
 
 # ROUND-5 WINDOW ROTATION (executes the plan written here in round 4):
@@ -172,7 +173,11 @@ _WINDOW_FRONT = [
 # twins (dedup_minhash_portable, sim_ivf_portable_topk) carry the
 # correctness evidence, so these must never burn a scarce driver
 # window slot on an `err: no_oracle` row: pin them to the very end.
-_WINDOW_BACK = {"dedup_minhash_lsh", "sim_ivf_kmeans_topk"}
+_WINDOW_BACK = {
+    "dedup_minhash_lsh",
+    "sim_ivf_kmeans_topk",
+    "text_bpe_train_merges",  # iterative trainer — python-oracle pytest
+}
 
 _loaded = False
 

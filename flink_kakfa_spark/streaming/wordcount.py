@@ -112,3 +112,57 @@ def dedup_messages(
     if messages.isStreaming and watermark is not None:
         return messages.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
     return messages.dropDuplicates(keys)
+
+
+def trending_topk(counts: DataFrame, k: int = 3) -> DataFrame:
+    """Top-k words per tumbling window (deterministic tie-break).
+
+    Rank-over-window isn't allowed directly on a streaming aggregate,
+    so this runs as batch post-processing on each micro-batch's
+    windowed counts (see :func:`materialize_trending`) — the standard
+    "streaming topN" recipe: aggregate in the engine, rank in
+    ``foreachBatch``.
+    """
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("win_start").orderBy(
+        F.col("cnt").desc(), F.col("word").asc()
+    )
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+    )
+
+
+def materialize_trending(
+    messages: DataFrame,
+    path: str,
+    checkpoint: str,
+    window: str = "10 seconds",
+    k: int = 3,
+):
+    """T-row composition: continuously-maintained "trending words"
+    table — tumbling-window counts (streaming agg, complete mode),
+    ranked per window in ``foreachBatch``, idempotently overwritten
+    per window partition. Crash replay rewrites identical partitions,
+    so the table is exactly-once like ``materialize_word_counts``.
+    """
+    counts = windowed_word_counts(messages, window, watermark=None)
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            trending_topk(batch_df, k)
+            .repartition("win_start")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("win_start")
+            .parquet(path)
+        )
+
+    return (
+        counts.writeStream.outputMode("complete")
+        .foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1,0 +1,93 @@
+"""BPE trainer verified against an independent pure-Python reference
+implementation — on micro corpora with known merges AND on the
+sf0.001 fixture (the rows-only driver check's correctness evidence).
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import duckdb
+from pyspark.sql import Row
+
+from flink_kakfa_spark.operators.bpe import EOW, train_bpe
+from flink_kakfa_spark.registry import all_queries
+
+
+def _py_bpe(word_freqs: dict[str, int], n_merges: int):
+    """Reference BPE: same tie-break (freq desc, left asc, right asc),
+    same left-to-right non-overlapping merge, same stop rule."""
+    vocab = [(list(w) + [EOW], f) for w, f in word_freqs.items()]
+    merges = []
+    for step in range(n_merges):
+        pairs: Counter = Counter()
+        for syms, f in vocab:
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += f
+        if not pairs:
+            break
+        (left, right), freq = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        if freq < 2:
+            break
+        merges.append((step, left, right, freq))
+        new_vocab = []
+        for syms, f in vocab:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab.append((out, f))
+        vocab = new_vocab
+    return merges
+
+
+def test_bpe_known_corpus(spark):
+    # the Sennrich paper's canonical example family
+    freqs = {"low": 5, "lower": 2, "newest": 6, "widest": 3}
+    words = spark.createDataFrame(
+        [Row(word=w, freq=f) for w, f in freqs.items()]
+    )
+    got = [
+        (r["step"], r["left"], r["right"], r["pair_freq"])
+        for r in train_bpe(spark, words, 6).collect()
+    ]
+    assert got == _py_bpe(freqs, 6)
+    # first merge on this corpus is the famous ('e','s') with freq 9
+    assert got[0][1:] == ("e", "s", 9)
+
+
+def test_bpe_merge_is_left_to_right_nonoverlapping(spark):
+    # 'aaaa' with pair (a,a): left-to-right gives [aa, aa], not 3 merges
+    words = spark.createDataFrame([Row(word="aaaa", freq=4)])
+    got = [
+        (r["step"], r["left"], r["right"], r["pair_freq"])
+        for r in train_bpe(spark, words, 2).collect()
+    ]
+    assert got == _py_bpe({"aaaa": 4}, 2)
+    assert got[0][:3] == (0, "a", "a")
+    # after merging a+a -> aa, the word is [aa, aa, </w>]: pairs
+    # (aa, aa) and (aa, </w>) both have freq 4, and '</w>' sorts
+    # before 'aa', so the tie-break picks (aa, </w>)
+    assert got[1][1:] == ("aa", "</w>", 4)
+
+
+def test_bpe_matches_python_on_fixture(spark, sf_dir):
+    rows = duckdb.sql(
+        f"""SELECT u.w AS word, COUNT(*) AS f
+            FROM read_parquet('{sf_dir}/documents.parquet'),
+                 UNNEST(string_split(text, ' ')) AS u(w)
+            WHERE u.w <> '' GROUP BY u.w"""
+    ).fetchall()
+    expected = _py_bpe(dict(rows), 8)
+    got = [
+        (r["step"], r["left"], r["right"], r["pair_freq"])
+        for r in all_queries()["text_bpe_train_merges"](spark, sf_dir).collect()
+    ]
+    assert got == expected
+    assert len(got) == 8

@@ -853,3 +853,35 @@ def test_streaming_cms_merges_to_batch_sketch(spark, tmp_path):
     before = sorted((tmp_path / "sketch").iterdir())
     run_once()
     assert sorted((tmp_path / "sketch").iterdir()) == before
+
+
+def test_trending_topk_matches_batch_and_breaks_ties(spark, tmp_path, msg_rows):
+    """Streaming trending-words table == batch windowed top-k; ties
+    break alphabetically (row_number over cnt desc, word asc)."""
+    from flink_kakfa_spark.streaming.wordcount import (
+        materialize_trending,
+        trending_topk,
+    )
+
+    batch_df = _write_messages(spark, str(tmp_path / "src"), msg_rows)
+    stream = _stream_from(spark, str(tmp_path / "src"))
+    out = str(tmp_path / "trending")
+    q = materialize_trending(
+        stream, out, str(tmp_path / "ckpt"), window="10 seconds", k=2
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (str(r["win_start"]), r["rk"]): r["word"]
+        for r in spark.read.parquet(out).collect()
+    }
+    expected = {
+        (str(r["win_start"]), r["rk"]): r["word"]
+        for r in trending_topk(
+            windowed_word_counts(batch_df, "10 seconds"), 2
+        ).collect()
+    }
+    assert got == expected
+    # the 00:00:10 window holds one 'hello' + singles: rank 1 = hello,
+    # rank 2 = alphabetically-first single ('streaming' vs 'data' ...)
+    assert any(r == 1 for (_, r) in got), got
