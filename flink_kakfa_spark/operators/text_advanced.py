@@ -193,27 +193,35 @@ def q_text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     add a df-cap on hot fingerprints exactly as
     ``dedup_ngram_jaccard_guarded`` does for shingles.
     """
-    d = load_table(spark, "documents", sf_dir).select(
-        "doc_id",
-        F.expr(f"transform(split(text, ' '), w -> {_H_SPARK})").alias("hs"),
-    )
     # 0-based twin of the oracle's 1-based folds: kgram j covers
-    # hs[j..j+2]; full windows end at kgram j >= W-1 (oracle i >= W)
-    kg = (
-        f"transform(sequence(0, size(hs) - 3),"
-        f" j -> ((((hs[j] % {_ROLL_M}) * {_ROLL_B} + hs[j + 1]) % {_ROLL_M})"
-        f" * {_ROLL_B} + hs[j + 2]) % {_ROLL_M})"
+    # hs[j..j+2]; full windows end at kgram j >= W-1 (oracle i >= W).
+    #
+    # The whole per-document computation is ONE expression with
+    # explicit let-bindings (`transform(array(x), v -> ...)` evaluates
+    # x once and binds it): naming the intermediate arrays as chained
+    # withColumns instead lets the optimizer inline their trees into
+    # the downstream lambdas, re-evaluating the md5 token hashes per
+    # window element — measured 12x slower at sf0.1.
+    win_mins = ", ".join(
+        f"karr[j - {o}]" for o in range(_WINNOW_W)
     )
-    wins = (
-        f"transform(sequence({_WINNOW_W - 1}, size(kg) - 1),"
-        f" j -> array_min(slice(kg, j - {_WINNOW_W - 2}, {_WINNOW_W})))"
-    )
+    fps_expr = f"""
+    array_distinct(flatten(transform(
+      array(transform(split(text, ' '), w -> {_H_SPARK})), hsv ->
+      flatten(transform(
+        array(CASE WHEN size(hsv) >= 3 THEN
+          transform(sequence(0, size(hsv) - 3),
+            j -> ((((hsv[j] % {_ROLL_M}) * {_ROLL_B} + hsv[j + 1])
+                   % {_ROLL_M}) * {_ROLL_B} + hsv[j + 2]) % {_ROLL_M})
+          ELSE array() END), karr ->
+        CASE WHEN size(karr) >= {_WINNOW_W} THEN
+          transform(sequence({_WINNOW_W - 1}, size(karr) - 1),
+                    j -> least({win_mins}))
+          ELSE array() END)))))
+    """
     fps = (
-        d.filter(F.size("hs") >= 2 + _WINNOW_W)  # need >= W full windows source
-        .withColumn("kg", F.expr(kg))
-        .filter(F.size("kg") >= _WINNOW_W)
-        .withColumn("fp", F.explode(F.array_distinct(F.expr(wins))))
-        .select("doc_id", "fp")
+        load_table(spark, "documents", sf_dir)
+        .select("doc_id", F.explode(F.expr(fps_expr)).alias("fp"))
     )
     a = fps.alias("a")
     b = fps.alias("b")

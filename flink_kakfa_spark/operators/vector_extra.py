@@ -162,33 +162,33 @@ def q_sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("qdl")
         )
     )
-    # one narrow pass per vector: slice each subvector ONCE, argmin
-    # over that subspace's centroids (lexicographic struct min = d2
-    # then c tie-break), then ADC = flat-table lookups at the codes
-    codes_expr = (
-        f"transform(sequence(0, {_PQ_M - 1}), m -> "
-        f"array_min(transform(filter(cb, e -> e.m = m),"
-        f" e -> struct(aggregate(zip_with(subsv[m], e.cv,"
-        f" (x, y) -> (x - y) * (x - y)), 0L, (s, x) -> s + x) AS d2,"
-        f" e.c AS c))).c)"
-    )
-    adc_expr = (
-        f"aggregate(transform(sequence(0, {_PQ_M - 1}),"
-        f" m -> qdl[int(m * {_PQ_K}) + int(codes[m])]),"
-        f" 0L, (s, x) -> s + x)"
-    )
+    # one narrow pass per vector, written as a single expression with
+    # explicit let-bindings (`transform(array(x), v -> ...)` evaluates
+    # x once): subvectors sliced ONCE, argmin over each subspace's
+    # centroids (lexicographic struct min = d2 then c tie-break), then
+    # ADC = flat-table lookups at the codes. Chained withColumns here
+    # let the optimizer inline each intermediate array into the next
+    # lambda, re-evaluating it per element (the 12x trap measured on
+    # text_winnow_fingerprints).
+    adc_expr = f"""
+    flatten(transform(
+      array(transform(sequence(0, {_PQ_M - 1}),
+                      m -> slice(qa, m * {_PQ_DSUB} + 1, {_PQ_DSUB}))), subsv ->
+      transform(
+        array(transform(sequence(0, {_PQ_M - 1}), m ->
+          array_min(transform(filter(cb, e -> e.m = m),
+            e -> struct(aggregate(zip_with(subsv[m], e.cv,
+                          (x, y) -> (x - y) * (x - y)),
+                        0L, (s, x) -> s + x) AS d2,
+                        e.c AS c))).c)), codes ->
+        aggregate(transform(sequence(0, {_PQ_M - 1}),
+                            m -> qdl[int(m * {_PQ_K}) + int(codes[m])]),
+                  0L, (s, x) -> s + x))))[0]
+    """
     scored = (
         qz.filter(F.col("vec_id") != 0)
         .crossJoin(F.broadcast(codebook))
         .crossJoin(F.broadcast(qd))
-        .withColumn(
-            "subsv",
-            F.expr(
-                f"transform(sequence(0, {_PQ_M - 1}),"
-                f" m -> slice(qa, m * {_PQ_DSUB} + 1, {_PQ_DSUB}))"
-            ),
-        )
-        .withColumn("codes", F.expr(codes_expr))
         .withColumn("adc_d2", F.expr(adc_expr))
     )
     short = (
