@@ -44,6 +44,41 @@ _WINNOW_W = 4   # window: one fingerprint per 4 consecutive k-gram hashes
 _H_SPARK = "cast(conv(substring(md5(w), 1, 8), 16, 10) as bigint)"
 
 
+def _winnow_fp_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, fp) winnowing fingerprints, one exploded row per
+    selected distinct fingerprint.
+
+    0-based twin of the oracle's 1-based folds: kgram j covers
+    hs[j..j+2]; full windows end at kgram j >= W-1 (oracle i >= W).
+
+    The whole per-document computation is ONE expression with explicit
+    let-bindings (``transform(array(x), v -> ...)`` evaluates x once
+    and binds the value): naming the intermediate arrays as chained
+    withColumns instead lets the optimizer inline their trees into the
+    downstream lambdas, re-evaluating the md5 token hashes per window
+    element — measured 40x slower at sf0.1 (SCALE.md).
+    """
+    win_mins = ", ".join(f"karr[j - {o}]" for o in range(_WINNOW_W))
+    fps_expr = f"""
+    array_distinct(flatten(transform(
+      array(transform(split(text, ' '), w -> {_H_SPARK})), hsv ->
+      flatten(transform(
+        array(CASE WHEN size(hsv) >= 3 THEN
+          transform(sequence(0, size(hsv) - 3),
+            j -> ((((hsv[j] % {_ROLL_M}) * {_ROLL_B} + hsv[j + 1])
+                   % {_ROLL_M}) * {_ROLL_B} + hsv[j + 2]) % {_ROLL_M})
+          ELSE array() END), karr ->
+        CASE WHEN size(karr) >= {_WINNOW_W} THEN
+          transform(sequence({_WINNOW_W - 1}, size(karr) - 1),
+                    j -> least({win_mins}))
+          ELSE array() END)))))
+    """
+    return (
+        load_table(spark, "documents", sf_dir)
+        .select("doc_id", F.explode(F.expr(fps_expr)).alias("fp"))
+    )
+
+
 @query(
     "text_bigram_perplexity",
     oracle=f"""
@@ -193,36 +228,7 @@ def q_text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     add a df-cap on hot fingerprints exactly as
     ``dedup_ngram_jaccard_guarded`` does for shingles.
     """
-    # 0-based twin of the oracle's 1-based folds: kgram j covers
-    # hs[j..j+2]; full windows end at kgram j >= W-1 (oracle i >= W).
-    #
-    # The whole per-document computation is ONE expression with
-    # explicit let-bindings (`transform(array(x), v -> ...)` evaluates
-    # x once and binds it): naming the intermediate arrays as chained
-    # withColumns instead lets the optimizer inline their trees into
-    # the downstream lambdas, re-evaluating the md5 token hashes per
-    # window element — measured 12x slower at sf0.1.
-    win_mins = ", ".join(
-        f"karr[j - {o}]" for o in range(_WINNOW_W)
-    )
-    fps_expr = f"""
-    array_distinct(flatten(transform(
-      array(transform(split(text, ' '), w -> {_H_SPARK})), hsv ->
-      flatten(transform(
-        array(CASE WHEN size(hsv) >= 3 THEN
-          transform(sequence(0, size(hsv) - 3),
-            j -> ((((hsv[j] % {_ROLL_M}) * {_ROLL_B} + hsv[j + 1])
-                   % {_ROLL_M}) * {_ROLL_B} + hsv[j + 2]) % {_ROLL_M})
-          ELSE array() END), karr ->
-        CASE WHEN size(karr) >= {_WINNOW_W} THEN
-          transform(sequence({_WINNOW_W - 1}, size(karr) - 1),
-                    j -> least({win_mins}))
-          ELSE array() END)))))
-    """
-    fps = (
-        load_table(spark, "documents", sf_dir)
-        .select("doc_id", F.explode(F.expr(fps_expr)).alias("fp"))
-    )
+    fps = _winnow_fp_frame(spark, sf_dir)
     a = fps.alias("a")
     b = fps.alias("b")
     return (
@@ -319,4 +325,79 @@ def q_eval_langid_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             2.0 * F.col("tp") / (2.0 * F.col("tp") + F.col("fp") + F.col("fn")),
             4,
         ).alias("f1_en"),
+    )
+
+
+_WINNOW_DF_CAP = 20  # fingerprints in more docs than this are boilerplate
+
+
+@query(
+    "text_winnow_guarded",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id,
+             list_transform(string_split(text, ' '),
+                            w -> CAST({_ROLL_H_SQL} AS BIGINT)) AS hs
+      FROM documents
+    ),
+    kg AS (
+      SELECT doc_id, g.i,
+             ((((hs[g.i] % {_ROLL_M}) * {_ROLL_B} + hs[g.i + 1]) % {_ROLL_M})
+              * {_ROLL_B} + hs[g.i + 2]) % {_ROLL_M} AS kh
+      FROM d, UNNEST(generate_series(1, len(hs) - 2)) AS g(i)
+      WHERE len(hs) >= 3
+    ),
+    wins AS (
+      SELECT doc_id, i,
+             MIN(kh) OVER (PARTITION BY doc_id ORDER BY i
+                           ROWS BETWEEN {_WINNOW_W - 1} PRECEDING
+                           AND CURRENT ROW) AS fp
+      FROM kg
+    ),
+    fps0 AS (
+      SELECT DISTINCT doc_id, fp FROM wins WHERE i >= {_WINNOW_W}
+    ),
+    dfreq AS (SELECT fp, COUNT(*) AS df FROM fps0 GROUP BY fp),
+    fps AS (
+      SELECT f.doc_id, f.fp FROM fps0 f
+      JOIN dfreq d ON f.fp = d.fp AND d.df <= {_WINNOW_DF_CAP}
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    ORDER BY n_shared DESC, doc_a ASC, doc_b ASC
+    LIMIT 20
+    """,
+)
+def q_text_winnow_guarded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing with the document-frequency cap ON — the production
+    form for dup-heavy corpora (SCALE.md: verbatim replicas inflate
+    the uncapped pair join ~quadratically inside duplicate groups).
+
+    A fingerprint appearing in more than {_WINNOW_DF_CAP} documents is
+    boilerplate with no discriminating signal; dropping it bounds every
+    bucket of the inverted-index join. The df count rides a window
+    over the same fp key the pair join shuffles on, so the cap adds no
+    extra fact-sized exchange (the partitioning is reused).
+    """
+    from pyspark.sql import Window as W
+
+    fps = _winnow_fp_frame(spark, sf_dir).withColumn(
+        "df", F.count(F.lit(1)).over(W.partitionBy("fp"))
+    ).filter(F.col("df") <= _WINNOW_DF_CAP).select("doc_id", "fp")
+    a = fps.alias("a")
+    b = fps.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .orderBy(F.desc("n_shared"), F.asc("doc_a"), F.asc("doc_b"))
+        .limit(20)
     )
