@@ -885,3 +885,52 @@ def test_trending_topk_matches_batch_and_breaks_ties(spark, tmp_path, msg_rows):
     # the 00:00:10 window holds one 'hello' + singles: rank 1 = hello,
     # rank 2 = alphabetically-first single ('streaming' vs 'data' ...)
     assert any(r == 1 for (_, r) in got), got
+
+
+def test_trending_view_idempotent_and_incremental(spark, tmp_path, msg_rows):
+    """T6 rigor for the trending table: re-running over the same
+    checkpoint leaves it unchanged; new data re-ranks the affected
+    window only."""
+    from flink_kakfa_spark.streaming.wordcount import materialize_trending
+
+    src = str(tmp_path / "src")
+    view = str(tmp_path / "view")
+    ckpt = str(tmp_path / "ckpt")
+    _write_messages(spark, src, msg_rows)
+
+    def run():
+        q = materialize_trending(
+            _stream_from(spark, src), view, ckpt, window="10 seconds", k=2
+        )
+        q.awaitTermination(120)
+
+    run()
+    first = {
+        (str(r["win_start"]), r["rk"], r["word"], r["cnt"])
+        for r in spark.read.parquet(view).collect()
+    }
+    run()  # nothing new: identical table (idempotent replay)
+    assert {
+        (str(r["win_start"]), r["rk"], r["word"], r["cnt"])
+        for r in spark.read.parquet(view).collect()
+    } == first
+
+    # a late burst of 'zzz' into the 00:10:00 window must dethrone the
+    # previous rank-1 of that window and leave other windows untouched
+    _write_messages(
+        spark, src,
+        [Row(key="k9", value="zzz zzz zzz", ts="2024-01-01 00:10:05")],
+        subdir="batch1",
+    )
+    run()
+    rows = spark.read.parquet(view).collect()
+    burst_win = [r for r in rows if str(r["win_start"]).endswith("00:10:00")]
+    assert {(r["rk"], r["word"]) for r in burst_win} >= {(1, "zzz")}
+    untouched = {
+        (str(r["win_start"]), r["rk"], r["word"], r["cnt"])
+        for r in rows
+        if not str(r["win_start"]).endswith("00:10:00")
+    }
+    assert untouched == {
+        t for t in first if not t[0].endswith("00:10:00")
+    }
