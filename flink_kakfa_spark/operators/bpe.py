@@ -131,3 +131,52 @@ def q_text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("freq"))
     )
     return train_bpe(spark, words, N_MERGES)
+
+
+def apply_merges(words: DataFrame, merges: list[tuple[str, str]]) -> DataFrame:
+    """Segment each word with a learned merge list (Sennrich apply:
+    each merge replaces ALL its occurrences, in rank order, one pass
+    through the list). Adds a ``tokens`` array column.
+
+    Each fold references ``syms`` exactly once (column-level, not
+    per-element), so chaining k merges costs k passes — the HOF
+    inlining trap (SCALE.md) does not bite here.
+    """
+    out = words.withColumn(
+        "syms", F.expr(f"concat(split(word, ''), array('{EOW}'))")
+    )
+    for left, right in merges:
+        out = out.withColumn("syms", F.expr(_merge_expr(left, right)))
+    return out.withColumnRenamed("syms", "tokens")
+
+
+@query("text_bpe_tokenize")  # trained merges are loop-derived: rows-only
+def q_text_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize the corpus with the merges ``text_bpe_train_merges``
+    learns, and report the resulting token vocabulary's top 20 by
+    corpus occurrence count.
+
+    Train-then-apply end to end: tokenization runs on the distinct-word
+    vocabulary and re-weights by word frequency (the same
+    vocab-not-stream shortcut as training), so the corpus text is
+    scanned once no matter how many merges apply.
+    """
+    d = load_table(spark, "documents", sf_dir)
+    words = (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    merges = [
+        (r["left"], r["right"])
+        for r in train_bpe(spark, words, N_MERGES).collect()
+    ]
+    return (
+        apply_merges(words, merges)
+        .select(F.explode("tokens").alias("token"), "freq")
+        .groupBy("token")
+        .agg(F.sum("freq").alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), F.asc("token"))
+        .limit(20)
+    )

@@ -178,6 +178,7 @@ _WINDOW_BACK = {
     "dedup_minhash_lsh",
     "sim_ivf_kmeans_topk",
     "text_bpe_train_merges",  # iterative trainer — python-oracle pytest
+    "text_bpe_tokenize",      # applies trained merges — python-oracle pytest
 }
 
 _loaded = False

@@ -123,6 +123,7 @@ def test_registry_loads_all_queries():
         "dedup_minhash_lsh",
         "sim_ivf_kmeans_topk",
         "text_bpe_train_merges",
+        "text_bpe_tokenize",
     }, f"queries without oracle SQL: {sorted(missing_oracles)}"
 
 

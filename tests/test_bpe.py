@@ -91,3 +91,41 @@ def test_bpe_matches_python_on_fixture(spark, sf_dir):
     ]
     assert got == expected
     assert len(got) == 8
+
+
+def _py_apply(word: str, merges) -> list[str]:
+    syms = list(word) + [EOW]
+    for left, right in merges:
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                out.append(left + right)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+def test_bpe_tokenize_matches_python_on_fixture(spark, sf_dir):
+    rows = duckdb.sql(
+        f"""SELECT u.w AS word, COUNT(*) AS f
+            FROM read_parquet('{sf_dir}/documents.parquet'),
+                 UNNEST(string_split(text, ' ')) AS u(w)
+            WHERE u.w <> '' GROUP BY u.w"""
+    ).fetchall()
+    freqs = dict(rows)
+    merges = [(l, r) for _, l, r, _ in _py_bpe(freqs, 8)]
+    counts: Counter = Counter()
+    for w, f in freqs.items():
+        for tok in _py_apply(w, merges):
+            counts[tok] += f
+    expected = sorted(
+        counts.items(), key=lambda kv: (-kv[1], kv[0])
+    )[:20]
+    got = [
+        (r["token"], r["n_occurrences"])
+        for r in all_queries()["text_bpe_tokenize"](spark, sf_dir).collect()
+    ]
+    assert got == expected
