@@ -297,3 +297,214 @@ def q_mm_audio_vad_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             "peak long, n_active long"
         ),
     )
+
+
+@query(
+    "mm_image_resize_thumb",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id, 8 + doc_id % 8 AS w, 8 AS h FROM documents
+    ),
+    px AS (
+      SELECT d.doc_id,
+             (gx.x * 4) // d.w AS bx,
+             gy.y // 2 AS by,
+             (d.doc_id * gx.x + gy.y) % 256 AS r
+      FROM dims d,
+           UNNEST(generate_series(0, d.w - 1)) AS gx(x),
+           UNNEST(generate_series(0, 7)) AS gy(y)
+    ),
+    boxes AS (
+      SELECT doc_id, bx, by, SUM(r) // COUNT(*) AS v
+      FROM px GROUP BY doc_id, bx, by
+    )
+    SELECT doc_id,
+           CAST(MAX(CASE WHEN bx = 0 AND by = 0 THEN v END) AS BIGINT) AS t00,
+           CAST(MAX(CASE WHEN bx = 3 AND by = 0 THEN v END) AS BIGINT) AS t30,
+           CAST(MAX(CASE WHEN bx = 0 AND by = 3 THEN v END) AS BIGINT) AS t03,
+           CAST(MAX(CASE WHEN bx = 3 AND by = 3 THEN v END) AS BIGINT) AS t33,
+           CAST(SUM(v) AS BIGINT) AS thumb_sum
+    FROM boxes GROUP BY doc_id
+    """,
+)
+def q_mm_image_resize_thumb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image resize (the multimodal mandate's "resize" op): decode
+    the BMP bytes and box-average the red channel down to a 4x4
+    thumbnail (pixel x lands in box ``x*4 // w``, integer mean per
+    box), reporting the corner cells and the thumbnail sum.
+
+    The downsample is exact integer arithmetic, so the oracle predicts
+    every thumbnail value from the parametric pixel formula without
+    parsing a byte — one flipped pixel anywhere in the codec or the
+    box assignment shifts a corner or the sum.
+
+    Scale: same two-mapInPandas shape as the other media ops; resize
+    output is 5 BIGINTs per image (production would emit the thumbnail
+    bytes — identical plumbing).
+    """
+
+    def encode(it):
+        import struct
+
+        import pandas as pd
+
+        for pdf in it:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                w, h = 8 + doc_id % 8, 8
+                row_len = (w * 3 + 3) & ~3
+                pix = bytearray()
+                for y in range(h - 1, -1, -1):
+                    row = bytearray()
+                    for x in range(w):
+                        row += bytes(
+                            [
+                                (doc_id + x) % 256,
+                                (x * y) % 256,
+                                (doc_id * x + y) % 256,
+                            ]
+                        )
+                    row += b"\x00" * (row_len - len(row))
+                    pix += row
+                size = 14 + 40 + len(pix)
+                hdr = struct.pack("<2sIHHI", b"BM", size, 0, 0, 54)
+                info = struct.pack(
+                    "<IiiHHIIiiII",
+                    40, w, h, 1, 24, 0, len(pix), 2835, 2835, 0, 0,
+                )
+                payloads.append(bytes(hdr + info + pix))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    def resize(it):
+        import struct
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            out = {"doc_id": [], "t00": [], "t30": [], "t03": [],
+                   "t33": [], "thumb_sum": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                magic, _, _, _, offset = struct.unpack_from("<2sIHHI", payload, 0)
+                assert magic == b"BM"
+                _, w, h, _, bpp = struct.unpack_from("<IiiHH", payload, 14)
+                assert bpp == 24
+                row_len = (w * 3 + 3) & ~3
+                # red channel, logical row order (storage is bottom-up)
+                red = np.zeros((h, w), dtype=np.int64)
+                for y in range(h):
+                    base = offset + (h - 1 - y) * row_len
+                    red[y] = [payload[base + 3 * x + 2] for x in range(w)]
+                thumb = np.zeros((4, 4), dtype=np.int64)
+                xs = np.arange(w) * 4 // w
+                ys = np.arange(h) * 4 // h
+                for by in range(4):
+                    for bx in range(4):
+                        box = red[np.ix_(ys == by, xs == bx)]
+                        thumb[by, bx] = int(box.sum()) // box.size
+                out["doc_id"].append(int(doc_id))
+                out["t00"].append(int(thumb[0, 0]))
+                out["t30"].append(int(thumb[0, 3]))
+                out["t03"].append(int(thumb[3, 0]))
+                out["t33"].append(int(thumb[3, 3]))
+                out["thumb_sum"].append(int(thumb.sum()))
+            yield pd.DataFrame(out)
+
+    d = parallelize(
+        load_table(spark, "documents", sf_dir).select("doc_id"), spark
+    )
+    return d.mapInPandas(encode, schema=_PAYLOAD_SCHEMA).mapInPandas(
+        resize,
+        schema="doc_id long, t00 long, t30 long, t03 long, t33 long, thumb_sum long",
+    )
+
+
+@query(
+    "mm_audio_resample_stats",
+    oracle=f"""
+    WITH clip AS (
+      SELECT doc_id, 800 + (doc_id % 5) * 100 AS n FROM documents
+    ),
+    s AS (
+      SELECT c.doc_id, g.i,
+             (c.doc_id * 31 + g.i * 17) % 2048 - 1024 AS smp
+      FROM clip c, UNNEST(generate_series(0, c.n - 1)) AS g(i)
+      WHERE g.i % 2 = 0
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_out,
+           CAST({_WAV_RATE // 2} AS BIGINT) AS out_rate,
+           CAST(SUM(smp * smp) AS BIGINT) AS sum_sq_out,
+           CAST(MAX(ABS(smp)) AS BIGINT) AS peak_out
+    FROM s GROUP BY doc_id
+    """,
+)
+def q_mm_audio_resample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio resampling (decimation by 2, 8 kHz -> 4 kHz): decode the
+    real WAV, keep every even-indexed sample, report the resampled
+    stream's stats — the oracle predicts them from the closed-form
+    sample formula restricted to even i.
+
+    Production decimators low-pass first; the plumbing (decode ->
+    vectorized resample -> re-encode or featurize) is what this pins,
+    sample-exact.
+    """
+
+    def encode(it):
+        import io
+        import struct
+        import wave
+
+        import pandas as pd
+
+        for pdf in it:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                n = 800 + (doc_id % 5) * 100
+                samples = [
+                    (doc_id * 31 + i * 17) % 2048 - 1024 for i in range(n)
+                ]
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(2)
+                    w.setframerate(_WAV_RATE)
+                    w.writeframes(struct.pack(f"<{n}h", *samples))
+                payloads.append(buf.getvalue())
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    def resample(it):
+        import io
+        import wave
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            out = {"doc_id": [], "n_out": [], "out_rate": [],
+                   "sum_sq_out": [], "peak_out": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                with wave.open(io.BytesIO(payload), "rb") as w:
+                    rate = w.getframerate()
+                    n = w.getnframes()
+                    raw = w.readframes(n)
+                s = np.frombuffer(raw, dtype="<i2").astype(np.int64)[::2]
+                out["doc_id"].append(int(doc_id))
+                out["n_out"].append(len(s))
+                out["out_rate"].append(rate // 2)
+                out["sum_sq_out"].append(int(np.sum(s * s)))
+                out["peak_out"].append(int(np.max(np.abs(s))))
+            yield pd.DataFrame(out)
+
+    d = parallelize(
+        load_table(spark, "documents", sf_dir).select("doc_id"), spark
+    )
+    return d.mapInPandas(encode, schema=_PAYLOAD_SCHEMA).mapInPandas(
+        resample,
+        schema=(
+            "doc_id long, n_out long, out_rate long, "
+            "sum_sq_out long, peak_out long"
+        ),
+    )

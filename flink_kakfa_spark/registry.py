@@ -163,8 +163,8 @@ _WINDOW_FRONT = [
 #   sim_pq_adc_topk, dedup_semdedup,
 #   feature_target_encode, privacy_k_anonymity, text_hashing_trick,
 #   decontam_minhash, eval_langid_metrics, ts_rolling_1h_value,
-#   text_winnow_guarded
-#   (54 total after the round-5 in-round additions)
+#   text_winnow_guarded, mm_image_resize_thumb, mm_audio_resample_stats
+#   (56 total after the round-5 in-round additions)
 # The remaining slots: any round-6 additions first, then backfill
 # with the oldest driver evidence (r1/r2 rows) for re-verification.
 # Update tests/test_000_smoke.py::DRIVER_WINDOW in the same commit.

@@ -264,3 +264,18 @@ def test_rolling_1h_inclusive_boundary(spark, tmp_path):
     # frame is {event 2, event 3} = 4 + 8
     assert out[3] == 12.0
     assert out[4] == 16.0
+
+
+# ------------------------------------------------------- media resize
+
+
+def test_resize_thumbnail_known_values(spark, tmp_path):
+    """doc 0, w=8: r(x,y) = y, boxes are exact 2x2 blocks, so box
+    (bx, by) averages rows {2*by, 2*by+1} -> value 2*by (integer mean
+    of y and y+1 floors to the even row)."""
+    sf = _write_docs(spark, tmp_path, [Row(doc_id=0)])
+    row = all_queries()["mm_image_resize_thumb"](spark, sf).collect()[0]
+    assert (row["t00"], row["t30"]) == (0, 0)
+    assert (row["t03"], row["t33"]) == (6, 6)
+    # 4 columns x values (0, 2, 4, 6) per box-row
+    assert row["thumb_sum"] == 4 * (0 + 2 + 4 + 6)

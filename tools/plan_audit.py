@@ -56,6 +56,8 @@ ALLOWED_PYTHON = {
     "mm_bmp_roundtrip_features",  # declared mapInPandas stdlib codec
     "mm_image_ahash_groups",      # declared mapInPandas stdlib codec + aHash
     "mm_audio_vad_features",      # declared mapInPandas stdlib codec + VAD
+    "mm_image_resize_thumb",      # declared mapInPandas stdlib codec + resize
+    "mm_audio_resample_stats",    # declared mapInPandas stdlib codec + decimate
 }
 
 # Queries whose >4 exchanges all sit on KB-sized side inputs (the fact
