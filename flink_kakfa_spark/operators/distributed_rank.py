@@ -1,0 +1,168 @@
+"""Distributed global ranking: exact ROW_NUMBER / NTILE over a total
+order with NO single-partition window.
+
+An unpartitioned ``ROW_NUMBER() OVER (ORDER BY ...)`` forces Spark to
+move every row through one ``Exchange SinglePartition`` — the classic
+scale-killer (WindowExec even logs a warning). This module implements
+the textbook two-pass alternative that stays fully parallel:
+
+1. **Boundary pass** — one tiny aggregate computes ``n_bins - 1``
+   approximate percentile boundaries of the ordering value (a GK
+   sketch; boundary quality only affects *balance*, never
+   correctness).
+2. **Bin + offset pass** — each row gets a range-bin by counting
+   boundaries below its value (a broadcast of the boundary array),
+   per-bin row counts fold map-side to ``n_bins`` rows, and a window
+   over that n_bins-row relation yields each bin's global starting
+   offset.
+3. **Local rank pass** — ``ROW_NUMBER`` partitioned by bin (the one
+   fact-table hash shuffle) plus the broadcast offset is the exact
+   global row number: bins partition the value range, so every row in
+   bin i orders before every row in bin i+1, and ties inside a bin
+   are broken by the full ordering key.
+
+Exact NTILE then follows from the global row number and the total
+count by SQL's bucket-size rule (first ``n mod k`` buckets get one
+extra row) — no window function at all.
+
+Fact-table cost: one broadcast-augmented scan feeding one hash
+shuffle (the per-bin window) — at 100 TB every reducer holds ~1/n_bins
+of the rows instead of one reducer holding all of them. The helper
+relations (boundaries, counts, offsets, total) are at most
+``n_bins`` rows each.
+
+Used by ``profile_equidepth_price`` (operators/lake.py) and
+``pipeline_curriculum_order`` (operators/prep.py); the window-function
+surface itself (W4 ntile/percent_rank/cume_dist) stays demonstrated in
+``operators/windows.py`` on the bounded customer table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["global_row_number", "ntile_from_row_number", "with_global_ntile"]
+
+
+def global_row_number(
+    df: DataFrame,
+    order_cols: list[str],
+    value_col: str | None = None,
+    n_bins: int = 32,
+    rn_name: str = "_grn",
+) -> DataFrame:
+    """Exact global ``ROW_NUMBER() OVER (ORDER BY *order_cols)`` as a
+    new ``rn_name`` column, computed without a single-partition window.
+
+    ``order_cols`` must be a total order (include a unique tiebreaker).
+    ``value_col`` is the numeric column used for range binning
+    (defaults to ``order_cols[0]``); rows equal on ``value_col`` always
+    land in the same bin, so heavy duplicates reduce balance but never
+    correctness.
+    """
+    ranked, _ = _ranked_with_counts(df, order_cols, value_col, n_bins, rn_name)
+    return ranked
+
+
+def _ranked_with_counts(
+    df: DataFrame,
+    order_cols: list[str],
+    value_col: str | None,
+    n_bins: int,
+    rn_name: str,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared machinery: (ranked df, n_bins-row per-bin count relation).
+
+    Three passes over the fact: boundary sketch, bin counts, local
+    rank — the minimum for an exact rank without a total-order
+    shuffle. The counts relation is returned so callers needing the
+    grand total (NTILE) fold it instead of re-scanning the fact.
+    """
+    value_col = value_col or order_cols[0]
+    probs = [i / n_bins for i in range(1, n_bins)]
+    bounds = df.agg(
+        F.percentile_approx(value_col, probs, 10_000).alias("_bounds")
+    )
+    # bin = number of boundaries strictly below this row's value
+    binned = (
+        df.crossJoin(F.broadcast(bounds))
+        .withColumn(
+            "_bin",
+            F.aggregate(
+                "_bounds",
+                F.lit(0),
+                lambda acc, b: acc
+                + F.when(F.col(value_col) > b, 1).otherwise(0),
+            ),
+        )
+        .drop("_bounds")
+    )
+    counts = binned.groupBy("_bin").agg(F.count(F.lit(1)).alias("_cnt"))
+    # n_bins-row relation: cumulative offset of each bin's first row
+    offsets = counts.select(
+        "_bin",
+        (F.sum("_cnt").over(Window.orderBy("_bin")) - F.col("_cnt")).alias(
+            "_off"
+        ),
+    )
+    local_rn = F.row_number().over(
+        Window.partitionBy("_bin").orderBy(*order_cols)
+    )
+    ranked = (
+        binned.withColumn("_lrn", local_rn)
+        .join(F.broadcast(offsets), "_bin")
+        .withColumn(rn_name, (F.col("_off") + F.col("_lrn")).cast("long"))
+        .drop("_bin", "_lrn", "_off")
+    )
+    return ranked, counts
+
+
+def ntile_from_row_number(rn: Column, n: Column, k: int) -> Column:
+    """SQL NTILE(k) bucket from a 1-based global row number ``rn`` and
+    the total row count ``n``.
+
+    NTILE's rule: ``base = n div k`` rows per bucket, with the first
+    ``rem = n mod k`` buckets taking one extra row. Pure arithmetic —
+    exact for any n below 2^52 (double-division ceil).
+    """
+    n = n.cast("long")
+    rn = rn.cast("long")
+    base = (n / k).cast("long")  # floor for non-negative n
+    rem = n % k
+    big = base + F.lit(1)
+    cut = rem * big
+    in_big = F.ceil(rn.cast("double") / big.cast("double"))
+    in_small = rem + F.ceil(
+        (rn - cut).cast("double") / base.cast("double")
+    )
+    return (
+        F.when(rn <= cut, in_big).otherwise(in_small).cast("int")
+    )
+
+
+def with_global_ntile(
+    df: DataFrame,
+    order_cols: list[str],
+    k: int,
+    value_col: str | None = None,
+    n_bins: int = 32,
+    tile_name: str = "_tile",
+) -> DataFrame:
+    """``NTILE(k) OVER (ORDER BY *order_cols)`` as column ``tile_name``,
+    via :func:`global_row_number` — no single-partition exchange.
+    Adds a ``_grn`` global row-number column as a byproduct. The grand
+    total folds from the n_bins-row count relation (no extra fact
+    scan).
+    """
+    ranked, counts = _ranked_with_counts(
+        df, order_cols, value_col, n_bins, "_grn"
+    )
+    total = counts.agg(F.sum("_cnt").alias("_n"))
+    return (
+        ranked.crossJoin(F.broadcast(total))
+        .withColumn(
+            tile_name, ntile_from_row_number(F.col("_grn"), F.col("_n"), k)
+        )
+        .drop("_n")
+    )

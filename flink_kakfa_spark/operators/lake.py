@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from flink_kakfa_spark.operators.distributed_rank import with_global_ntile
 from flink_kakfa_spark.operators.merge import merge_scd2
 from flink_kakfa_spark.registry import query
 from flink_kakfa_spark.sources.tables import load_table
@@ -562,22 +563,27 @@ def q_profile_equidepth_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape (ANALYZE histograms) and the range-partitioner's split-point
     computation.
 
-    The NTILE total ordering moves all rows through one partition; at
-    100 TB the same bins come from ``approx_percentile`` boundaries or
-    a ``repartitionByRange`` sampling pass — this query is the exact
-    small-relation form whose bin edges validate those approximations
-    (deterministic tie-break on o_orderkey).
+    Scale: the oracle's NTILE would move every row through ONE
+    partition (Exchange SinglePartition); the engine instead computes
+    the exact same tiles via ``operators/distributed_rank.py`` —
+    approx-percentile range bins, per-bin offsets, and a bin-
+    partitioned local rank — so the only fact-table shuffle is a hash
+    on ~32 range bins and the plan stays parallel at 100 TB. The
+    driver's value-hash vs DuckDB's true NTILE proves exact
+    equivalence (deterministic tie-break on o_orderkey).
     """
-    o = load_table(spark, "orders", sf_dir)
-    w = Window.orderBy("o_totalprice", "o_orderkey")
-    return (
-        o.select(
-            "o_totalprice", F.ntile(_EQUIDEPTH_BINS).over(w).alias("bin")
-        )
-        .groupBy("bin")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.min("o_totalprice").alias("lo"),
-            F.max("o_totalprice").alias("hi"),
-        )
+    o = load_table(spark, "orders", sf_dir).select(
+        "o_totalprice", "o_orderkey"
+    )
+    tiled = with_global_ntile(
+        o,
+        ["o_totalprice", "o_orderkey"],
+        _EQUIDEPTH_BINS,
+        value_col="o_totalprice",
+        tile_name="bin",
+    )
+    return tiled.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("o_totalprice").alias("lo"),
+        F.max("o_totalprice").alias("hi"),
     )

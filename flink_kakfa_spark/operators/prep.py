@@ -202,21 +202,30 @@ def q_pipeline_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     same trick as ``sample_k_per_source``) so every epoch, engine and
     retry sees the same order — reproducible runs being the point.
 
-    Scale (100 TB): the global NTILE is a range-partitioned sort over a
-    skinny (doc_id, n_tokens) projection — Spark's distributed sort
-    handles it without collecting; the within-stage rank partitions by
-    stage (K partitions) which at extreme scale would re-split as
-    (stage, md5-prefix) subranks — noted, not needed at test scale.
+    Scale (100 TB): the stage tiling is computed by
+    ``operators/distributed_rank.py`` — range-bin + per-bin offsets +
+    bin-partitioned local rank over the skinny (doc_id, n_tokens)
+    projection — NOT an unpartitioned NTILE window, so no Exchange
+    SinglePartition ever sees the corpus (the driver's hash vs
+    DuckDB's true NTILE proves exact equivalence). The within-stage
+    rank partitions by stage (K partitions) which at extreme scale
+    would re-split as (stage, md5-prefix) subranks — noted, not
+    needed at test scale.
     """
     from pyspark.sql import Window as W
+
+    from flink_kakfa_spark.operators.distributed_rank import with_global_ntile
 
     d = load_table(spark, "documents", sf_dir)
     n_tok = F.size(F.split(F.col("text"), " ")).cast("long")
     scored = d.select("doc_id", n_tok.alias("n_tokens"))
-    stage = F.ntile(_CURRICULUM_STAGES).over(
-        W.orderBy("n_tokens", "doc_id")
-    )
-    staged = scored.withColumn("stage", stage)
+    staged = with_global_ntile(
+        scored,
+        ["n_tokens", "doc_id"],
+        _CURRICULUM_STAGES,
+        value_col="n_tokens",
+        tile_name="stage",
+    ).drop("_grn")
     pos = F.row_number().over(
         W.partitionBy("stage").orderBy(
             F.md5(F.col("doc_id").cast("string")), "doc_id"

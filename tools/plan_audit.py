@@ -9,6 +9,11 @@ Checks per query:
   pandas-UDF operators
 - pushdown: scans with filters must show PushedFilters
 - codegen: fraction of operators inside whole-stage codegen spans
+- global windows: a Window whose child is Exchange SinglePartition
+  funnels its whole input through one task; allowed only where the
+  input is provably tiny (post-limit top-k, n_bins-row offset
+  relations, per-month aggregates) or the query IS the W4 window-
+  function surface on the bounded customer table
 """
 
 from __future__ import annotations
@@ -47,6 +52,11 @@ ALLOWED_QUADRATIC = {
     "sim_pq_adc_topk",             # 1-row codebook + 1-row ADC table + 1-row query broadcasts
     "dedup_semdedup",              # 1-row anchor codebook + #cells-row representative broadcasts
     "text_bigram_perplexity",      # 1-row corpus-total broadcast cross join
+    # distributed_rank users: n_bins-row boundary + offset + 1-row
+    # total broadcasts attach to every fact row (the point: no
+    # single-partition window)
+    "profile_equidepth_price",
+    "pipeline_curriculum_order",
 }
 ALLOWED_PYTHON = {
     "mm_decode_frames", "mm_extract_features", "sim_cosine_topk_pandas",
@@ -72,6 +82,13 @@ ALLOWED_SMALL_SIDE_SHUFFLES = {
     # production scale the exact branch doesn't exist: the standing
     # daily sketch table is the only fact-derived artifact.
     "rolling_wau_hll",
+    # distributed_rank 2-pass global rank: the fact shuffles once
+    # (bin-partitioned local rank, map-side-combined bin counts fold
+    # to <=32 rows); the other exchanges move the n_bins-row
+    # boundary/offset/count relations. This is the REPLACEMENT for a
+    # single-partition NTILE window — parallel by construction.
+    "profile_equidepth_price",
+    "pipeline_curriculum_order",
     # the pair stream shuffles ONCE (window count on its own (w1,w2)
     # key); every other exchange moves vocab-sized data (unigram
     # counts after map-side partial agg, the 1-row total) — sublinear
@@ -84,6 +101,39 @@ ALLOWED_SMALL_SIDE_SHUFFLES = {
     # #cells-row representative broadcasts.
     "dedup_semdedup",
 }
+
+
+# Queries whose single-partition windows sit on provably tiny inputs
+# (or are themselves the demonstrative window-function surface);
+# re-justify before adding. Every OTHER query must rank via
+# operators/distributed_rank.py or a partitioned window.
+ALLOWED_GLOBAL_WINDOW = {
+    "window_ntile_percentiles",   # W4 surface itself; bounded customer table
+    "growth_mom_revenue",         # input = one row per month
+    "profile_join_key_skew",      # window after LIMIT 10
+    "sample_weighted_topk",       # window after LIMIT 20
+    "profile_equidepth_price",    # offsets window over n_bins<=32 rows
+    "pipeline_curriculum_order",  # offsets window over n_bins<=32 rows
+    "corpus_mixture_weights",     # OVER () on one row per source (<=20)
+    "corpus_temperature_sample",  # OVER () on one row per source (<=20)
+    "text_lang_distribution",     # OVER () on one row per lang (<=5)
+    "sim_pq_adc_topk",            # rank over top-k candidate rows
+    "sql_recursive_month_spine",  # generated 12-row month spine
+    "trend_slope_per_type",       # one row per event type (<=5)
+    "text_length_histogram",      # OVER () on <=64 log2-bucket rows
+}
+
+
+def _global_window(plan: str) -> bool:
+    """True if any Window node's child (within a few tree lines) is an
+    Exchange SinglePartition — the all-rows-through-one-task shape."""
+    lines = plan.splitlines()
+    for i, ln in enumerate(lines):
+        if re.search(r"\bWindow\b", ln) and "windowspecdefinition" in ln:
+            for la in lines[i + 1 : i + 6]:
+                if "Exchange SinglePartition" in la:
+                    return True
+    return False
 
 
 def audit(name: str, fn, spark, sf_dir: str) -> dict:
@@ -104,6 +154,8 @@ def audit(name: str, fn, spark, sf_dir: str) -> dict:
         flags.append("UNDECLARED-PYTHON-EVAL")
     if n_exchange > 4 and name not in ALLOWED_SMALL_SIDE_SHUFFLES:
         flags.append(f"MANY-SHUFFLES({n_exchange})")
+    if _global_window(plan) and name not in ALLOWED_GLOBAL_WINDOW:
+        flags.append("GLOBAL-WINDOW")
     return {
         "name": name,
         "shuffles": n_exchange,
