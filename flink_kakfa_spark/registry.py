@@ -64,6 +64,7 @@ _QUERY_MODULES = [
     "flink_kakfa_spark.operators.vector_extra",
     "flink_kakfa_spark.operators.mlprep",
     "flink_kakfa_spark.operators.bpe",
+    "flink_kakfa_spark.operators.curation",
 ]
 
 # ROUND-5 WINDOW ROTATION (executes the plan written here in round 4):
@@ -163,8 +164,10 @@ _WINDOW_FRONT = [
 #   sim_pq_adc_topk, dedup_semdedup,
 #   feature_target_encode, privacy_k_anonymity, text_hashing_trick,
 #   decontam_minhash, eval_langid_metrics, ts_rolling_1h_value,
-#   text_winnow_guarded, mm_image_resize_thumb, mm_audio_resample_stats
-#   (56 total after the round-5 in-round additions)
+#   text_winnow_guarded, mm_image_resize_thumb, mm_audio_resample_stats,
+#   dedup_incremental_ingest, corpus_dsir_weights,
+#   text_tokenizer_fertility
+#   (59 total after the round-5 in-round additions)
 # The remaining slots: any round-6 additions first, then backfill
 # with the oldest driver evidence (r1/r2 rows) for re-verification.
 # Update tests/test_000_smoke.py::DRIVER_WINDOW in the same commit.
@@ -179,6 +182,7 @@ _WINDOW_BACK = {
     "sim_ivf_kmeans_topk",
     "text_bpe_train_merges",  # iterative trainer — python-oracle pytest
     "text_bpe_tokenize",      # applies trained merges — python-oracle pytest
+    "quality_compression_ratio",  # zlib — python-oracle pytest
 }
 
 _loaded = False

@@ -118,12 +118,15 @@ def test_registry_loads_all_queries():
     # dedup_minhash_lsh hashes with Spark's xxhash64 (not in DuckDB);
     # sim_ivf_kmeans_topk's centroids depend on Spark's sampling;
     # text_bpe_train_merges is an iterative trainer (python-oracle
-    # verified in tests/test_bpe.py)
+    # verified in tests/test_bpe.py);
+    # quality_compression_ratio needs zlib (python-oracle verified in
+    # tests/test_curation.py)
     assert missing_oracles <= {
         "dedup_minhash_lsh",
         "sim_ivf_kmeans_topk",
         "text_bpe_train_merges",
         "text_bpe_tokenize",
+        "quality_compression_ratio",
     }, f"queries without oracle SQL: {sorted(missing_oracles)}"
 
 
