@@ -115,13 +115,24 @@ def q_dedup_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch, index = d.filter(is_batch), d.filter(~is_batch)
 
     bdig = batch.select("doc_id", F.md5("text").alias("dig"))
-    idig = index.select(F.md5("text").alias("dig")).distinct()
-    # stream the (huge) index digests past the broadcast batch; the
-    # surviving rows are the exact hits, tiny — broadcast back
+    # Broadcast-filter FIRST, distinct after: the index side streams
+    # map-side past the broadcast batch digests and only the (tiny)
+    # surviving hits ever enter an exchange — the index is never
+    # shuffled at its own size.
+    idig = index.select(F.md5("text").alias("dig"))
     exact = idig.join(F.broadcast(bdig), "dig").select("doc_id").distinct()
 
     bsh = _shingles4(batch)
-    ish = _shingles4(index).select("shingle").distinct()
+    # same order for shingles: map-side broadcast semi-join against
+    # the batch's distinct shingles, THEN dedup the survivors (rows
+    # entering the exchange are bounded by index occurrences of
+    # batch shingles, not the index's full shingle stream)
+    ish = (
+        _shingles4(index)
+        .select("shingle")
+        .join(F.broadcast(bsh.select("shingle").distinct()), "shingle")
+        .distinct()
+    )
     hits = (
         ish.withColumn("_hit", F.lit(1))
         .join(F.broadcast(bsh), "shingle")

@@ -1123,3 +1123,126 @@ def q_dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dup_token_fraction"),
         )
     )
+
+
+@query(
+    "dedup_substring_runs",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+    ),
+    w AS (
+      SELECT
+        doc_id,
+        i AS pos,
+        md5(array_to_string(ts[i:i+7], ' ')) AS h,
+        len(ts) AS n_tokens
+      FROM tok, UNNEST(generate_series(1, len(ts) - 7)) AS g(i)
+      WHERE len(ts) >= 8
+    ),
+    dup AS (SELECT h FROM w GROUP BY h HAVING COUNT(*) > 1),
+    m AS (
+      SELECT
+        w.doc_id, w.pos, w.n_tokens,
+        CASE WHEN LAG(w.pos) OVER (PARTITION BY w.doc_id ORDER BY w.pos)
+                  IS NULL
+               OR w.pos - LAG(w.pos)
+                  OVER (PARTITION BY w.doc_id ORDER BY w.pos) > 8
+             THEN 1 ELSE 0 END AS new_run
+      FROM w JOIN dup USING (h)
+    ),
+    r AS (
+      SELECT doc_id, n_tokens, pos,
+             SUM(new_run) OVER (PARTITION BY doc_id ORDER BY pos)
+               AS run_id
+      FROM m
+    ),
+    runs AS (
+      SELECT doc_id, n_tokens, run_id,
+             MIN(pos) AS s, MAX(pos) AS e
+      FROM r GROUP BY 1, 2, 3
+    )
+    SELECT
+      doc_id,
+      CAST(COUNT(*) AS BIGINT) AS n_dup_runs,
+      CAST(MAX(e - s + 8) AS BIGINT) AS max_run_tokens,
+      CAST(SUM(e - s + 8) AS BIGINT) AS dup_tokens,
+      CAST(SUM(e - s + 8) AS DOUBLE) / MAX(n_tokens)
+        AS dup_token_fraction
+    FROM runs GROUP BY doc_id
+    """,
+)
+def q_dedup_substring_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-substring runs (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): per document, the
+    maximal token spans covered by 8-token windows that occur more
+    than once anywhere in the corpus (within- or cross-document).
+
+    Their suffix-array pass marks every repeated substring >= a length
+    floor; the distributed equivalent slides a fixed 8-token window,
+    counts global window occurrences, and merges surviving positions
+    into maximal runs (gaps-and-islands: a new run starts when the
+    next duplicated window begins > 8 tokens after the previous one,
+    i.e. coverage is no longer contiguous). ``dup_tokens`` is the
+    exact union length of the covered spans — the "how much would
+    substring-dedup cut" signal per document.
+
+    100 TB plan: windows hash to md5 in the narrow map, so the
+    occurrence count and the join back shuffle (doc_id, pos, digest)
+    — never window text. The islands window partitions by doc_id
+    (bounded per-doc rows), and the final per-doc aggregate rides the
+    same doc_id partitioning. No driver action, no broadcast
+    assumption about duplicate volume.
+    """
+    d = parallelize(load_table(spark, "documents", sf_dir), spark)
+    t = F.split(F.col("text"), " ")
+    win = d.filter(F.size(t) >= 8).select(
+        "doc_id",
+        F.size(t).alias("n_tokens"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size(t) - 7),
+                lambda i: F.struct(
+                    i.alias("pos"),
+                    F.md5(
+                        F.array_join(F.slice(t, i, 8), " ").cast("binary")
+                    ).alias("h"),
+                ),
+            )
+        ).alias("w"),
+    ).select("doc_id", "n_tokens", "w.pos", "w.h")
+    dup = (
+        win.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") > 1)
+        .select("h")
+    )
+    marked = win.join(dup, "h")
+    by_pos = Window.partitionBy("doc_id").orderBy("pos")
+    lagged = marked.withColumn(
+        "new_run",
+        F.when(
+            F.lag("pos").over(by_pos).isNull()
+            | (F.col("pos") - F.lag("pos").over(by_pos) > 8),
+            1,
+        ).otherwise(0),
+    )
+    runs = (
+        lagged.withColumn(
+            "run_id",
+            F.sum("new_run").over(
+                by_pos.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .groupBy("doc_id", "n_tokens", "run_id")
+        .agg(F.min("pos").alias("s"), F.max("pos").alias("e"))
+    )
+    run_len = F.col("e") - F.col("s") + 8
+    return runs.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_dup_runs"),
+        F.max(run_len).cast("long").alias("max_run_tokens"),
+        F.sum(run_len).cast("long").alias("dup_tokens"),
+        (
+            F.sum(run_len).cast("double") / F.max("n_tokens")
+        ).alias("dup_token_fraction"),
+    )

@@ -1,0 +1,368 @@
+"""Graph analytics over the co-purchase graph (Tier C extension; round 5).
+
+The reference's pipeline ends at per-message handling
+(``go/consumer/consumer.go:79-81``); a lakehouse team with the same
+order history ships graph reports over it: the co-purchase graph
+(parts bought together in one order — the classic market-basket
+projection), its degree profile, its triangle census, and a PageRank
+centrality. All three are textbook distributed-graph shapes
+(MR triangle counting via degree-ordered wedges, Suri & Vassilvitskii
+WWW 2011; fixed-point integer PageRank for determinism).
+
+Scale posture (100 TB of orders):
+
+- **Edge construction is bounded per order**: a TPC-H-shaped order has
+  ≤ 7 lines, so the within-order self-join emits ≤ C(7,2) = 21 pairs
+  per order — linear in the fact table, never quadratic in the
+  catalog. The only data-sized shuffles are the per-order pair
+  generation (hash on ``l_orderkey``) and the edge dedup (hash on the
+  pair).
+- **Triangle counting uses degree-ordered wedges**: every edge is
+  directed from its lower-(degree, id) endpoint to the higher one, so
+  each wedge is generated exactly once at its lowest-ranked vertex
+  and a vertex's wedge fan-out is bounded by its *out*-degree ≤
+  O(sqrt(m)) — the standard bound that keeps hub vertices from
+  exploding the join. Wedge → closing-edge check is an equi-join on
+  the (u, w) pair, not a scan.
+- **PageRank runs in exact integer fixed-point** (SCALE = 1e9):
+  contributions are ``rank // degree`` (integer floor division) and
+  damping is ``(15 * S + 85 * contrib) // 100``. Integer sums are
+  associative and overflow-safe in BIGINT (total mass ≤ n · SCALE),
+  so the result is bit-identical across engines, partitionings, and
+  retries — no IEEE summation-order drift. The iteration count is a
+  fixed small k (unrolled in the oracle); each round is one shuffle
+  of the edge list on ``src``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from flink_kakfa_spark.registry import query
+from flink_kakfa_spark.sources.tables import load_table
+
+# Fixed-point scale for integer PageRank: 9 decimal digits keeps
+# n * SCALE far below int64 while leaving ~9 significant digits.
+_PR_SCALE = 1_000_000_000
+_PR_ITERS = 3
+
+# Shared SQL for the distinct undirected co-purchase edge list
+# (canonical orientation src < dst), used by all three oracles.
+_EDGES_SQL = """
+    edges AS (
+      SELECT a.l_partkey AS src, b.l_partkey AS dst
+      FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+      JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    )
+"""
+
+
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct undirected co-purchase edges, canonically src < dst.
+
+    One ``l_orderkey`` shuffle for the within-order pair generation
+    (``collect_set`` per order, ≤ 7 parts, exploded to ≤ C(7,2) = 21
+    pairs — in-array pair expansion instead of a self-join, so the
+    order's lines move through the exchange once, not twice), one
+    pair shuffle for the global dedup.
+    """
+    li = load_table(spark, "lineitem", sf_dir)
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("parts")
+    )
+    # all i<j pairs of the (sorted, ≤7-element) basket, in-array
+    pairs = baskets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("parts"),
+                    lambda x, i: F.transform(
+                        F.slice(
+                            F.col("parts"),
+                            i + 2,
+                            F.size("parts"),
+                        ),
+                        lambda y: F.struct(
+                            x.alias("src"), y.alias("dst")
+                        ),
+                    ),
+                )
+            )
+        ).alias("e")
+    )
+    return pairs.select("e.src", "e.dst").distinct()
+
+
+def _degrees(edges: DataFrame) -> DataFrame:
+    """Node degrees via in-array endpoint explode — reads the edge
+    list once (no self-union, which would duplicate the whole edge-
+    construction subtree in the physical plan)."""
+    return (
+        edges.select(
+            F.explode(F.array(F.col("src"), F.col("dst"))).alias("node")
+        )
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+
+
+@query(
+    "graph_degree_stats",
+    oracle=f"""
+    WITH {_EDGES_SQL},
+    deg AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS degree
+      FROM (
+        SELECT src AS node FROM edges
+        UNION ALL
+        SELECT dst AS node FROM edges
+      ) GROUP BY node
+    )
+    SELECT
+      CAST(FLOOR(LOG2(degree)) AS INTEGER) AS degree_bucket,
+      CAST(COUNT(*) AS BIGINT) AS n_nodes,
+      CAST(MIN(degree) AS BIGINT) AS min_degree,
+      CAST(MAX(degree) AS BIGINT) AS max_degree
+    FROM deg
+    GROUP BY 1
+    ORDER BY degree_bucket
+    """,
+)
+def q_graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log2-bucketed degree distribution of the co-purchase graph.
+
+    The degree profile is the pre-flight for every downstream graph
+    job (it sizes the triangle join and flags hub vertices for
+    salting) — same role as ``profile_join_key_skew`` for joins.
+
+    Scale: edge construction as above; the degree count is one
+    shuffle of the (node) projection of the edge list, and the
+    bucket histogram aggregates the per-node degrees — output is
+    ~64 rows forever.
+    """
+    edges = _copurchase_edges(spark, sf_dir)
+    deg = _degrees(edges)
+    return (
+        deg.groupBy(
+            F.floor(F.log2("degree")).cast("int").alias("degree_bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.min("degree").alias("min_degree"),
+            F.max("degree").alias("max_degree"),
+        )
+        .orderBy("degree_bucket")
+    )
+
+
+@query(
+    "graph_triangle_count",
+    oracle=f"""
+    WITH {_EDGES_SQL},
+    deg AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS degree
+      FROM (
+        SELECT src AS node FROM edges
+        UNION ALL
+        SELECT dst AS node FROM edges
+      ) GROUP BY node
+    ),
+    -- re-orient every edge from lower-(degree, id) to higher
+    oriented AS (
+      SELECT
+        CASE WHEN (ds.degree, e.src) < (dd.degree, e.dst)
+             THEN e.src ELSE e.dst END AS u,
+        CASE WHEN (ds.degree, e.src) < (dd.degree, e.dst)
+             THEN e.dst ELSE e.src END AS v
+      FROM edges e
+      JOIN deg ds ON ds.node = e.src
+      JOIN deg dd ON dd.node = e.dst
+    ),
+    wedges AS (
+      SELECT o1.u AS a, o1.v AS b, o2.v AS c
+      FROM oriented o1 JOIN oriented o2
+        ON o1.v = o2.u
+    )
+    SELECT
+      CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM wedges w
+    JOIN oriented o ON o.u = w.a AND o.v = w.c
+    """,
+)
+def q_graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle census via degree-ordered wedge join.
+
+    The MapReduce-era standard (Suri & Vassilvitskii, WWW 2011 /
+    Cohen's MR triangle algorithm): orient each edge from its
+    lower-(degree, id) endpoint, generate wedges at the low vertex
+    (fan-out bounded by out-degree ≤ O(sqrt(m))), close each wedge
+    with an equi-join back onto the oriented edge list. Every
+    triangle is counted exactly once.
+
+    Scale: two shuffles beyond edge construction — the wedge join on
+    the shared middle vertex and the closure join on the (a, c) pair.
+    Degree ordering is what makes this survive hubs at 100 TB: an
+    n-degree hub contributes O(n) wedges instead of O(n²) because
+    almost all its edges point *into* it.
+    """
+    edges = _copurchase_edges(spark, sf_dir)
+    deg = _degrees(edges)
+    e = (
+        edges.join(
+            deg.select(
+                F.col("node").alias("src"), F.col("degree").alias("sdeg")
+            ),
+            "src",
+        )
+        .join(
+            deg.select(
+                F.col("node").alias("dst"), F.col("degree").alias("ddeg")
+            ),
+            "dst",
+        )
+    )
+    low_first = (F.col("sdeg") < F.col("ddeg")) | (
+        (F.col("sdeg") == F.col("ddeg")) & (F.col("src") < F.col("dst"))
+    )
+    # Materialize the oriented edge list once: it feeds BOTH wedge
+    # sides and the closure join — without this the edge-construction
+    # subtree would be duplicated 3x in the physical plan.
+    oriented = e.select(
+        F.when(low_first, F.col("src")).otherwise(F.col("dst")).alias("u"),
+        F.when(low_first, F.col("dst")).otherwise(F.col("src")).alias("v"),
+    ).localCheckpoint()
+    o1 = oriented.alias("o1")
+    o2 = oriented.alias("o2")
+    wedges = o1.join(o2, F.col("o1.v") == F.col("o2.u")).select(
+        F.col("o1.u").alias("a"),
+        F.col("o1.v").alias("b"),
+        F.col("o2.v").alias("c"),
+    )
+    closing = oriented.select(
+        F.col("u").alias("a"), F.col("v").alias("c")
+    )
+    return wedges.join(closing, ["a", "c"]).agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
+
+
+def _pagerank_oracle() -> str:
+    """Unrolled k-iteration integer-fixed-point PageRank oracle SQL."""
+    prev = "r0"
+    steps = []
+    for i in range(1, _PR_ITERS + 1):
+        steps.append(
+            f"""
+    r{i} AS (
+      SELECT
+        n.node,
+        CAST((15 * CAST({_PR_SCALE} AS BIGINT) +
+              85 * COALESCE(SUM(p.rank // d.degree), CAST(0 AS BIGINT))) // 100
+             AS BIGINT) AS rank
+      FROM nodes n
+      LEFT JOIN adj a ON a.dst = n.node
+      LEFT JOIN {prev} p ON p.node = a.src
+      LEFT JOIN deg d ON d.node = a.src
+      GROUP BY n.node
+    )"""
+        )
+        prev = f"r{i}"
+    return f"""
+    WITH {_EDGES_SQL},
+    adj AS (
+      SELECT src, dst FROM edges
+      UNION ALL
+      SELECT dst AS src, src AS dst FROM edges
+    ),
+    deg AS (
+      SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS degree
+      FROM adj GROUP BY src
+    ),
+    nodes AS (SELECT node FROM deg),
+    r0 AS (
+      SELECT node, CAST({_PR_SCALE} AS BIGINT) AS rank FROM nodes
+    ),{",".join(steps)}
+    SELECT node AS p_partkey, rank AS pagerank_fp
+    FROM {prev}
+    ORDER BY pagerank_fp DESC, p_partkey
+    LIMIT 20
+    """
+
+
+@query("graph_pagerank_top20", oracle=_pagerank_oracle())
+def q_graph_pagerank_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 PageRank centrality in exact integer fixed-point.
+
+    Classic damped PageRank (d = 0.85) on the symmetrized co-purchase
+    graph, but computed entirely in int64 fixed-point (SCALE = 1e9):
+    each round every node emits ``rank // degree`` to each neighbor
+    and absorbs ``(15·S + 85·Σ contrib) // 100``. Floor divisions and
+    integer sums are exactly associative, so the ranks are
+    bit-identical across engines, partition counts, and retries —
+    the determinism trick that makes an iterative job value-hashable
+    (same reason ``sample_weighted_topk`` uses dyadic uniforms).
+
+    Scale: k fixed rounds, each one shuffle of the adjacency list on
+    ``src`` (join ranks → groupBy dst). The rank frame is one row per
+    node — always tiny next to the edge list — and is re-derived per
+    round from the prior round's aggregate, so lineage depth is k, not
+    data-sized. For large k, checkpoint every few rounds exactly as
+    ``dedup.py::propagate_min_labels`` does.
+    """
+    edges = _copurchase_edges(spark, sf_dir)
+    # symmetrize in-array (one read of the edge list, no self-union)
+    adj = edges.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("src"), F.col("dst")),
+                F.struct(
+                    F.col("dst").alias("src"), F.col("src").alias("dst")
+                ),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
+    deg = adj.groupBy("src").agg(F.count(F.lit(1)).alias("degree"))
+    # Adjacency with the source degree attached, materialized ONCE:
+    # every round joins against it, and without the eager
+    # localCheckpoint each round would re-run edge construction from
+    # the fact table (k full scans instead of one). Same rationale as
+    # dedup.py::propagate_min_labels.
+    adj_deg = adj.join(deg, "src").localCheckpoint()
+    ranks = adj_deg.select(F.col("src").alias("node")).distinct().select(
+        "node", F.lit(_PR_SCALE).cast("long").alias("rank")
+    )
+    for _ in range(_PR_ITERS):
+        # the symmetrized graph has no dangling nodes (every node has
+        # degree >= 1 and receives >= 1 contribution), so the per-dst
+        # aggregate already covers the full node set — no left join
+        # back onto a node spine is needed
+        ranks = (
+            adj_deg.join(
+                ranks.select(F.col("node").alias("src"), "rank"), "src"
+            )
+            .groupBy(F.col("dst").alias("node"))
+            .agg(
+                F.sum(
+                    F.floor(F.col("rank") / F.col("degree")).cast("long")
+                ).alias("contrib")
+            )
+            .select(
+                "node",
+                F.floor(
+                    (F.lit(15 * _PR_SCALE) + 85 * F.col("contrib")) / 100
+                )
+                .cast("long")
+                .alias("rank"),
+            )
+        )
+    return (
+        ranks.select(
+            F.col("node").alias("p_partkey"),
+            F.col("rank").alias("pagerank_fp"),
+        )
+        .orderBy(F.desc("pagerank_fp"), "p_partkey")
+        .limit(20)
+    )

@@ -65,6 +65,7 @@ _QUERY_MODULES = [
     "flink_kakfa_spark.operators.mlprep",
     "flink_kakfa_spark.operators.bpe",
     "flink_kakfa_spark.operators.curation",
+    "flink_kakfa_spark.operators.graph",
 ]
 
 # ROUND-5 WINDOW ROTATION (executes the plan written here in round 4):
@@ -166,8 +167,9 @@ _WINDOW_FRONT = [
 #   decontam_minhash, eval_langid_metrics, ts_rolling_1h_value,
 #   text_winnow_guarded, mm_image_resize_thumb, mm_audio_resample_stats,
 #   dedup_incremental_ingest, corpus_dsir_weights,
-#   text_tokenizer_fertility
-#   (59 total after the round-5 in-round additions)
+#   text_tokenizer_fertility,
+#   graph_degree_stats, graph_triangle_count, graph_pagerank_top20
+#   (62 total after the round-5 in-round additions)
 # The remaining slots: any round-6 additions first, then backfill
 # with the oldest driver evidence (r1/r2 rows) for re-verification.
 # Update tests/test_000_smoke.py::DRIVER_WINDOW in the same commit.

@@ -52,6 +52,7 @@ ALLOWED_QUADRATIC = {
     "sim_pq_adc_topk",             # 1-row codebook + 1-row ADC table + 1-row query broadcasts
     "dedup_semdedup",              # 1-row anchor codebook + #cells-row representative broadcasts
     "text_bigram_perplexity",      # 1-row corpus-total broadcast cross join
+    "corpus_dsir_weights",         # 1-row LM-totals broadcast cross join (DSIR smoothing constants)
     # distributed_rank users: n_bins-row boundary + offset + 1-row
     # total broadcasts attach to every fact row (the point: no
     # single-partition window)
@@ -68,6 +69,7 @@ ALLOWED_PYTHON = {
     "mm_audio_vad_features",      # declared mapInPandas stdlib codec + VAD
     "mm_image_resize_thumb",      # declared mapInPandas stdlib codec + resize
     "mm_audio_resample_stats",    # declared mapInPandas stdlib codec + decimate
+    "quality_compression_ratio",  # declared mapInPandas zlib gate (no SQL twin exists)
 }
 
 # Queries whose >4 exchanges all sit on KB-sized side inputs (the fact
@@ -100,6 +102,19 @@ ALLOWED_SMALL_SIDE_SHUFFLES = {
     # map-side to #cells rows; the rest are 1-row codebook and
     # #cells-row representative broadcasts.
     "dedup_semdedup",
+    # two word-count aggregates collapse map-side to vocab-sized
+    # relations; 1-row totals broadcast; the token stream shuffles
+    # once (per-doc mean) — same skeleton as text_bigram_perplexity
+    "corpus_dsir_weights",
+    # index side streams map-side past broadcast batch digests/
+    # shingles (never shuffled at its own size); the 5 exchanges
+    # carry batch-doc keys and post-filter survivors only
+    "dedup_incremental_ingest",
+    # co-purchase edge construction: per-order collect_set (bounded
+    # <=7 lines/order) + pair dedup are the two fact shuffles; the
+    # node-degree groupBy and the log2-bucket agg + ORDER BY move
+    # per-node degree rows, then <=64 histogram rows
+    "graph_degree_stats",
 }
 
 
