@@ -366,3 +366,125 @@ def q_graph_pagerank_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pagerank_fp"), "p_partkey")
         .limit(20)
     )
+
+
+# Hub cap for link-prediction wedges: centers above this degree are
+# excluded (their per-pair evidence is weakest — 1/ln(deg) — and they
+# are what makes common-neighbor enumeration quadratic). Same df-cap
+# posture as text_winnow_guarded / dedup_ngram_jaccard_guarded.
+_AA_DEGREE_CAP = 64
+
+
+@query(
+    "graph_adamic_adar_top20",
+    oracle=f"""
+    WITH {_EDGES_SQL},
+    adj AS (
+      SELECT src, dst FROM edges
+      UNION ALL
+      SELECT dst AS src, src AS dst FROM edges
+    ),
+    deg AS (
+      SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS c
+      FROM adj GROUP BY src
+    ),
+    ctr AS (
+      SELECT a.src AS w, a.dst AS nb, d.c AS degw
+      FROM adj a JOIN deg d ON d.node = a.src
+      WHERE d.c BETWEEN 2 AND {_AA_DEGREE_CAP}
+    ),
+    pairs AS (
+      SELECT
+        o1.nb AS a, o2.nb AS c,
+        CAST(FLOOR(1000000000.0 / LN(o1.degw)) AS BIGINT) AS contrib
+      FROM ctr o1 JOIN ctr o2 ON o1.w = o2.w AND o1.nb < o2.nb
+    ),
+    aa AS (
+      SELECT a, c,
+             CAST(COUNT(*) AS BIGINT) AS common_neighbors,
+             CAST(SUM(contrib) AS BIGINT) AS score_fp
+      FROM pairs GROUP BY a, c
+    )
+    SELECT
+      aa.a AS node_a, aa.c AS node_b, aa.common_neighbors, aa.score_fp
+    FROM aa LEFT JOIN edges e ON e.src = aa.a AND e.dst = aa.c
+    WHERE e.src IS NULL
+    ORDER BY score_fp DESC, node_a, node_b
+    LIMIT 20
+    """,
+)
+def q_graph_adamic_adar_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 predicted links by Adamic–Adar score, in integer
+    fixed-point.
+
+    Adamic–Adar (2003) scores a candidate pair by Σ 1/ln(deg(w)) over
+    common neighbors w — the standard common-neighbor link predictor.
+    Two scale levers: (1) hubs above ``_AA_DEGREE_CAP`` are excluded
+    as wedge centers, bounding pair fan-out to cap² per node (the
+    guarded-join posture; an uncapped hub of degree n would emit
+    O(n²) pairs while contributing the least-informative evidence);
+    (2) contributions are floor(1e9 / ln(deg)) in int64, so the
+    summed score is exactly associative — bit-identical across
+    engines/partitionings — making desc-score top-k deterministic.
+
+    Plan: one wedge self-join on the (degree-capped) center, one
+    (a, c) pair aggregate, a left-anti join against existing edges
+    (only NEW links are predictions), TakeOrdered(20).
+    """
+    edges = _copurchase_edges(spark, sf_dir)
+    adj = edges.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("src"), F.col("dst")),
+                F.struct(
+                    F.col("dst").alias("src"), F.col("src").alias("dst")
+                ),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
+    deg = adj.groupBy("src").agg(F.count(F.lit(1)).alias("degw"))
+    ctr = (
+        adj.join(deg, "src")
+        # degree-1 centers cannot form a wedge (and ln(1)=0 would
+        # divide by zero under ANSI mode) — filter before computing
+        # the contribution
+        .filter(
+            (F.col("degw") >= 2) & (F.col("degw") <= _AA_DEGREE_CAP)
+        )
+        .select(
+            F.col("src").alias("w"),
+            F.col("dst").alias("nb"),
+            F.floor(F.lit(1_000_000_000.0) / F.log(F.col("degw")))
+            .cast("long")
+            .alias("contrib"),
+        )
+        .localCheckpoint()  # feeds both wedge sides; build once
+    )
+    o1, o2 = ctr.alias("o1"), ctr.alias("o2")
+    pairs = o1.join(
+        o2,
+        (F.col("o1.w") == F.col("o2.w")) & (F.col("o1.nb") < F.col("o2.nb")),
+    ).select(
+        F.col("o1.nb").alias("a"),
+        F.col("o2.nb").alias("c"),
+        F.col("o1.contrib").alias("contrib"),
+    )
+    aa = pairs.groupBy("a", "c").agg(
+        F.count(F.lit(1)).alias("common_neighbors"),
+        F.sum("contrib").alias("score_fp"),
+    )
+    return (
+        aa.join(
+            edges,
+            (aa["a"] == edges["src"]) & (aa["c"] == edges["dst"]),
+            "left_anti",
+        )
+        .select(
+            F.col("a").alias("node_a"),
+            F.col("c").alias("node_b"),
+            "common_neighbors",
+            "score_fp",
+        )
+        .orderBy(F.desc("score_fp"), "node_a", "node_b")
+        .limit(20)
+    )

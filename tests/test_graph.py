@@ -120,3 +120,28 @@ def test_substring_runs_merge_and_coverage(spark, tmp_path):
         assert r["max_run_tokens"] == 10  # union of the 3 windows
         assert r["dup_tokens"] == 10
     assert rows[1]["dup_token_fraction"] == 10 / 30  # 30-token doc
+
+
+def test_adamic_adar_predicts_only_new_links(spark, tmp_path):
+    """Path 1-2-3 predicts exactly (1,3) through center 2 with score
+    floor(1e9/ln(2)); existing edges are never predicted."""
+    import math
+
+    _lineitem(spark, tmp_path, [(1, [1, 2]), (2, [2, 3])])
+    rows = all_queries()["graph_adamic_adar_top20"](
+        spark, str(tmp_path)
+    ).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["node_a"], r["node_b"]) == (1, 3)
+    assert r["common_neighbors"] == 1
+    assert r["score_fp"] == math.floor(1e9 / math.log(2))
+
+
+def test_adamic_adar_triangle_has_no_predictions(spark, tmp_path):
+    """A closed triangle already contains every pair -> empty output."""
+    _lineitem(spark, tmp_path, [(1, [1, 2, 3])])
+    assert (
+        all_queries()["graph_adamic_adar_top20"](spark, str(tmp_path)).count()
+        == 0
+    )
