@@ -376,3 +376,89 @@ def q_decontam_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("jaccard"), F.asc("train_doc"), F.asc("eval_doc"))
         .limit(20)
     )
+
+
+# Embedding-space decontamination threshold. Real deployments use
+# ~0.9 on trained encoders; this fixture's embeddings are synthetic
+# (max corpus-vs-eval cosine ~0.49), so the gate sits at the
+# fixture's ~p95 to exercise the path with a non-trivial survivor set.
+EMB_DECONTAM_TAU = 0.35
+_EMB_EVAL_MOD = 20  # vec_id % 20 == 0 -> held-out eval split
+
+
+@query(
+    "decontam_embedding",
+    oracle=f"""
+    WITH ev AS (
+      SELECT vec_id AS eval_id, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings WHERE vec_id % {_EMB_EVAL_MOD} = 0
+    ),
+    co AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings WHERE vec_id % {_EMB_EVAL_MOD} <> 0
+    ),
+    pairs AS (
+      SELECT co.vec_id, ev.eval_id,
+             ROUND(list_cosine_similarity(co.v, ev.v), 6) AS c
+      FROM co, ev
+    ),
+    best AS (
+      SELECT vec_id, eval_id, c,
+             ROW_NUMBER() OVER (
+               PARTITION BY vec_id ORDER BY c DESC, eval_id DESC
+             ) AS rn
+      FROM pairs
+    )
+    SELECT
+      vec_id,
+      eval_id AS best_eval_id,
+      c AS best_cos
+    FROM best
+    WHERE rn = 1 AND c >= {EMB_DECONTAM_TAU}
+    """,
+)
+def q_decontam_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space decontamination: corpus vectors whose nearest
+    held-out eval vector exceeds the cosine gate — the semantic
+    complement of ``decontam_eval_overlap`` (exact 4-grams) and
+    ``decontam_minhash`` (lexical fuzz): it catches translated or
+    heavily reworded benchmark leakage that shares no surface n-grams.
+
+    Plan: the eval split is KB–MB BY CONSTRUCTION (benchmarks are
+    small), so it broadcasts and the corpus streams past it map-side
+    in one narrow pass — O(n·|eval|) with no corpus shuffle; the only
+    exchange is the per-vector argmax aggregate. Cosines round to
+    6 dp before the (cos, eval_id) argmax so both engines pick the
+    same winner at near-ties.
+    """
+    e = parallelize(load_table(spark, "embeddings", sf_dir), spark).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    is_eval = (F.col("vec_id") % _EMB_EVAL_MOD) == 0
+    ev = e.filter(is_eval).select(
+        F.col("vec_id").alias("eval_id"), F.col("v").alias("ve")
+    )
+    co = e.filter(~is_eval)
+    dot = F.aggregate(
+        F.zip_with("v", "ve", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(c, lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+        )
+    )
+    cos = F.round(dot / (norm(F.col("v")) * norm(F.col("ve"))), 6)
+    best = (
+        co.crossJoin(F.broadcast(ev))
+        .select("vec_id", "eval_id", cos.alias("c"))
+        .groupBy("vec_id")
+        .agg(F.max(F.struct("c", "eval_id")).alias("m"))
+    )
+    return best.filter(F.col("m.c") >= EMB_DECONTAM_TAU).select(
+        "vec_id",
+        F.col("m.eval_id").alias("best_eval_id"),
+        F.col("m.c").alias("best_cos"),
+    )

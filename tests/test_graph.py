@@ -145,3 +145,33 @@ def test_adamic_adar_triangle_has_no_predictions(spark, tmp_path):
         all_queries()["graph_adamic_adar_top20"](spark, str(tmp_path)).count()
         == 0
     )
+
+
+def test_decontam_embedding_flags_planted_leak(spark, tmp_path):
+    """A corpus vector equal to an eval vector scores cosine 1.0 and is
+    flagged against THAT eval id; an orthogonal vector is not."""
+    from pyspark.sql import Row
+
+    dim = 8
+    ev = [1.0] + [0.0] * (dim - 1)          # eval vector (vec_id 20)
+    leak = [1.0] + [0.0] * (dim - 1)        # identical -> cosine 1.0
+    ortho = [0.0, 1.0] + [0.0] * (dim - 2)  # cosine 0.0
+    rows = [
+        Row(vec_id=20, embedding=ev, label=0),
+        Row(vec_id=1, embedding=leak, label=0),
+        Row(vec_id=2, embedding=ortho, label=0),
+    ]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(str(tmp_path / "embeddings.parquet"))
+    from flink_kakfa_spark.registry import all_queries
+
+    got = {
+        r["vec_id"]: r
+        for r in all_queries()["decontam_embedding"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert set(got) == {1}
+    assert got[1]["best_eval_id"] == 20
+    assert got[1]["best_cos"] == 1.0

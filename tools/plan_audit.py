@@ -53,6 +53,7 @@ ALLOWED_QUADRATIC = {
     "dedup_semdedup",              # 1-row anchor codebook + #cells-row representative broadcasts
     "text_bigram_perplexity",      # 1-row corpus-total broadcast cross join
     "corpus_dsir_weights",         # 1-row LM-totals broadcast cross join (DSIR smoothing constants)
+    "decontam_embedding",          # eval split broadcast (KB-MB by construction), corpus streams map-side
     # distributed_rank users: n_bins-row boundary + offset + 1-row
     # total broadcasts attach to every fact row (the point: no
     # single-partition window)
