@@ -70,6 +70,10 @@ HEADLINE = [
     "sim_pq_adc_topk",          # PQ codes + ADC lookup: narrow pass + TakeOrdered
     "text_winnow_fingerprints", # MOSS winnowing: in-array selection + fp join
     "text_bigram_perplexity",   # corpus bigram LM scoring: 2 agg + broadcast vocab
+    # round-5 graph/substring additions (the heavy representatives; the
+    # full graph family is tracked in SCALE.md)
+    "graph_pagerank_top20",     # iterative integer PageRank: k single-shuffle rounds
+    "dedup_substring_runs",     # duplicated-window runs: digest shuffles + islands window
 ]
 
 
