@@ -4,10 +4,11 @@ The reference's pipeline ends at per-message handling
 (``go/consumer/consumer.go:79-81``); a lakehouse team with the same
 order history ships graph reports over it: the co-purchase graph
 (parts bought together in one order — the classic market-basket
-projection), its degree profile, its triangle census, and a PageRank
-centrality. All three are textbook distributed-graph shapes
-(MR triangle counting via degree-ordered wedges, Suri & Vassilvitskii
-WWW 2011; fixed-point integer PageRank for determinism).
+projection), its degree profile, its triangle census, a PageRank
+centrality, and Adamic–Adar link prediction. All are textbook
+distributed-graph shapes (degree-ordered triangle counting, Suri &
+Vassilvitskii WWW 2011; fixed-point integer PageRank for
+determinism; degree-capped common-neighbor scoring).
 
 Scale posture (100 TB of orders):
 
@@ -232,8 +233,14 @@ def q_graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("sdeg") == F.col("ddeg")) & (F.col("src") < F.col("dst"))
     )
     # Materialize the oriented edge list once: it feeds the adjacency
-    # build AND both endpoint joins — without this the whole
-    # edge-construction subtree would be duplicated 3x.
+    # build AND both endpoint joins, and those consumers shuffle on
+    # DIFFERENT keys (u vs v), so exchange reuse cannot help here —
+    # without the checkpoint the whole edge-construction subtree is
+    # duplicated 3x (measured as a 62-exchange plan). Cost of the
+    # checkpoint: one retained block set per invocation until
+    # ContextCleaner GC (see SCALE.md "localCheckpoint is not a CSE
+    # tool") — acceptable for a census query, and why the other graph
+    # queries avoid it.
     oriented = e.select(
         F.when(low_first, F.col("src")).otherwise(F.col("dst")).alias("u"),
         F.when(low_first, F.col("dst")).otherwise(F.col("src")).alias("v"),
@@ -331,12 +338,13 @@ def q_graph_pagerank_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("e")
     ).select("e.src", "e.dst")
     deg = adj.groupBy("src").agg(F.count(F.lit(1)).alias("degree"))
-    # Adjacency with the source degree attached, materialized ONCE:
-    # every round joins against it, and without the eager
-    # localCheckpoint each round would re-run edge construction from
-    # the fact table (k full scans instead of one). Same rationale as
-    # dedup.py::propagate_min_labels.
-    adj_deg = adj.join(deg, "src").localCheckpoint()
+    # No localCheckpoint: every round joins adj_deg on the SAME key
+    # (src), so AQE exchange reuse dedupes the subplan across rounds
+    # (measured: identical runtime to an eager checkpoint, without
+    # the retained-block leak SCALE.md documents — checkpointed RDDs
+    # survive until ContextCleaner GC). Contrast graph_triangle_count,
+    # whose consumers need DIFFERENT keys and must materialize.
+    adj_deg = adj.join(deg, "src")
     ranks = adj_deg.select(F.col("src").alias("node")).distinct().select(
         "node", F.lit(_PR_SCALE).cast("long").alias("rank")
     )
@@ -464,7 +472,8 @@ def q_graph_adamic_adar_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("contrib"),
         )
-        .localCheckpoint()  # feeds both wedge sides; build once
+        # no checkpoint needed: both wedge sides shuffle ctr on the
+        # same key (w), so exchange reuse builds it once
     )
     o1, o2 = ctr.alias("o1"), ctr.alias("o2")
     pairs = o1.join(
