@@ -1,0 +1,279 @@
+"""Distributed linear algebra over the embedding lake (Tier C, round 5).
+
+Two spectral diagnostics a training-data pipeline runs over its
+embedding store: the exact covariance structure (which dimensions
+carry the variance, which pairs are redundant) and the top principal
+component via power iteration — PCA's workhorse, here computed in
+EXACT integer fixed-point so an iterative linear-algebra job becomes
+value-hashable against an independent SQL oracle (the same
+determinism trick as ``graph.py``'s PageRank: floor divisions and
+int64 sums are exactly associative; no IEEE summation-order drift).
+
+Numeric safety (why every intermediate fits): components quantize to
+x_q = floor(x·1e3) (|x_q| ≤ ~600 on unit-ish embeddings), so
+n·P_jk ≤ n²·3.6e5 and every dividend stays far below 2^53 — integer-
+valued doubles divide exactly, making FLOOR(a/b) engine-portable even
+for negative dividends.
+
+Scale posture (10⁹ vectors · d = 64):
+
+- The Gram pass is the only data-sized work: per row an in-array
+  outer product (d² = 4096 longs), posexploded and SUM-aggregated by
+  flat index. Partial aggregation collapses each partition to ≤ 4096
+  rows BEFORE the exchange, so the shuffle carries
+  (#partitions · d²) rows regardless of n — the map-side-combine
+  shape, not a join.
+- Everything after (covariance relation, eigen-iteration) runs on
+  d² = 4096-row KB-sized relations: per-round joins and 1-row maxima
+  are dimension-sized, never data-sized.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_kakfa_spark.registry import query
+from flink_kakfa_spark.sources.tables import load_table, parallelize
+
+_DIMS = 64
+_QSCALE = 1000  # component quantization: x_q = floor(x * 1e3)
+_VSCALE = 1_000_000  # eigenvector fixed-point scale
+_POWER_ITERS = 3
+
+# Shared oracle CTEs: quantized components -> per-dim sums -> raw
+# Gram matrix -> integer covariance relation c(j, k) with
+# c = floor((n·P_jk − S_j·S_k) / n²)  (covariance of x_q, floored).
+_COV_SQL = f"""
+    q AS (
+      SELECT vec_id, j,
+             CAST(FLOOR(list_extract(CAST(embedding AS DOUBLE[]), j)
+                        * {_QSCALE}) AS BIGINT) AS x
+      FROM embeddings, UNNEST(generate_series(1, {_DIMS})) AS g(j)
+    ),
+    s AS (SELECT j, SUM(x) AS sj FROM q GROUP BY j),
+    p AS (
+      SELECT a.j AS j, b.j AS k, SUM(a.x * b.x) AS pjk
+      FROM q a JOIN q b USING (vec_id)
+      GROUP BY 1, 2
+    ),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings),
+    c AS (
+      SELECT p.j, p.k,
+             CAST(FLOOR((nn.n * p.pjk - sa.sj * sb.sj)
+                        / (nn.n * nn.n)) AS BIGINT) AS c
+      FROM p
+      JOIN s sa ON sa.j = p.j
+      JOIN s sb ON sb.j = p.k
+      CROSS JOIN nn
+    )
+"""
+
+
+def _cov_relation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer covariance relation (j, k, c), 1-based dims, d² rows.
+
+    The Gram pass is one narrow map (outer product in-array) +
+    posexplode + a flat-index SUM with map-side partial aggregation —
+    the shuffle moves ≤ partitions·d² pre-aggregated rows, never the
+    vectors. No join on vec_id (the naive self-join formulation would
+    shuffle the whole quantized component table twice).
+    """
+    e = parallelize(load_table(spark, "embeddings", sf_dir), spark)
+    xq = F.transform(
+        "embedding", lambda x: F.floor(x.cast("double") * _QSCALE).cast("long")
+    )
+    rows = e.select(xq.alias("xq"))
+    # flat outer product: op[(j-1)*d + (k-1)] = x_j * x_k
+    op = F.flatten(
+        F.transform(
+            F.col("xq"),
+            lambda xi: F.transform(F.col("xq"), lambda xj: xi * xj),
+        )
+    )
+    p = (
+        rows.select(F.posexplode(op).alias("pos", "v"))
+        .groupBy("pos")
+        .agg(F.sum("v").alias("pjk"))
+        .select(
+            (F.col("pos") / _DIMS + 1).cast("int").alias("j"),
+            (F.col("pos") % _DIMS + 1).cast("int").alias("k"),
+            "pjk",
+        )
+    )
+    s = (
+        rows.select(F.posexplode("xq").alias("pos", "x"))
+        .groupBy((F.col("pos") + 1).cast("int").alias("j"))
+        .agg(F.sum("x").alias("sj"))
+    )
+    n = e.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        p.join(F.broadcast(s.select(F.col("j"), F.col("sj").alias("sa"))), "j")
+        .join(
+            F.broadcast(
+                s.select(F.col("j").alias("k"), F.col("sj").alias("sb"))
+            ),
+            "k",
+        )
+        .crossJoin(F.broadcast(n))
+        .select(
+            "j",
+            "k",
+            F.floor(
+                (F.col("n") * F.col("pjk") - F.col("sa") * F.col("sb"))
+                / (F.col("n") * F.col("n"))
+            )
+            .cast("long")
+            .alias("c"),
+        )
+    )
+
+
+@query(
+    "emb_covariance_stats",
+    oracle=f"""
+    WITH {_COV_SQL},
+    tr AS (SELECT SUM(c) AS trace_fp FROM c WHERE j = k)
+    SELECT c.j, c.k, c.c AS cov_fp, tr.trace_fp
+    FROM c CROSS JOIN tr
+    WHERE c.j < c.k
+    ORDER BY ABS(c.c) DESC, c.j, c.k
+    LIMIT 10
+    """,
+)
+def q_emb_covariance_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 strongest off-diagonal covariances + total variance
+    (trace), all in exact integer fixed-point.
+
+    The redundancy report over an embedding store: strongly covarying
+    dimension pairs signal a collapsed/rotatable basis (candidates
+    for the matryoshka truncation checked by
+    ``emb_matryoshka_quality``), and the trace anchors each pair's
+    share of total variance.
+    """
+    c = _cov_relation(spark, sf_dir)
+    tr = c.filter(F.col("j") == F.col("k")).agg(
+        F.sum("c").alias("trace_fp")
+    )
+    return (
+        c.filter(F.col("j") < F.col("k"))
+        .crossJoin(F.broadcast(tr))
+        .select("j", "k", F.col("c").alias("cov_fp"), "trace_fp")
+        .orderBy(F.abs(F.col("cov_fp")).desc(), "j", "k")
+        .limit(10)
+    )
+
+
+def _power_oracle() -> str:
+    """Unrolled k-round integer power iteration oracle."""
+    prev = "v0"
+    steps = []
+    for i in range(1, _POWER_ITERS + 1):
+        steps.append(
+            f"""
+    w{i} AS (
+      SELECT c.j, SUM(c.c * v.v) AS w
+      FROM c JOIN {prev} v ON v.j = c.k
+      GROUP BY c.j
+    ),
+    m{i} AS (
+      SELECT GREATEST(CAST(FLOOR(MAX(ABS(w)) / {_VSCALE}) AS BIGINT), 1)
+             AS m
+      FROM w{i}
+    ),
+    v{i} AS (
+      SELECT w.j, CAST(FLOOR(w.w / m.m) AS BIGINT) AS v
+      FROM w{i} w CROSS JOIN m{i} m
+    )"""
+        )
+        prev = f"v{i}"
+    return f"""
+    WITH {_COV_SQL},
+    v0 AS (
+      SELECT j, CAST({_VSCALE} AS BIGINT) AS v
+      FROM (SELECT DISTINCT j FROM c)
+    ),{",".join(steps)},
+    u AS (
+      SELECT j, CAST(FLOOR(v / 1000.0) AS BIGINT) AS u, v FROM {prev}
+    ),
+    ray AS (
+      SELECT CAST(FLOOR(
+               (SELECT SUM(ua.u * c.c * ub.u)
+                FROM c JOIN u ua ON ua.j = c.j JOIN u ub ON ub.j = c.k)
+               / (SELECT SUM(u * u) FROM u)
+             ) AS BIGINT) AS lambda_fp
+    )
+    SELECT u.j AS dim, u.v AS v_fp, ray.lambda_fp
+    FROM u CROSS JOIN ray
+    ORDER BY dim
+    """
+
+
+@query("emb_power_iteration_top", oracle=_power_oracle())
+def q_emb_power_iteration_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component by power iteration, in exact int64
+    fixed-point — PCA's first axis as a value-hashable distributed job.
+
+    Each round: w = C·v over the d²-row covariance relation (integer
+    multiply-sums, exactly associative), then renormalize by the
+    1-row max |w| via floor division (divisor always positive, so
+    floor semantics agree across engines for negative components).
+    After k fixed rounds the Rayleigh quotient λ = ⌊uᵀCu / uᵀu⌋ on a
+    down-scaled copy of v bounds every product far inside int64.
+
+    Scale: the Gram pass (see ``_cov_relation``) touches the data
+    once; iteration cost is d²-row joins per round — micro-work at
+    any corpus size. Convergence on the fixture is adequate at k = 3
+    (dominant-eigenvalue ratio pinned by test); production k scales
+    as the log of the spectral gap, still data-free.
+    """
+    # Materialize the covariance relation once: every round (and the
+    # Rayleigh pass) consumes it via BROADCAST joins, which put no
+    # exchange on c — so exchange reuse cannot dedupe the data-sized
+    # Gram subtree and without this it would recompute per round.
+    # Retained blocks are d² rows (KB), so the localCheckpoint
+    # retention caveat (SCALE.md) is immaterial here.
+    c = _cov_relation(spark, sf_dir).localCheckpoint()
+    v = c.select("j").distinct().select(
+        "j", F.lit(_VSCALE).cast("long").alias("v")
+    )
+    for _ in range(_POWER_ITERS):
+        w = (
+            c.join(
+                F.broadcast(v.select(F.col("j").alias("k"), "v")), "k"
+            )
+            .groupBy("j")
+            .agg(F.sum(F.col("c") * F.col("v")).alias("w"))
+        )
+        m = w.agg(
+            F.greatest(
+                F.floor(F.max(F.abs(F.col("w"))) / _VSCALE).cast("long"),
+                F.lit(1).cast("long"),
+            ).alias("m")
+        )
+        v = w.crossJoin(F.broadcast(m)).select(
+            "j", F.floor(F.col("w") / F.col("m")).cast("long").alias("v")
+        )
+    # The converged iterate feeds FOUR consumers (Rayleigh numerator
+    # twice, denominator, output); without materializing these 64
+    # rows, each consumer would replay the whole k-round join chain
+    # (measured as a 119-exchange plan).
+    v = v.localCheckpoint()
+    u = v.select("j", "v", F.floor(F.col("v") / 1000.0).cast("long").alias("u"))
+    num = (
+        c.join(F.broadcast(u.select(F.col("j"), F.col("u").alias("ua"))), "j")
+        .join(
+            F.broadcast(u.select(F.col("j").alias("k"), F.col("u").alias("ub"))),
+            "k",
+        )
+        .agg(F.sum(F.col("ua") * F.col("c") * F.col("ub")).alias("num"))
+    )
+    den = u.agg(F.sum(F.col("u") * F.col("u")).alias("den"))
+    lam = num.crossJoin(F.broadcast(den)).select(
+        F.floor(F.col("num") / F.col("den")).cast("long").alias("lambda_fp")
+    )
+    return (
+        u.crossJoin(F.broadcast(lam))
+        .select(F.col("j").alias("dim"), F.col("v").alias("v_fp"), "lambda_fp")
+        .orderBy("dim")
+    )

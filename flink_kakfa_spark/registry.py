@@ -66,6 +66,7 @@ _QUERY_MODULES = [
     "flink_kakfa_spark.operators.bpe",
     "flink_kakfa_spark.operators.curation",
     "flink_kakfa_spark.operators.graph",
+    "flink_kakfa_spark.operators.linalg",
 ]
 
 # ROUND-5 WINDOW ROTATION (executes the plan written here in round 4):
@@ -170,8 +171,9 @@ _WINDOW_FRONT = [
 #   text_tokenizer_fertility,
 #   graph_degree_stats, graph_triangle_count, graph_pagerank_top20,
 #   graph_adamic_adar_top20, dedup_substring_runs,
-#   agg_hist_quantile_rollup, decontam_embedding
-#   (66 total after the round-5 in-round additions)
+#   agg_hist_quantile_rollup, decontam_embedding,
+#   emb_covariance_stats, emb_power_iteration_top
+#   (68 total after the round-5 in-round additions)
 # The remaining slots: any round-6 additions first, then backfill
 # with the oldest driver evidence (r1/r2 rows) for re-verification.
 # Update tests/test_000_smoke.py::DRIVER_WINDOW in the same commit.

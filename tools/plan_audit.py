@@ -54,6 +54,8 @@ ALLOWED_QUADRATIC = {
     "text_bigram_perplexity",      # 1-row corpus-total broadcast cross join
     "corpus_dsir_weights",         # 1-row LM-totals broadcast cross join (DSIR smoothing constants)
     "decontam_embedding",          # eval split broadcast (KB-MB by construction), corpus streams map-side
+    "emb_covariance_stats",        # 1-row n / trace broadcasts onto the d²-row covariance relation
+    "emb_power_iteration_top",     # 1-row max/lambda/den broadcasts in the spectral iteration
     # distributed_rank users: n_bins-row boundary + offset + 1-row
     # total broadcasts attach to every fact row (the point: no
     # single-partition window)
@@ -116,6 +118,12 @@ ALLOWED_SMALL_SIDE_SHUFFLES = {
     # node-degree groupBy and the log2-bucket agg + ORDER BY move
     # per-node degree rows, then <=64 histogram rows
     "graph_degree_stats",
+    # the Gram pass shuffles <= partitions*d² PRE-AGGREGATED rows
+    # (map-side combine) — the only data-linked exchange; everything
+    # after moves the d²=4096-row covariance relation or d-row
+    # vectors per spectral round
+    "emb_covariance_stats",
+    "emb_power_iteration_top",
 }
 
 
