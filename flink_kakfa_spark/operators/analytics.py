@@ -650,3 +650,138 @@ def q_trend_slope_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(slope, 6).alias("slope_per_day"),
         F.round((F.col("sy") - slope * F.col("sx")) / nn, 4).alias("intercept"),
     )
+
+
+ASSOC_MIN_PAIR_SUPPORT = 3  # absolute co-occurrence floor for a rule
+
+
+@query(
+    "basket_association_rules",
+    oracle=f"""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    nn AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n FROM items),
+    cnt AS (
+      SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS c FROM items GROUP BY 1
+    ),
+    pair AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+             CAST(COUNT(*) AS BIGINT) AS cab
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= {ASSOC_MIN_PAIR_SUPPORT}
+    ),
+    rules AS (
+      SELECT pa AS antecedent, pb AS consequent, cab FROM pair
+      UNION ALL
+      SELECT pb AS antecedent, pa AS consequent, cab FROM pair
+    )
+    SELECT
+      r.antecedent, r.consequent, r.cab AS pair_count,
+      ROUND(CAST(r.cab AS DOUBLE) / nn.n, 6) AS support,
+      ROUND(CAST(r.cab AS DOUBLE) / ca.c, 6) AS confidence,
+      ROUND(CAST(nn.n AS DOUBLE) * r.cab / (ca.c * cb.c), 6) AS lift
+    FROM rules r
+    JOIN cnt ca ON ca.l_partkey = r.antecedent
+    JOIN cnt cb ON cb.l_partkey = r.consequent
+    CROSS JOIN nn
+    ORDER BY lift DESC, antecedent, consequent
+    LIMIT 20
+    """,
+)
+def q_basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 association rules (a ⇒ b) by lift over the order
+    baskets — support / confidence / lift, the Agrawal-era
+    market-basket surface (and, for a training-data lake, the
+    co-occurrence mining shape behind tag/domain affinity reports).
+
+    Scale: pair generation is the co-purchase shape (≤ C(7,2) pairs
+    per order, in-array expansion — linear in the fact table); the
+    absolute support floor prunes the pair relation BEFORE the rule
+    join; item counts are a catalog-sized relation joined by key.
+    Every ratio divides exact int64 counts, so the doubles (and the
+    lift ordering) are bit-identical across engines.
+    """
+    li = load_table(spark, "lineitem", sf_dir)
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    n = items.agg(F.countDistinct("l_orderkey").alias("n"))
+    cnt = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
+    baskets = items.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("parts")
+    )
+    pairs = baskets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("parts"),
+                    lambda x, i: F.transform(
+                        F.slice(F.col("parts"), i + 2, F.size("parts")),
+                        lambda y: F.struct(x.alias("pa"), y.alias("pb")),
+                    ),
+                )
+            )
+        ).alias("e")
+    ).select("e.pa", "e.pb")
+    pair = (
+        pairs.groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("cab"))
+        .filter(F.col("cab") >= ASSOC_MIN_PAIR_SUPPORT)
+    )
+    rules = pair.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("pa").alias("antecedent"),
+                    F.col("pb").alias("consequent"),
+                    F.col("cab"),
+                ),
+                F.struct(
+                    F.col("pb").alias("antecedent"),
+                    F.col("pa").alias("consequent"),
+                    F.col("cab"),
+                ),
+            )
+        ).alias("r")
+    ).select("r.antecedent", "r.consequent", "r.cab")
+    return (
+        rules.join(
+            F.broadcast(
+                cnt.select(
+                    F.col("l_partkey").alias("antecedent"),
+                    F.col("c").alias("ca"),
+                )
+            ),
+            "antecedent",
+        )
+        .join(
+            F.broadcast(
+                cnt.select(
+                    F.col("l_partkey").alias("consequent"),
+                    F.col("c").alias("cb"),
+                )
+            ),
+            "consequent",
+        )
+        .crossJoin(F.broadcast(n))
+        .select(
+            "antecedent",
+            "consequent",
+            F.col("cab").alias("pair_count"),
+            F.round(F.col("cab").cast("double") / F.col("n"), 6).alias(
+                "support"
+            ),
+            F.round(F.col("cab").cast("double") / F.col("ca"), 6).alias(
+                "confidence"
+            ),
+            F.round(
+                F.col("n").cast("double")
+                * F.col("cab")
+                / (F.col("ca") * F.col("cb")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "antecedent", "consequent")
+        .limit(20)
+    )

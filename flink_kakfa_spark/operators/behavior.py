@@ -300,3 +300,74 @@ def q_streak_longest_purchase_days(spark: SparkSession, sf_dir: str) -> DataFram
         .filter((F.col("rn") == 1) & (F.col("streak_len") >= 3))
         .select("user_id", "streak_len", "streak_start")
     )
+
+
+@query(
+    "anomaly_mad_events",
+    oracle="""
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY event_type
+    ),
+    dev AS (
+      SELECT e.event_id, e.event_type, e.value,
+             m.med, ABS(e.value - m.med) AS adev
+      FROM events e JOIN med m USING (event_type)
+    ),
+    mad AS (
+      SELECT event_type, quantile_cont(adev, 0.5) AS mad
+      FROM dev GROUP BY event_type
+    )
+    SELECT d.event_id, d.event_type, d.value,
+           ROUND((d.value - d.med) / (1.4826 * m.mad), 4) AS robust_z
+    FROM dev d JOIN mad m USING (event_type)
+    WHERE ABS((d.value - d.med) / (1.4826 * m.mad)) > 3.5
+    """,
+)
+def q_anomaly_mad_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outliers via median absolute deviation (|robust z| > 3.5,
+    the Iglewicz–Hoaglin rule; 1.4826 rescales MAD to sigma under
+    normality).
+
+    The robust sibling of ``anomaly_zscore_events``: mean/stddev move
+    with the outliers they're hunting (masking), medians don't — the
+    standard pick for long-tailed metric streams.
+
+    Scale: two per-type exact medians (tiny grouped aggregates on the
+    event_type key — the |types|-row relations broadcast back onto the
+    stream), and the fact table never shuffles: both joins are
+    broadcast, so the plan is two narrow passes over events. At lake
+    scale swap exact medians for the mergeable histogram sketch
+    (``agg_hist_quantile_rollup``) without touching the gate logic.
+    """
+    ev = load_table(spark, "events", sf_dir)
+    med = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_id",
+        "event_type",
+        "value",
+        "med",
+        F.abs(F.col("value") - F.col("med")).alias("adev"),
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.percentile("adev", F.lit(0.5)).alias("mad")
+    )
+    rz = (F.col("value") - F.col("med")) / (1.4826 * F.col("mad"))
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            rz.alias("rz"),
+        )
+        .filter(F.abs(F.col("rz")) > 3.5)
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.round(F.col("rz"), 4).alias("robust_z"),
+        )
+    )

@@ -172,8 +172,9 @@ _WINDOW_FRONT = [
 #   graph_degree_stats, graph_triangle_count, graph_pagerank_top20,
 #   graph_adamic_adar_top20, dedup_substring_runs,
 #   agg_hist_quantile_rollup, decontam_embedding,
-#   emb_covariance_stats, emb_power_iteration_top
-#   (68 total after the round-5 in-round additions)
+#   emb_covariance_stats, emb_power_iteration_top,
+#   anomaly_mad_events, basket_association_rules
+#   (70 total after the round-5 in-round additions)
 # The remaining slots: any round-6 additions first, then backfill
 # with the oldest driver evidence (r1/r2 rows) for re-verification.
 # Update tests/test_000_smoke.py::DRIVER_WINDOW in the same commit.

@@ -290,3 +290,37 @@ def test_trend_slope_recovers_synthetic_line(spark, tmp_path):
     assert len(rows) == 1
     assert rows[0]["slope_per_day"] == 2.0
     assert rows[0]["intercept"] == 5.0
+
+
+def test_anomaly_mad_catches_masked_outlier(spark, tmp_path):
+    """One huge spike among tight values: the spike inflates stddev
+    (masking the z-score) but not the median — MAD flags it."""
+    base = [(1, "view", f"2024-01-01 10:{i:02d}:00", 10.0 + (i % 3) * 0.1) for i in range(40)]
+    _events(spark, tmp_path, base + [(2, "view", "2024-01-02 10:00:00", 1000.0)])
+    rows = all_queries()["anomaly_mad_events"](spark, str(tmp_path)).collect()
+    assert [r["value"] for r in rows] == [1000.0]
+    assert abs(rows[0]["robust_z"]) > 1000  # med 10.1, MAD 0.1
+
+
+def test_association_rules_support_confidence_lift(spark, tmp_path):
+    """6 baskets: {1,2} together 3x, 1 alone 3x -> conf(1=>2)=0.5,
+    conf(2=>1)=1.0, identical lift both directions."""
+    from pyspark.sql import Row
+
+    baskets = [(1, [1, 2]), (2, [1, 2]), (3, [1, 2]), (4, [1]), (5, [1]), (6, [1])]
+    spark.createDataFrame(
+        [Row(l_orderkey=ok, l_partkey=pk) for ok, ps in baskets for pk in ps],
+        "l_orderkey long, l_partkey long",
+    ).write.parquet(str(tmp_path / "lineitem.parquet"))
+    rows = {
+        (r["antecedent"], r["consequent"]): r
+        for r in all_queries()["basket_association_rules"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert set(rows) == {(1, 2), (2, 1)}
+    assert rows[(1, 2)]["pair_count"] == 3
+    assert rows[(1, 2)]["support"] == 0.5        # 3 of 6 baskets
+    assert rows[(1, 2)]["confidence"] == 0.5     # 3 of 6 with item 1
+    assert rows[(2, 1)]["confidence"] == 1.0     # 3 of 3 with item 2
+    assert rows[(1, 2)]["lift"] == rows[(2, 1)]["lift"] == 1.0  # 6*3/(6*3)
