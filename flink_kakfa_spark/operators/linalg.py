@@ -277,3 +277,167 @@ def q_emb_power_iteration_top(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("j").alias("dim"), F.col("v").alias("v_fp"), "lambda_fp")
         .orderBy("dim")
     )
+
+
+_KM_K = 8  # clusters; seeds = the k lowest vec_ids (deterministic)
+_KM_ROUNDS = 2
+
+
+def _kmeans_oracle() -> str:
+    """Unrolled Lloyd rounds in exact integer arithmetic."""
+    prev = "cent0"
+    steps = []
+    for r in range(1, _KM_ROUNDS + 1):
+        steps.append(
+            f"""
+    d{r} AS (
+      SELECT q.vec_id, c.cid, SUM((q.x - c.c) * (q.x - c.c)) AS d2
+      FROM q JOIN {prev} c ON c.i = q.i
+      GROUP BY 1, 2
+    ),
+    a{r} AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY vec_id ORDER BY d2, cid) AS rn
+        FROM d{r}
+      ) WHERE rn = 1
+    ),
+    u{r} AS (
+      SELECT a.cid, q.i,
+             CAST(FLOOR(SUM(q.x) / COUNT(*)) AS BIGINT) AS c
+      FROM a{r} a JOIN q ON q.vec_id = a.vec_id
+      GROUP BY 1, 2
+    ),
+    cent{r} AS (
+      SELECT p.cid, p.i, COALESCE(u.c, p.c) AS c
+      FROM {prev} p LEFT JOIN u{r} u ON u.cid = p.cid AND u.i = p.i
+    )"""
+        )
+        prev = f"cent{r}"
+    return f"""
+    WITH q AS (
+      SELECT vec_id, i,
+             CAST(FLOOR(list_extract(CAST(embedding AS DOUBLE[]), i)
+                        * {_QSCALE}) AS BIGINT) AS x
+      FROM embeddings, UNNEST(generate_series(1, {_DIMS})) AS g(i)
+    ),
+    seeds AS (
+      SELECT vec_id,
+             ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid
+      FROM (SELECT DISTINCT vec_id FROM q ORDER BY vec_id LIMIT {_KM_K})
+    ),
+    cent0 AS (
+      SELECT s.cid, q.i, q.x AS c
+      FROM seeds s JOIN q ON q.vec_id = s.vec_id
+    ),{",".join(steps)}
+    SELECT
+      a.cid AS cluster_id,
+      CAST(COUNT(DISTINCT a.vec_id) AS BIGINT) AS n_members,
+      MAX(CASE WHEN c.i = 1 THEN c.c END) AS c1,
+      MAX(CASE WHEN c.i = 2 THEN c.c END) AS c2,
+      MAX(CASE WHEN c.i = 3 THEN c.c END) AS c3,
+      MAX(CASE WHEN c.i = 4 THEN c.c END) AS c4
+    FROM a{_KM_ROUNDS} a
+    JOIN cent{_KM_ROUNDS} c ON c.cid = a.cid
+    GROUP BY a.cid
+    ORDER BY cluster_id
+    """
+
+
+@query("emb_kmeans_portable", oracle=_kmeans_oracle())
+def q_emb_kmeans_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd's k-means in exact integer arithmetic — the
+    value-hashable twin of ``sim_ivf_kmeans_topk``'s engine-seeded
+    pyspark.ml KMeans (which is rows-only checked by design; THIS
+    query pins the distributed clustering algorithm itself against
+    the oracle, the same determinism upgrade PageRank and power
+    iteration bring to their families).
+
+    Seeds are the k lowest vec_ids; each round assigns every vector
+    to the nearest centroid by integer squared distance (ties to the
+    lowest cluster id) and re-centers with floored integer means;
+    empty clusters keep their previous centroid. Every operation is
+    exactly associative, so assignments and centroids are
+    bit-identical across engines, partition counts, and retries.
+
+    Scale: per round, assignment is a crossJoin against the
+    BROADCAST k-row centroid frame evaluated in-array (n·k narrow
+    rows, no shuffle) followed by one n-row argmin aggregate; the
+    update posexplodes assigned vectors and map-side-combines to
+    ≤ partitions·k·d rows before its exchange. k and d are constants;
+    nothing quadratic in n anywhere.
+    """
+    e = parallelize(load_table(spark, "embeddings", sf_dir), spark)
+    vecs = e.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * _QSCALE).cast("long"),
+        ).alias("xq"),
+    )
+    seeds = (
+        vecs.orderBy("vec_id")
+        .limit(_KM_K)
+        .select(
+            (F.row_number().over(_seed_window()) - 1).alias("cid"),
+            F.col("xq").alias("cent"),
+        )
+    )
+    cent = seeds
+    for _ in range(_KM_ROUNDS):
+        d2 = F.aggregate(
+            F.zip_with("xq", "cent", lambda x, c: (x - c) * (x - c)),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        assigned = (
+            vecs.crossJoin(F.broadcast(cent))
+            .select("vec_id", "xq", "cid", d2.alias("d2"))
+            .groupBy("vec_id")
+            .agg(
+                F.min(F.struct("d2", "cid", "xq")).alias("m")
+            )
+            .select("vec_id", F.col("m.cid").alias("cid"), F.col("m.xq").alias("xq"))
+        )
+        upd = (
+            assigned.select("cid", F.posexplode("xq").alias("i", "x"))
+            .groupBy("cid", "i")
+            .agg(
+                F.floor(F.sum("x") / F.count(F.lit(1))).cast("long").alias("c")
+            )
+        )
+        upd_arr = upd.groupBy("cid").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "c"))),
+                lambda s: s["c"],
+            ).alias("new_cent")
+        )
+        cent = (
+            cent.join(F.broadcast(upd_arr), "cid", "left")
+            .select(
+                "cid",
+                F.coalesce("new_cent", "cent").alias("cent"),
+            )
+        )
+        last_assigned = assigned
+    return (
+        last_assigned.groupBy("cid")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .join(F.broadcast(cent), "cid")
+        .select(
+            F.col("cid").alias("cluster_id"),
+            "n_members",
+            F.element_at("cent", 1).alias("c1"),
+            F.element_at("cent", 2).alias("c2"),
+            F.element_at("cent", 3).alias("c3"),
+            F.element_at("cent", 4).alias("c4"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
+def _seed_window():
+    from pyspark.sql import Window
+
+    return Window.orderBy("vec_id")

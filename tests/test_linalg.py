@@ -78,3 +78,63 @@ def test_covariance_stats_match_numpy(spark, sf_dir):
     assert {abs(r["cov_fp"]) for r in rows} <= set(top10.astype(int).tolist()) | {
         int(t) for t in top10
     }
+
+
+def test_kmeans_matches_python_lloyd_twin(spark, tmp_path):
+    """Planted 2-cluster data: the Spark result must equal a plain-
+    Python integer Lloyd's twin EXACTLY (no tolerance), and separate
+    the planted clusters."""
+    rng = np.random.default_rng(3)
+    d = 64
+    a = rng.normal(0.3, 0.02, size=(30, d))
+    b = rng.normal(-0.3, 0.02, size=(30, d))
+    emb = np.vstack([a, b])
+    rows_in = [
+        {"vec_id": i, "embedding": [float(x) for x in emb[i]], "label": 0}
+        for i in range(60)
+    ]
+    spark.createDataFrame(
+        rows_in, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(str(tmp_path / "embeddings.parquet"))
+
+    from flink_kakfa_spark.operators.linalg import _KM_K, _KM_ROUNDS
+
+    # python twin on the same float32-read data
+    emb32 = np.array([r["embedding"] for r in rows_in], dtype=np.float32)
+    xq = np.floor(emb32.astype(np.float64) * 1000).astype(np.int64)
+    cent = {cid: xq[cid].copy() for cid in range(_KM_K)}  # seeds: lowest ids
+    for _ in range(_KM_ROUNDS):
+        assign = {}
+        for i in range(len(xq)):
+            best = min(
+                (int(((xq[i] - cent[c]) ** 2).sum()), c) for c in cent
+            )
+            assign[i] = best[1]
+        for c in cent:
+            members = [xq[i] for i in assign if assign[i] == c]
+            if members:
+                cent[c] = np.floor(
+                    np.sum(members, axis=0) / len(members)
+                ).astype(np.int64)
+    expected = {
+        c: (
+            sum(1 for i in assign if assign[i] == c),
+            tuple(int(x) for x in cent[c][:4]),
+        )
+        for c in cent
+        if any(assign[i] == c for i in assign)
+    }
+
+    got = {
+        r["cluster_id"]: (
+            r["n_members"],
+            (r["c1"], r["c2"], r["c3"], r["c4"]),
+        )
+        for r in all_queries()["emb_kmeans_portable"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert got == expected
+    # the two planted blobs end up in different clusters
+    sizes = sorted(v[0] for v in got.values())
+    assert sum(sizes) == 60 and max(sizes) <= 30

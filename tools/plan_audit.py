@@ -56,6 +56,7 @@ ALLOWED_QUADRATIC = {
     "decontam_embedding",          # eval split broadcast (KB-MB by construction), corpus streams map-side
     "emb_covariance_stats",        # 1-row n / trace broadcasts onto the d²-row covariance relation
     "emb_power_iteration_top",     # 1-row max/lambda/den broadcasts in the spectral iteration
+    "emb_kmeans_portable",         # k-row centroid frame broadcast per Lloyd round (assignment is in-array)
     # distributed_rank users: n_bins-row boundary + offset + 1-row
     # total broadcasts attach to every fact row (the point: no
     # single-partition window)
@@ -124,6 +125,10 @@ ALLOWED_SMALL_SIDE_SHUFFLES = {
     # vectors per spectral round
     "emb_covariance_stats",
     "emb_power_iteration_top",
+    # per Lloyd round: ONE n-row argmin exchange (the data-linked
+    # shuffle) + a k·d-row map-side-combined centroid update + k-row
+    # re-assembly; seeds ride an 8-row post-limit window
+    "emb_kmeans_portable",
 }
 
 
