@@ -175,3 +175,82 @@ def q_ts_rolling_1h_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("rolling_1h"),
     )
+
+
+@query(
+    "ts_dow_seasonality",
+    oracle=f"""
+    WITH daily AS (
+      SELECT
+        event_type,
+        CAST(ts AS DATE) AS day,
+        CAST(isodow(ts) AS INTEGER) AS dow,
+        value
+      FROM events
+    ),
+    per_dow AS (
+      SELECT
+        event_type, dow,
+        CAST(COUNT(DISTINCT day) AS BIGINT) AS n_days,
+        CAST(COUNT(*) AS BIGINT) AS n_events,
+        SUM(CAST(value AS DECIMAL(18,4))) AS dv
+      FROM daily GROUP BY 1, 2
+    )
+    SELECT
+      event_type, dow, n_days, n_events,
+      CAST(dv AS DOUBLE) AS dow_value,
+      CAST(dv AS DOUBLE)
+        / CAST(SUM(dv) OVER (PARTITION BY event_type) AS DOUBLE) AS share,
+      ROUND(CAST(dv AS DOUBLE)
+        / CAST(SUM(dv) OVER (PARTITION BY event_type) AS DOUBLE) * 7, 4)
+        AS seasonal_idx
+    FROM per_dow
+    """,
+)
+def q_ts_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality profile per event type: each ISO
+    weekday's share of the type's total value, and the seasonal index
+    (share x 7 — 1.0 means a flat week, >1 an over-indexed day).
+
+    The additive-decomposition building block that is exactly
+    computable at any scale: value sums route through DECIMAL (exact,
+    order-insensitive), the weekly share divides two exact decimals,
+    so every number is bit-identical across engines and
+    partitionings — unlike a rolling-mean trend, whose sliding double
+    sums are evaluation-order-sensitive (the LOCF/rolling family
+    handles those via frame windows over decimal sums:
+    ``ts_rolling_1h_value``).
+
+    Scale: one shuffle of the fact table onto (event_type, dow) with
+    map-side combine; the share window runs over the ≤ |types|·7-row
+    grid.
+    """
+    ev = load_table(spark, "events", sf_dir)
+    iso_dow = ((F.dayofweek("ts") + 5) % 7 + 1).cast("int")
+    per_dow = (
+        ev.select(
+            "event_type",
+            F.to_date("ts").alias("day"),
+            iso_dow.alias("dow"),
+            "value",
+        )
+        .groupBy("event_type", "dow")
+        .agg(
+            F.countDistinct("day").alias("n_days"),
+            F.count(F.lit(1)).alias("n_events"),
+            # keep the DECIMAL sum: the share's window total must sum
+            # decimals (exact, order-insensitive), not doubles
+            F.sum(F.col("value").cast("decimal(18,4)")).alias("dv"),
+        )
+    )
+    w = Window.partitionBy("event_type")
+    share = F.col("dv").cast("double") / F.sum("dv").over(w).cast("double")
+    return per_dow.select(
+        "event_type",
+        "dow",
+        "n_days",
+        "n_events",
+        F.col("dv").cast("double").alias("dow_value"),
+        share.alias("share"),
+        F.round(share * 7, 4).alias("seasonal_idx"),
+    )

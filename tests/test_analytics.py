@@ -324,3 +324,36 @@ def test_association_rules_support_confidence_lift(spark, tmp_path):
     assert rows[(1, 2)]["confidence"] == 0.5     # 3 of 6 with item 1
     assert rows[(2, 1)]["confidence"] == 1.0     # 3 of 3 with item 2
     assert rows[(1, 2)]["lift"] == rows[(2, 1)]["lift"] == 1.0  # 6*3/(6*3)
+
+
+def test_dow_seasonality_shares_sum_to_one(spark, sf_dir):
+    """Per type: shares sum to 1, index averages ~1 across present
+    days, and dow is ISO (1=Mon..7=Sun)."""
+    rows = all_queries()["ts_dow_seasonality"](spark, sf_dir).collect()
+    assert all(1 <= r["dow"] <= 7 for r in rows)
+    by_type: dict[str, float] = {}
+    for r in rows:
+        by_type[r["event_type"]] = by_type.get(r["event_type"], 0.0) + r["share"]
+    for t, s in by_type.items():
+        assert abs(s - 1.0) < 1e-9, (t, s)
+
+
+def test_dow_seasonality_iso_mapping(spark, tmp_path):
+    """2024-01-01 was a Monday -> dow 1; 2024-01-07 a Sunday -> dow 7."""
+    _events(
+        spark,
+        tmp_path,
+        [
+            (1, "view", "2024-01-01 10:00:00", 1.0),  # Monday
+            (2, "view", "2024-01-07 10:00:00", 3.0),  # Sunday
+        ],
+    )
+    rows = {
+        r["dow"]: r
+        for r in all_queries()["ts_dow_seasonality"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert set(rows) == {1, 7}
+    assert rows[1]["dow_value"] == 1.0 and rows[7]["dow_value"] == 3.0
+    assert rows[1]["share"] == 0.25 and rows[7]["share"] == 0.75
