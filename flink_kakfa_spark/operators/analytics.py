@@ -785,3 +785,89 @@ def q_basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("lift"), "antecedent", "consequent")
         .limit(20)
     )
+
+
+SEARCH_QUERY = "smal rign"  # misspelled "small ring" — the fuzzy-search demo
+
+
+@query(
+    "search_trigram_parts",
+    oracle=f"""
+    WITH qt AS (
+      SELECT list_distinct(list_transform(
+               generate_series(1, len('{SEARCH_QUERY}') - 2),
+               i -> substr('{SEARCH_QUERY}', i, 3))) AS qg
+    ),
+    pt AS (
+      SELECT p_partkey, p_name,
+             list_distinct(list_transform(
+               generate_series(1, len(lower(p_name)) - 2),
+               i -> substr(lower(p_name), i, 3))) AS pg
+      FROM part
+      WHERE len(p_name) >= 3
+    ),
+    scored AS (
+      SELECT
+        p.p_partkey, p.p_name,
+        CAST(len(list_intersect(p.pg, q.qg)) AS BIGINT) AS n_shared,
+        ROUND(CAST(len(list_intersect(p.pg, q.qg)) AS DOUBLE)
+              / (len(p.pg) + len(q.qg) - len(list_intersect(p.pg, q.qg))),
+              6) AS jaccard
+      FROM pt p CROSS JOIN qt q
+    )
+    SELECT p_partkey, p_name, n_shared, jaccard
+    FROM scored
+    WHERE n_shared > 0
+    ORDER BY jaccard DESC, p_partkey
+    LIMIT 15
+    """,
+)
+def q_search_trigram_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy catalog search: top-15 parts by character-trigram Jaccard
+    against a (misspelled) query string — the pg_trgm / Elasticsearch
+    fuzzy-match shape as one narrow scan.
+
+    Trigrams of each name are built in-array (no explode), the query's
+    trigram set is a literal, and the score is a ratio of exact set
+    sizes — deterministic across engines. For a standing search
+    service at scale the same trigram sets become an inverted index
+    (the ``text_winnow_fingerprints`` layout: explode + equi-join on
+    the trigram) so each query touches only candidate buckets; the
+    single-query form here is deliberately scan-shaped
+    (TakeOrdered(15), no shuffle at all).
+    """
+    q_grams = sorted(
+        {SEARCH_QUERY[i : i + 3] for i in range(len(SEARCH_QUERY) - 2)}
+    )
+    qg = F.array(*[F.lit(g) for g in q_grams])
+    p = load_table(spark, "part", sf_dir).filter(F.length("p_name") >= 3)
+    name = F.lower(F.col("p_name"))
+    pg = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.length(name) - 2),
+            lambda i: name.substr(i, F.lit(3)),
+        )
+    )
+    scored = p.select(
+        "p_partkey",
+        "p_name",
+        pg.alias("pg"),
+    ).select(
+        "p_partkey",
+        "p_name",
+        F.size(F.array_intersect("pg", qg)).cast("long").alias("n_shared"),
+        F.round(
+            F.size(F.array_intersect("pg", qg)).cast("double")
+            / (
+                F.size("pg")
+                + F.lit(len(q_grams))
+                - F.size(F.array_intersect("pg", qg))
+            ),
+            6,
+        ).alias("jaccard"),
+    )
+    return (
+        scored.filter(F.col("n_shared") > 0)
+        .orderBy(F.desc("jaccard"), "p_partkey")
+        .limit(15)
+    )

@@ -357,3 +357,12 @@ def test_dow_seasonality_iso_mapping(spark, tmp_path):
     assert set(rows) == {1, 7}
     assert rows[1]["dow_value"] == 1.0 and rows[7]["dow_value"] == 3.0
     assert rows[1]["share"] == 0.25 and rows[7]["share"] == 0.75
+
+
+def test_trigram_search_ranks_true_match_first(spark, sf_dir):
+    """'smal rign' (misspelled 'small ring') must rank an actual
+    'small ring' part first."""
+    rows = all_queries()["search_trigram_parts"](spark, sf_dir).collect()
+    assert rows, "no candidates returned"
+    assert rows[0]["p_name"] == "small ring"
+    assert rows[0]["jaccard"] == max(r["jaccard"] for r in rows)
