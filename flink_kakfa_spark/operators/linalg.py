@@ -133,7 +133,7 @@ def _cov_relation(spark: SparkSession, sf_dir: str) -> DataFrame:
     "emb_covariance_stats",
     oracle=f"""
     WITH {_COV_SQL},
-    tr AS (SELECT SUM(c) AS trace_fp FROM c WHERE j = k)
+    tr AS (SELECT CAST(SUM(c) AS BIGINT) AS trace_fp FROM c WHERE j = k)
     SELECT c.j, c.k, c.c AS cov_fp, tr.trace_fp
     FROM c CROSS JOIN tr
     WHERE c.j < c.k

@@ -352,3 +352,78 @@ def error_without_purchase(events: DataFrame, gap_ms: int = 300_000) -> DataFram
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+def streaming_zscore_alerts(
+    events: DataFrame, z_threshold: float = 3.0, min_n: int = 30
+) -> DataFrame:
+    """Online anomaly detection: per event-type running mean/variance
+    (Welford's algorithm in keyed state), alerting on values whose
+    z-score against the state SO FAR exceeds the threshold.
+
+    The streaming complement of the batch ``anomaly_zscore_events`` /
+    ``anomaly_mad_events`` gates: those scan a finished table; this
+    maintains O(1) state per key — (n, mean, M2), Chan et al.'s
+    parallel-merge form — and scores each micro-batch against the
+    statistics accumulated BEFORE it (alerts can't mask themselves:
+    a batch's own spike inflates the variance only for later batches).
+    State survives restarts via the checkpoint; replay-deterministic
+    because the merge is per-batch aggregate, not per-row order.
+
+    Scale: each micro-batch shuffles once on event_type; the pandas
+    handler sees one Arrow batch per key and does vectorized numpy —
+    no per-row Python.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update_stats(key, pdfs, state):
+        import math
+
+        import pandas as pd
+
+        n0, mean0, m2 = state.get if state.exists else (0, 0.0, 0.0)
+        out_ids, out_vals, out_z = [], [], []
+        batch_n, batch_sum, batch_sumsq = 0, 0.0, 0.0
+        for pdf in pdfs:
+            vals = pdf["value"].to_numpy()
+            # score against PRE-batch stats
+            if n0 >= min_n and m2 > 0:
+                sd = math.sqrt(m2 / (n0 - 1))
+                z = (vals - mean0) / sd
+                mask = abs(z) > z_threshold
+                out_ids.extend(pdf["event_id"].to_numpy()[mask].tolist())
+                out_vals.extend(vals[mask].tolist())
+                out_z.extend(z[mask].tolist())
+            batch_n += len(vals)
+            batch_sum += float(vals.sum())
+            batch_sumsq += float((vals * vals).sum())
+        if batch_n:
+            # Chan et al. pairwise merge of (n, mean, M2)
+            bmean = batch_sum / batch_n
+            bm2 = batch_sumsq - batch_n * bmean * bmean
+            if n0 == 0:
+                n1, mean1, m2_1 = batch_n, bmean, bm2
+            else:
+                delta = bmean - mean0
+                n1 = n0 + batch_n
+                mean1 = mean0 + delta * batch_n / n1
+                m2_1 = m2 + bm2 + delta * delta * n0 * batch_n / n1
+            state.update((n1, mean1, m2_1))
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]] * len(out_ids),
+                "event_id": out_ids,
+                "value": out_vals,
+                "z": out_z,
+            }
+        )
+
+    return events.groupBy("event_type").applyInPandasWithState(
+        update_stats,
+        outputStructType=(
+            "event_type string, event_id long, value double, z double"
+        ),
+        stateStructType="n long, mean double, m2 double",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -934,3 +934,89 @@ def test_trending_view_idempotent_and_incremental(spark, tmp_path, msg_rows):
     assert untouched == {
         t for t in first if not t[0].endswith("00:10:00")
     }
+
+
+EV_SCHEMA = "event_id long, event_type string, value double"
+
+
+def test_streaming_zscore_flags_spike_not_warmup(spark, tmp_path):
+    """Two micro-batches: batch 1 warms the state (no alerts possible
+    before min_n), batch 2 contains one huge spike -> exactly that
+    event is flagged, scored against batch-1 statistics."""
+    from flink_kakfa_spark.streaming.stateful import streaming_zscore_alerts
+
+    base = [(i, "view", 10.0 + (i % 5) * 0.1) for i in range(40)]
+    spark.createDataFrame(base, EV_SCHEMA).coalesce(1).write.parquet(
+        f"{tmp_path}/src/b0"
+    )
+    spark.createDataFrame(
+        [(100, "view", 10.2), (101, "view", 500.0)], EV_SCHEMA
+    ).coalesce(1).write.parquet(f"{tmp_path}/src/b1")
+
+    stream = (
+        spark.readStream.schema(EV_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{tmp_path}/src/*")
+    )
+    name = "zscore_alerts"
+    q = (
+        streaming_zscore_alerts(stream, z_threshold=3.0, min_n=30)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql(f"SELECT * FROM {name}").collect()
+    assert [(r["event_id"], r["value"]) for r in rows] == [(101, 500.0)]
+    assert rows[0]["z"] > 100  # sd of warmup batch is ~0.14
+
+
+def test_streaming_zscore_matches_batch_moments(spark, tmp_path):
+    """The state's (n, mean, M2) merge across batches must equal the
+    whole-corpus moments: feed a third batch and check its alert's z
+    equals the z computed from batches 1+2's exact stats."""
+    import statistics
+
+    from flink_kakfa_spark.streaming.stateful import streaming_zscore_alerts
+
+    b0 = [(i, "view", float(v)) for i, v in enumerate([10.0, 12.0, 11.0] * 12)]
+    b1 = [(50 + i, "view", float(v)) for i, v in enumerate([9.0, 13.0] * 5)]
+    spike = 1000.0
+    spark.createDataFrame(b0, EV_SCHEMA).coalesce(1).write.parquet(
+        f"{tmp_path}/src/b0"
+    )
+    spark.createDataFrame(b1, EV_SCHEMA).coalesce(1).write.parquet(
+        f"{tmp_path}/src/b1"
+    )
+    spark.createDataFrame([(99, "view", spike)], EV_SCHEMA).coalesce(
+        1
+    ).write.parquet(f"{tmp_path}/src/b2")
+
+    stream = (
+        spark.readStream.schema(EV_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{tmp_path}/src/*")
+    )
+    name = "zscore_alerts2"
+    q = (
+        streaming_zscore_alerts(stream, z_threshold=3.0, min_n=30)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = [
+        r
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+        if r["event_id"] == 99
+    ]
+    assert len(rows) == 1
+    vals = [v for _, _, v in b0 + b1]
+    expect_z = (spike - statistics.mean(vals)) / statistics.stdev(vals)
+    assert abs(rows[0]["z"] - expect_z) < 1e-9
