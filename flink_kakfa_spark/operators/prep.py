@@ -408,3 +408,107 @@ def q_sample_weighted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rk", F.row_number().over(w).cast("int"))
         .drop("k")
     )
+
+
+_NEYMAN_TOTAL = 60  # total sample budget across strata
+
+
+@query(
+    "sample_neyman_allocation",
+    oracle=f"""
+    WITH m AS (
+      SELECT
+        lang,
+        CAST(COUNT(*) AS BIGINT) AS nh,
+        CAST(SUM(n_chars) AS BIGINT) AS s1,
+        CAST(SUM(n_chars * n_chars) AS BIGINT) AS s2
+      FROM documents GROUP BY lang
+    ),
+    w AS (
+      SELECT lang, nh,
+             CAST(FLOOR(nh * SQRT(
+               (CAST(nh AS DOUBLE) * s2 - CAST(s1 AS DOUBLE) * s1)
+               / (CAST(nh AS DOUBLE) * (nh - 1))
+             ) * 1000) AS BIGINT) AS w_fp
+      FROM m WHERE nh > 1
+    ),
+    alloc AS (
+      SELECT lang, nh, w_fp,
+             LEAST(
+               CAST(FLOOR({_NEYMAN_TOTAL} * CAST(w_fp AS DOUBLE)
+                          / (SELECT SUM(w_fp) FROM w)) AS BIGINT),
+               nh) AS n_alloc
+      FROM w
+    ),
+    ranked AS (
+      SELECT d.doc_id, d.lang, a.n_alloc,
+             ROW_NUMBER() OVER (
+               PARTITION BY d.lang
+               ORDER BY md5('ney:' || CAST(d.doc_id AS VARCHAR)), d.doc_id
+             ) AS rk
+      FROM documents d JOIN alloc a ON a.lang = d.lang
+    )
+    SELECT doc_id, lang, CAST(rk AS INTEGER) AS rk, n_alloc
+    FROM ranked WHERE rk <= n_alloc
+    """,
+)
+def q_sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-allocated stratified sample: the fixed budget splits
+    across language strata proportional to N_h · S_h (stratum size x
+    within-stratum std of doc length) — the variance-minimizing
+    allocation from survey sampling, and the statistically-grounded
+    upgrade over the equal-k reservoir (``sample_k_per_source``).
+
+    Determinism: stratum variance comes from exact integer moments
+    (n·Σx² − (Σx)², every product < 2^53 so the doubles are exact),
+    weights floor to int64 fixed-point so their TOTAL is an exact sum
+    (a float total would make allocations rounding-order-dependent),
+    and membership ranks by the portable md5 key — both engines (and
+    every retry) select the identical sample. Floor allocation may
+    undershoot the budget by < |strata| rows; by design (no
+    remainder redistribution — it would need a cross-stratum
+    tie-break ordering for no statistical gain).
+
+    Scale: one moments aggregate (map-side combined) and one rank
+    window, both on the lang key; the |strata|-row allocation table
+    broadcasts back.
+    """
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, "documents", sf_dir)
+    m = d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("nh"),
+        F.sum("n_chars").alias("s1"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).alias("s2"),
+    )
+    var = (
+        F.col("nh").cast("double") * F.col("s2")
+        - F.col("s1").cast("double") * F.col("s1")
+    ) / (F.col("nh").cast("double") * (F.col("nh") - 1))
+    w = (
+        m.filter(F.col("nh") > 1)
+        .select(
+            "lang",
+            "nh",
+            F.floor(F.col("nh") * F.sqrt(var) * 1000)
+            .cast("long")
+            .alias("w_fp"),
+        )
+    )
+    tot = w.agg(F.sum("w_fp").alias("tot_w"))
+    alloc = w.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        F.least(
+            F.floor(
+                _NEYMAN_TOTAL * F.col("w_fp").cast("double") / F.col("tot_w")
+            ).cast("long"),
+            F.col("nh").cast("long"),  # a stratum can't over-supply
+        ).alias("n_alloc"),
+    )
+    key = F.md5(F.concat(F.lit("ney:"), F.col("doc_id").cast("string")))
+    rk = F.row_number().over(W.partitionBy("lang").orderBy(key, "doc_id"))
+    return (
+        d.join(F.broadcast(alloc), "lang")
+        .select("doc_id", "lang", rk.alias("rk"), "n_alloc")
+        .filter(F.col("rk") <= F.col("n_alloc"))
+    )

@@ -169,3 +169,33 @@ def test_weighted_sample_prefers_heavy_docs(spark, sf_dir):
     )
     sample_mean = sum(r["n_chars"] for r in rows1) / len(rows1)
     assert sample_mean > corpus_mean
+
+
+def test_neyman_allocation_favors_high_variance_stratum(spark, tmp_path):
+    """Two equal-size strata, one with 10x the length spread: the
+    allocation must give it the larger share, and per-stratum picks
+    must not exceed the allocation."""
+    from pyspark.sql import Row
+
+    rows = []
+    for i in range(50):  # tight stratum: lengths 100±1
+        rows.append(Row(doc_id=i, text="x", lang="aa", source="s",
+                        n_chars=100 + (i % 3)))
+    for i in range(50):  # wide stratum: lengths 100±40
+        rows.append(Row(doc_id=100 + i, text="x", lang="bb", source="s",
+                        n_chars=60 + (i % 5) * 20))
+    spark.createDataFrame(rows).write.parquet(str(tmp_path / "documents.parquet"))
+    from flink_kakfa_spark.registry import all_queries
+
+    out = all_queries()["sample_neyman_allocation"](
+        spark, str(tmp_path)
+    ).collect()
+    by_lang: dict[str, list] = {}
+    for r in out:
+        by_lang.setdefault(r["lang"], []).append(r)
+    n_aa = len(by_lang.get("aa", []))
+    n_bb = len(by_lang["bb"])
+    assert n_bb > n_aa  # variance-proportional
+    for lang, picks in by_lang.items():
+        assert len(picks) == picks[0]["n_alloc"]
+    assert n_aa + n_bb <= 60  # floor allocation never overshoots
