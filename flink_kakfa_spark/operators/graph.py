@@ -338,13 +338,15 @@ def q_graph_pagerank_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("e")
     ).select("e.src", "e.dst")
     deg = adj.groupBy("src").agg(F.count(F.lit(1)).alias("degree"))
-    # No localCheckpoint: every round joins adj_deg on the SAME key
-    # (src), so AQE exchange reuse dedupes the subplan across rounds
-    # (measured: identical runtime to an eager checkpoint, without
-    # the retained-block leak SCALE.md documents — checkpointed RDDs
-    # survive until ContextCleaner GC). Contrast graph_triangle_count,
-    # whose consumers need DIFFERENT keys and must materialize.
-    adj_deg = adj.join(deg, "src")
+    # Materialize the adjacency ONCE. Exchange reuse does NOT dedupe
+    # it across rounds — measured directly: AQE broadcasts the small
+    # rank frame (no exchange on adj_deg to reuse), and even forcing
+    # shuffle-hash joins yields 0 ReusedExchange across the per-round
+    # AQE stages (22.7 s vs ~5 s at sf0.1). Without the checkpoint,
+    # every round re-runs edge construction from the fact table — k
+    # full scans at 100 TB. Retention cost: one edge-sized block set
+    # per invocation until ContextCleaner GC (SCALE.md).
+    adj_deg = adj.join(deg, "src").localCheckpoint()
     ranks = adj_deg.select(F.col("src").alias("node")).distinct().select(
         "node", F.lit(_PR_SCALE).cast("long").alias("rank")
     )
@@ -472,8 +474,11 @@ def q_graph_adamic_adar_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("contrib"),
         )
-        # no checkpoint needed: both wedge sides shuffle ctr on the
-        # same key (w), so exchange reuse builds it once
+        # materialized once: AQE does not reuse exchanges across its
+        # stages here (see graph_pagerank_top20), so without this the
+        # degree-capped center relation — and the edge construction
+        # under it — would build once per wedge side
+        .localCheckpoint()
     )
     o1, o2 = ctr.alias("o1"), ctr.alias("o2")
     pairs = o1.join(

@@ -1020,3 +1020,42 @@ def test_streaming_zscore_matches_batch_moments(spark, tmp_path):
     vals = [v for _, _, v in b0 + b1]
     expect_z = (spike - statistics.mean(vals)) / statistics.stdev(vals)
     assert abs(rows[0]["z"] - expect_z) < 1e-9
+
+
+def test_streaming_zscore_restart_no_dup_or_loss(spark, tmp_path):
+    """Warm up, stop, add a spike batch, restart from the checkpoint:
+    the spike alerts exactly once and the state (mean/M2) carries
+    across the restart (z is scored against the PRE-restart stats)."""
+    from flink_kakfa_spark.streaming.stateful import streaming_zscore_alerts
+
+    base = [(i, "view", 10.0 + (i % 5) * 0.1) for i in range(40)]
+    spark.createDataFrame(base, EV_SCHEMA).coalesce(1).write.parquet(
+        f"{tmp_path}/src/b0"
+    )
+    out = f"{tmp_path}/out"
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(EV_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{tmp_path}/src/*")
+        )
+        q = (
+            streaming_zscore_alerts(stream, z_threshold=3.0, min_n=30)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()  # warmup only; no alerts possible
+    spark.createDataFrame(
+        [(101, "view", 500.0)], EV_SCHEMA
+    ).coalesce(1).write.parquet(f"{tmp_path}/src/b1")
+    run_once()  # restart: state recovered, spike scored against it
+    run_once()  # third run with nothing new: must add nothing
+    rows = spark.read.parquet(out).collect()
+    assert [(r["event_id"], r["value"]) for r in rows] == [(101, 500.0)]
+    assert rows[0]["z"] > 100

@@ -57,6 +57,8 @@ ALLOWED_QUADRATIC = {
     "emb_covariance_stats",        # 1-row n / trace broadcasts onto the d²-row covariance relation
     "emb_power_iteration_top",     # 1-row max/lambda/den broadcasts in the spectral iteration
     "emb_kmeans_portable",         # k-row centroid frame broadcast per Lloyd round (assignment is in-array)
+    "basket_association_rules",    # 1-row basket-count broadcast cross join
+    "sample_neyman_allocation",    # 1-row weight-total broadcast cross join
     # distributed_rank users: n_bins-row boundary + offset + 1-row
     # total broadcasts attach to every fact row (the point: no
     # single-partition window)
@@ -129,6 +131,15 @@ ALLOWED_SMALL_SIDE_SHUFFLES = {
     # shuffle) + a k·d-row map-side-combined centroid update + k-row
     # re-assembly; seeds ride an 8-row post-limit window
     "emb_kmeans_portable",
+    # k bounded iteration rounds over the localCheckpoint-ed
+    # adjacency (AQE does not reuse exchanges across its stages —
+    # measured, SCALE.md); per-round exchanges move the per-node
+    # rank frame and its aggregate, never the fact table
+    "graph_pagerank_top20",
+    "graph_adamic_adar_top20",
+    # pair counts (bounded <=21/order), item counts (catalog-sized),
+    # two-direction rule union, 1-row basket-count broadcast
+    "basket_association_rules",
 }
 
 
