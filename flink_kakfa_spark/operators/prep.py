@@ -512,3 +512,77 @@ def q_sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", rk.alias("rk"), "n_alloc")
         .filter(F.col("rk") <= F.col("n_alloc"))
     )
+
+
+@query(
+    "prep_winsorize_values",
+    oracle="""
+    WITH cuts AS (
+      SELECT event_type,
+             quantile_cont(value, 0.01) AS lo,
+             quantile_cont(value, 0.99) AS hi
+      FROM events GROUP BY event_type
+    ),
+    clipped AS (
+      SELECT e.event_type,
+             e.value,
+             LEAST(GREATEST(e.value, c.lo), c.hi) AS w,
+             c.lo, c.hi
+      FROM events e JOIN cuts c USING (event_type)
+    )
+    SELECT
+      event_type,
+      ROUND(MAX(lo), 6) AS p01,
+      ROUND(MAX(hi), 6) AS p99,
+      CAST(SUM(CASE WHEN value < lo THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_clipped_low,
+      CAST(SUM(CASE WHEN value > hi THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_clipped_high,
+      CAST(SUM(CAST(w AS DECIMAL(18,4))) AS DOUBLE) AS winsorized_sum
+    FROM clipped
+    GROUP BY event_type
+    """,
+)
+def q_prep_winsorize_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization report per event type: exact p01/p99 cut points,
+    how many values each tail clips, and the decimal-exact sum of the
+    clipped (winsorized) series — the outlier-robust normalization
+    step before features/metrics are computed over a long-tailed
+    value column (the apply-side sibling of the MAD/z-score gates,
+    which only FLAG outliers).
+
+    Scale: one exact-percentile aggregate per type (a |types|-row
+    relation broadcast back) and one narrow clipping pass — the fact
+    table never shuffles; the winsorized sum routes through DECIMAL
+    so it hashes identically at any partitioning. At lake scale the
+    exact percentiles swap for the mergeable histogram sketch
+    (``agg_hist_quantile_rollup``) without touching the clip logic.
+    """
+    ev = load_table(spark, "events", sf_dir)
+    cuts = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.01)).alias("lo"),
+        F.percentile("value", F.lit(0.99)).alias("hi"),
+    )
+    w = F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
+    return (
+        ev.join(F.broadcast(cuts), "event_type")
+        .select(
+            "event_type",
+            "value",
+            "lo",
+            "hi",
+            w.cast("decimal(18,4)").alias("w"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.round(F.max("lo"), 6).alias("p01"),
+            F.round(F.max("hi"), 6).alias("p99"),
+            F.sum(F.when(F.col("value") < F.col("lo"), 1).otherwise(0)).alias(
+                "n_clipped_low"
+            ),
+            F.sum(F.when(F.col("value") > F.col("hi"), 1).otherwise(0)).alias(
+                "n_clipped_high"
+            ),
+            F.sum("w").cast("double").alias("winsorized_sum"),
+        )
+    )

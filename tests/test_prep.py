@@ -199,3 +199,31 @@ def test_neyman_allocation_favors_high_variance_stratum(spark, tmp_path):
     for lang, picks in by_lang.items():
         assert len(picks) == picks[0]["n_alloc"]
     assert n_aa + n_bb <= 60  # floor allocation never overshoots
+
+
+def test_winsorize_clips_both_tails(spark, tmp_path):
+    """Values 1..100 (plus one spike at 10000) clip at exact p01/p99;
+    the winsorized sum equals the hand-computed clipped total."""
+    from pyspark.sql import Row
+
+    vals = [float(v) for v in range(1, 101)] + [10000.0]
+    rows = [
+        Row(event_id=i, ts=None, user_id=1, event_type="view", value=v,
+            props="{}")
+        for i, v in enumerate(vals)
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    from flink_kakfa_spark.registry import all_queries
+
+    [r] = all_queries()["prep_winsorize_values"](
+        spark, str(tmp_path)
+    ).collect()
+    lo, hi = r["p01"], r["p99"]
+    assert lo == 2.0  # quantile_cont(0.01) over 101 values
+    assert r["n_clipped_low"] == 1 and r["n_clipped_high"] == 1
+    expected = sum(min(max(v, lo), hi) for v in vals)
+    assert abs(r["winsorized_sum"] - expected) < 1e-6
