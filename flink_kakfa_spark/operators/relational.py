@@ -21,7 +21,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from flink_kakfa_spark.functions.numeric import davg, dsum, sql_davg, sql_dsum
@@ -772,4 +772,75 @@ def q_sql_explode_outer_keep_empty(spark: SparkSession, sf_dir: str) -> DataFram
     ).otherwise(F.slice(F.split(F.col("text"), " "), 1, 3))
     return d.select(
         "doc_id", F.explode_outer(toks).alias("tok")
+    )
+
+
+@query(
+    "agg_mode_priority_by_nation",
+    oracle="""
+    WITH counts AS (
+      SELECT n.n_name, o.o_orderpriority,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT n_name, o_orderpriority, cnt,
+             CAST(SUM(cnt) OVER (PARTITION BY n_name) AS BIGINT) AS n_orders,
+             ROW_NUMBER() OVER (
+               PARTITION BY n_name ORDER BY cnt DESC, o_orderpriority
+             ) AS rn
+      FROM counts
+    )
+    SELECT
+      n_name,
+      o_orderpriority AS mode_priority,
+      cnt AS mode_count,
+      n_orders,
+      ROUND(CAST(cnt AS DOUBLE) / n_orders, 6) AS mode_share
+    FROM ranked WHERE rn = 1
+    """,
+)
+def q_agg_mode_priority_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modal order priority per nation (the MODE() aggregate with a
+    deterministic lexicographic tie-break, which the bare built-in
+    doesn't guarantee) plus its share of the nation's orders.
+
+    Scale: one fact shuffle into the (nation, priority) counts (both
+    dims broadcast); the rank window runs over the |nations|·|priorities|
+    grid — KB forever.
+    """
+    o = load_table(spark, "orders", sf_dir)
+    c = load_table(spark, "customer", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+    counts = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    by_nation = Window.partitionBy("n_name")
+    rn = F.row_number().over(
+        by_nation.orderBy(F.desc("cnt"), "o_orderpriority")
+    )
+    return (
+        counts.select(
+            "n_name",
+            "o_orderpriority",
+            "cnt",
+            F.sum("cnt").over(by_nation).alias("n_orders"),
+            rn.alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "n_name",
+            F.col("o_orderpriority").alias("mode_priority"),
+            F.col("cnt").alias("mode_count"),
+            "n_orders",
+            F.round(
+                F.col("cnt").cast("double") / F.col("n_orders"), 6
+            ).alias("mode_share"),
+        )
     )

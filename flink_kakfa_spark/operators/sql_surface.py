@@ -244,3 +244,32 @@ def q_sql_lateral_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE doc_id % 100 = 0 AND word <> ''
         """,
     )
+
+
+@query(
+    "sql_star_except",
+    oracle="""
+    SELECT * EXCLUDE (o_totalprice, o_orderpriority)
+    FROM orders
+    WHERE o_orderstatus = 'F'
+    ORDER BY o_orderkey
+    LIMIT 20
+    """,
+)
+def q_sql_star_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``SELECT * EXCEPT (...)`` — the wide-table projection idiom
+    (drop a few columns from a 100-column table without naming the
+    other 97). Spark 4 spells it EXCEPT, DuckDB spells it EXCLUDE;
+    the resolved projection is identical, and column pruning still
+    reaches the scan (only the surviving columns are read).
+    """
+    load_table(spark, "orders", sf_dir).createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT * EXCEPT (o_totalprice, o_orderpriority)
+        FROM orders
+        WHERE o_orderstatus = 'F'
+        ORDER BY o_orderkey
+        LIMIT 20
+        """
+    )

@@ -175,8 +175,9 @@ _WINDOW_FRONT = [
 #   emb_covariance_stats, emb_power_iteration_top,
 #   anomaly_mad_events, basket_association_rules, emb_kmeans_portable,
 #   ts_dow_seasonality, search_trigram_parts,
-#   sample_neyman_allocation, prep_winsorize_values
-#   (75 total after the round-5 in-round additions)
+#   sample_neyman_allocation, prep_winsorize_values,
+#   agg_mode_priority_by_nation, sql_star_except
+#   (77 total after the round-5 in-round additions)
 # The remaining slots: any round-6 additions first, then backfill
 # with the oldest driver evidence (r1/r2 rows) for re-verification.
 # Update tests/test_000_smoke.py::DRIVER_WINDOW in the same commit.
