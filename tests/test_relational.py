@@ -195,3 +195,34 @@ def test_explode_outer_keeps_empty_arrays(spark, sf_dir):
             assert toks == [None], (doc_id, toks)
         else:
             assert len(toks) == 3 and None not in toks
+
+
+def test_mode_priority_tie_breaks_lexicographically(spark, tmp_path):
+    """Two priorities tied at 2 orders each: the lexicographically
+    smaller one must win deterministically."""
+    from pyspark.sql import Row
+
+    spark.createDataFrame(
+        [Row(n_nationkey=1, n_name="aa", n_regionkey=1)]
+    ).write.parquet(str(tmp_path / "nation.parquet"))
+    spark.createDataFrame(
+        [Row(c_custkey=1, c_name="c", c_nationkey=1, c_acctbal=0.0)]
+    ).write.parquet(str(tmp_path / "customer.parquet"))
+    orders = [
+        Row(o_orderkey=i, o_custkey=1, o_orderstatus="F",
+            o_totalprice=1.0, o_orderdate=None, o_orderpriority=p)
+        for i, p in enumerate(["2-HIGH", "2-HIGH", "1-URGENT", "1-URGENT", "3-LOW"])
+    ]
+    spark.createDataFrame(
+        orders,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate date, o_orderpriority string",
+    ).write.parquet(str(tmp_path / "orders.parquet"))
+    from flink_kakfa_spark.registry import all_queries
+
+    [r] = all_queries()["agg_mode_priority_by_nation"](
+        spark, str(tmp_path)
+    ).collect()
+    assert r["mode_priority"] == "1-URGENT"  # tie with 2-HIGH -> lexicographic
+    assert r["mode_count"] == 2 and r["n_orders"] == 5
+    assert r["mode_share"] == 0.4
