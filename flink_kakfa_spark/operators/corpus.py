@@ -525,3 +525,155 @@ def q_corpus_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pct_chars"),
         )
     )
+
+
+# Epoch-capped budget allocator (waterfilling) constants: spend 92 %
+# of corpus tokens, but no source may contribute more than 95 % of its
+# own tokens (its "epoch cap") — surplus re-flows to uncapped sources.
+_WF_BUDGET_PCT = 92
+_WF_CAP_PCT = 95
+_WF_ROUNDS = 4
+
+
+def _waterfill_oracle() -> str:
+    prev = "s0"
+    steps = []
+    for r in range(1, _WF_ROUNDS + 1):
+        steps.append(
+            f"""
+    t{r} AS (
+      SELECT
+        CAST((SELECT b FROM budget) - SUM(assigned) AS BIGINT) AS rem,
+        CAST(COALESCE(SUM(w) FILTER (WHERE NOT capped), 0) AS BIGINT)
+          AS wsum
+      FROM {prev}
+    ),
+    s{r} AS (
+      SELECT
+        s.source, s.avail, s.cap, s.w,
+        LEAST(s.cap,
+              s.assigned + CASE
+                WHEN NOT s.capped AND t.wsum > 0
+                THEN CAST(FLOOR(t.rem * CAST(s.w AS DOUBLE) / t.wsum)
+                          AS BIGINT)
+                ELSE 0 END) AS assigned,
+        LEAST(s.cap,
+              s.assigned + CASE
+                WHEN NOT s.capped AND t.wsum > 0
+                THEN CAST(FLOOR(t.rem * CAST(s.w AS DOUBLE) / t.wsum)
+                          AS BIGINT)
+                ELSE 0 END) >= s.cap AS capped
+      FROM {prev} s CROSS JOIN t{r} t
+    )"""
+        )
+        prev = f"s{r}"
+    return f"""
+    WITH src AS (
+      SELECT source,
+             CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS avail
+      FROM documents GROUP BY source
+    ),
+    budget AS (
+      SELECT CAST(FLOOR(SUM(avail) * {_WF_BUDGET_PCT} / 100.0) AS BIGINT)
+        AS b
+      FROM src
+    ),
+    s0 AS (
+      SELECT source, avail,
+             CAST(FLOOR(avail * {_WF_CAP_PCT} / 100.0) AS BIGINT) AS cap,
+             CAST(FLOOR(SQRT(avail) * 1000) AS BIGINT) AS w,
+             CAST(0 AS BIGINT) AS assigned,
+             FALSE AS capped
+      FROM src
+    ),{",".join(steps)}
+    SELECT
+      source,
+      avail AS avail_tokens,
+      cap AS cap_tokens,
+      assigned AS assigned_tokens,
+      ROUND(CAST(assigned AS DOUBLE) / avail, 4) AS epochs
+    FROM {prev}
+    ORDER BY source
+    """
+
+
+@query("corpus_epoch_capped_budget", oracle=_waterfill_oracle())
+def q_corpus_epoch_capped_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-capped token-budget allocation by waterfilling — the
+    re-flow step ``corpus_mixture_weights`` deliberately leaves to its
+    caller: temperature-flattened shares over-subscribe small sources
+    past their epoch cap, so each round caps the over-subscribed and
+    redistributes the surplus to the rest (the LLaMA/Pile mixing
+    recipe's "at most k epochs of any source" constraint).
+
+    K = {4} unrolled rounds: each round at least one source caps or
+    the budget is exhausted, so K bounds the cap cascade; any residue
+    after K rounds stays unallocated IDENTICALLY in both engines
+    (floor arithmetic over exact int64 token counts — the allocation
+    is bit-deterministic, unlike a float-share formulation whose
+    rounding order would drift).
+
+    Scale: ONE corpus scan builds the per-source token counts
+    (map-side-combined aggregate); the waterfilling itself iterates
+    over the |sources|-row relation — KB forever — materialized once
+    so the rounds never re-touch the corpus.
+    """
+    d = load_table(spark, "documents", sf_dir)
+    src = (
+        d.groupBy("source")
+        .agg(
+            F.sum(F.size(F.split("text", " "))).alias("avail")
+        )
+        # the rounds reference this tiny (|sources|-row) relation
+        # 2x per round — materialize once so plan duplication never
+        # re-runs the corpus scan (same rationale as linalg.py)
+        .localCheckpoint()
+    )
+    budget = src.agg(
+        F.floor(F.sum("avail") * _WF_BUDGET_PCT / 100.0)
+        .cast("long")
+        .alias("b")
+    )
+    state = src.crossJoin(F.broadcast(budget)).select(
+        "source",
+        "avail",
+        F.floor(F.col("avail") * _WF_CAP_PCT / 100.0).cast("long").alias("cap"),
+        F.floor(F.sqrt("avail") * 1000).cast("long").alias("w"),
+        F.lit(0).cast("long").alias("assigned"),
+        F.lit(False).alias("capped"),
+        "b",
+    )
+    for _ in range(_WF_ROUNDS):
+        tots = state.agg(
+            (F.max("b") - F.sum("assigned")).cast("long").alias("rem"),
+            F.coalesce(
+                F.sum(F.when(~F.col("capped"), F.col("w"))), F.lit(0)
+            )
+            .cast("long")
+            .alias("wsum"),
+        )
+        inc = F.when(
+            (~F.col("capped")) & (F.col("wsum") > 0),
+            F.floor(
+                F.col("rem") * F.col("w").cast("double") / F.col("wsum")
+            ).cast("long"),
+        ).otherwise(F.lit(0))
+        new_assigned = F.least(F.col("cap"), F.col("assigned") + inc)
+        state = state.crossJoin(F.broadcast(tots)).select(
+            "source",
+            "avail",
+            "cap",
+            "w",
+            new_assigned.alias("assigned"),
+            (new_assigned >= F.col("cap")).alias("capped"),
+            "b",
+        )
+    return state.select(
+        "source",
+        F.col("avail").alias("avail_tokens"),
+        F.col("cap").alias("cap_tokens"),
+        F.col("assigned").alias("assigned_tokens"),
+        F.round(
+            F.col("assigned").cast("double") / F.col("avail"), 4
+        ).alias("epochs"),
+    ).orderBy("source")

@@ -120,3 +120,47 @@ def test_dataset_card_shares_sum_to_100(spark, sf_dir):
     assert abs(sum(r["pct_chars"] for r in rows) - 100.0) < 0.01 * len(rows)
     for r in rows:
         assert r["total_tokens"] >= r["n_docs"]  # >=1 token per doc
+
+
+def test_waterfill_caps_bind_and_surplus_reflows(spark, tmp_path):
+    """One tiny source (caps immediately under the flattened share)
+    and one large: the tiny assigns exactly its cap, the surplus
+    re-flows to the large one, and the budget is never exceeded."""
+    from pyspark.sql import Row
+
+    docs = []
+    did = 0
+    for _ in range(2):  # tiny source: 2 docs x 10 tokens
+        docs.append(Row(doc_id=did, text=" ".join(["w"] * 10), lang="en",
+                        source="tiny", n_chars=10))
+        did += 1
+    for _ in range(40):  # large source: 40 docs x 10 tokens
+        docs.append(Row(doc_id=did, text=" ".join(["w"] * 10), lang="en",
+                        source="large", n_chars=10))
+        did += 1
+    spark.createDataFrame(docs).write.parquet(str(tmp_path / "documents.parquet"))
+    from flink_kakfa_spark.registry import all_queries
+
+    rows = {
+        r["source"]: r
+        for r in all_queries()["corpus_epoch_capped_budget"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    tiny, large = rows["tiny"], rows["large"]
+    # flattened share of the 386-token budget would be ~93 tokens for
+    # tiny (sqrt weighting) — far over its 19-token cap
+    assert tiny["assigned_tokens"] == tiny["cap_tokens"]
+    assert large["assigned_tokens"] > 0
+    total_avail = tiny["avail_tokens"] + large["avail_tokens"]
+    budget = total_avail * 92 // 100
+    assigned = tiny["assigned_tokens"] + large["assigned_tokens"]
+    assert assigned <= budget
+    # surplus re-flowed: large ends above its naive first-round share
+    import math
+
+    w_t = math.floor(math.sqrt(tiny["avail_tokens"]) * 1000)
+    w_l = math.floor(math.sqrt(large["avail_tokens"]) * 1000)
+    first_round_large = budget * w_l // (w_t + w_l)
+    assert large["assigned_tokens"] > first_round_large
+    assert rows["large"]["epochs"] <= 0.95

@@ -72,3 +72,53 @@ def test_asof_join_matches_naive_model(spark, left_ts, right_ts):
     for t in left_ts:
         prior = [rt for rt in right_ts if rt <= t]
         assert got[t] == (float(max(prior)) if prior else None)
+
+
+@given(
+    baskets=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=8),  # order key
+            st.lists(
+                st.integers(min_value=1, max_value=12),  # part keys
+                min_size=1,
+                max_size=7,
+            ),
+        ),
+        min_size=1,
+        max_size=10,
+    )
+)
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+def test_copurchase_inarray_pairs_equal_naive_self_join(spark, baskets):
+    """The in-array basket pair expansion (collect_set -> nested
+    transform/slice) must emit EXACTLY the distinct src<dst pairs of
+    the naive distinct-items self-join, for arbitrary baskets with
+    duplicate items and orders."""
+    from pyspark.sql import Row
+
+    from flink_kakfa_spark.operators.graph import _copurchase_edges
+
+    rows = [
+        Row(l_orderkey=ok, l_partkey=pk) for ok, parts in baskets for pk in parts
+    ]
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            rows, "l_orderkey long, l_partkey long"
+        ).write.parquet(f"{d}/lineitem.parquet")
+        got = {
+            (r["src"], r["dst"])
+            for r in _copurchase_edges(spark, d).collect()
+        }
+    merged: dict[int, set] = {}
+    for ok, parts in baskets:  # same order key twice = ONE basket
+        merged.setdefault(ok, set()).update(parts)
+    expected = set()
+    for ps_set in merged.values():
+        ps = sorted(ps_set)
+        for i in range(len(ps)):
+            for j in range(i + 1, len(ps)):
+                expected.add((ps[i], ps[j]))
+    # merge across orders (same pair in two orders counts once)
+    assert got == expected
