@@ -871,3 +871,76 @@ def q_search_trigram_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("jaccard"), "p_partkey")
         .limit(15)
     )
+
+
+_PATH_LEN = 5
+
+
+@query(
+    "path_top_sequences",
+    oracle=f"""
+    WITH r AS (
+      SELECT user_id, event_type,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    p AS (
+      SELECT user_id,
+             STRING_AGG(event_type, '>' ORDER BY rn) AS path
+      FROM r WHERE rn <= {_PATH_LEN}
+      GROUP BY user_id
+    )
+    SELECT path, CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM p
+    GROUP BY path
+    ORDER BY n_users DESC, path
+    LIMIT 20
+    """,
+)
+def q_path_top_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top onboarding paths: the 20 most common first-5
+    event sequences across users.
+
+    ``markov_event_transitions`` models adjacent pairs; this is the
+    full-sequence complement — the "what do users actually do first"
+    path-mining query behind every product-analytics flow chart.
+    Ordering inside a user is made total with the (ts, event_id)
+    tie-break used across this repo, so the path strings (and the
+    top-20 cut, totally ordered by (count DESC, path)) are
+    deterministic.
+
+    Scale: the row_number window and the per-user path aggregate
+    share ONE user_id exchange (same partitioning, Catalyst reuses
+    the Exchange); the path-frequency aggregate shuffles only the
+    short path strings (map-side combined), and the
+    top-20 is a TakeOrdered, never a global sort.
+    """
+    e = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    paths = (
+        e.select(
+            "user_id",
+            "event_type",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= _PATH_LEN)
+        .groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("rn", "event_type"))
+                    ),
+                    lambda x: x["event_type"],
+                ),
+                ">",
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy(F.desc("n_users"), "path")
+        .limit(20)
+    )

@@ -67,6 +67,7 @@ _QUERY_MODULES = [
     "flink_kakfa_spark.operators.curation",
     "flink_kakfa_spark.operators.graph",
     "flink_kakfa_spark.operators.linalg",
+    "flink_kakfa_spark.operators.reconcile",
 ]
 
 # ROUND-5 WINDOW ROTATION (executes the plan written here in round 4):
