@@ -1246,3 +1246,148 @@ def q_dedup_substring_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(run_len).cast("double") / F.max("n_tokens")
         ).alias("dup_token_fraction"),
     )
+
+
+# Prefix-filtered set-similarity join (PPJoin-style, Chaudhuri et al.
+# 2006 / Xiao et al. 2008 — public papers). Threshold as an exact
+# integer ratio so the match predicate is float-free.
+_PP_T_NUM, _PP_T_DEN = 9, 10  # Jaccard >= 0.9
+
+
+@query(
+    "dedup_jaccard_prefix_filter",
+    oracle=f"""
+    WITH tok AS (
+      SELECT DISTINCT doc_id,
+             UNNEST(list_distinct(string_split(text, ' '))) AS w
+      FROM documents
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS c
+      FROM tok a JOIN tok b ON a.w = b.w AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    hits AS (
+      SELECT p.da, p.db, p.c,
+             CAST(p.c AS DOUBLE) / (sa.n + sb.n - p.c) AS j
+      FROM pairs p
+      JOIN sizes sa ON p.da = sa.doc_id
+      JOIN sizes sb ON p.db = sb.doc_id
+      WHERE {_PP_T_DEN} * p.c >= {_PP_T_NUM} * (sa.n + sb.n - p.c)
+    )
+    SELECT
+      CAST(FLOOR(j * 20) AS BIGINT) AS bucket,
+      CAST(COUNT(*) AS BIGINT) AS n_pairs,
+      CAST(SUM(da + db) AS BIGINT) AS sum_keys
+    FROM hits
+    GROUP BY bucket
+    ORDER BY bucket
+    """,
+)
+def q_dedup_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT set-similarity self-join via prefix filtering (the
+    PPJoin family), reported as a per-similarity-bucket census so the
+    oracle checks the COMPLETE pair set, not a top-k slice.
+
+    Candidate generation indexes only each document's *prefix* — its
+    rarest ``n - ceil(t*n) + 1`` tokens under a global
+    (document-frequency, token) total order.  The prefix-filter
+    theorem guarantees any pair with Jaccard >= t shares at least one
+    prefix token, so pruning is lossless; exact verification then
+    intersects the full token arrays.  The threshold test is pure
+    integer arithmetic (``10*c >= 9*(na+nb-c)``) and the prefix
+    length uses integer ceil — no float boundary can drop a pair.
+
+    Scale vs the plain inverted index (``dedup_ngram_jaccard``):
+    prefix tokens are by construction each doc's RAREST tokens, so
+    the candidate join's buckets are small even when the vocabulary
+    has hot words — the classic trick that turns an O(sum df^2)
+    blow-up into near-linear candidate generation at corpus scale.
+    The token-frequency relation shuffles once on the word; candidate
+    pairs carry only (doc_a, doc_b); full arrays are joined back
+    per-doc (hash join on doc_id) for verification.
+    """
+    d = load_table(spark, "documents", sf_dir)
+    tok = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split("text", " "))).alias("w"),
+    )
+    freq = tok.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    # canonical rare-first token order per doc; arrays kept ONLY on
+    # the per-doc relation, never through the candidate shuffle
+    toks = (
+        tok.join(freq, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("df", "w"))),
+                lambda x: x["w"],
+            ).alias("ws")
+        )
+        .select("doc_id", "ws", F.size("ws").alias("n"))
+    )
+    # prefix len = n - ceil(t*n) + 1, integer ceil (a float ceil of
+    # 0.9*n can land one short at IEEE boundaries and drop pairs)
+    plen = (
+        F.col("n")
+        - F.floor(
+            (F.lit(_PP_T_NUM) * F.col("n") + F.lit(_PP_T_DEN - 1))
+            / F.lit(_PP_T_DEN)
+        ).cast("long")
+        + 1
+    )
+    pref = toks.select(
+        "doc_id", F.explode(F.slice("ws", 1, plen)).alias("w")
+    ).dropDuplicates(["doc_id", "w"])
+    cand = (
+        pref.alias("a")
+        .join(pref.alias("b"), "w")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db")
+        )
+        .dropDuplicates(["da", "db"])
+    )
+    sides = toks.select("doc_id", "ws", "n")
+    verified = (
+        cand.join(
+            sides.select(
+                F.col("doc_id").alias("da"),
+                F.col("ws").alias("wa"),
+                F.col("n").alias("na"),
+            ),
+            "da",
+        )
+        .join(
+            sides.select(
+                F.col("doc_id").alias("db"),
+                F.col("ws").alias("wb"),
+                F.col("n").alias("nb"),
+            ),
+            "db",
+        )
+        .select(
+            "da",
+            "db",
+            F.size(F.array_intersect("wa", "wb")).alias("c"),
+            "na",
+            "nb",
+        )
+        .filter(
+            F.lit(_PP_T_DEN) * F.col("c")
+            >= F.lit(_PP_T_NUM) * (F.col("na") + F.col("nb") - F.col("c"))
+        )
+    )
+    j = F.col("c").cast("double") / (F.col("na") + F.col("nb") - F.col("c"))
+    return (
+        verified.select(
+            "da", "db", F.floor(j * 20).cast("long").alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(F.col("da") + F.col("db")).cast("long").alias("sum_keys"),
+        )
+        .orderBy("bucket")
+    )

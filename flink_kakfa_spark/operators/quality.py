@@ -175,3 +175,149 @@ def q_quality_containment_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("containment"),
         )
     )
+
+
+
+_PSI_BINS = 10
+# Laplace smoothing so empty bins never hit ln(0): (c+1)/(n+BINS)
+_PSI_ORACLE = f"""
+    WITH v AS (
+      SELECT event_type, epoch_us(ts) AS us, value FROM events
+    ),
+    rng AS (
+      SELECT MIN(us) AS lo_us, MAX(us) AS hi_us,
+             MIN(value) AS lo_v, MAX(value) AS hi_v
+      FROM v
+    ),
+    binned AS (
+      SELECT
+        event_type,
+        CASE WHEN us <= lo_us + (hi_us - lo_us) // 2
+             THEN 'a' ELSE 'b' END AS period,
+        CASE WHEN hi_v = lo_v THEN 0
+             ELSE LEAST({_PSI_BINS - 1},
+                        CAST(FLOOR((value - lo_v) * {_PSI_BINS}.0
+                                   / (hi_v - lo_v)) AS BIGINT))
+        END AS bin
+      FROM v CROSS JOIN rng
+    ),
+    cell AS (
+      SELECT event_type, bin,
+             CAST(COALESCE(SUM(CASE WHEN period = 'a' THEN 1 END), 0)
+                  AS BIGINT) AS ca,
+             CAST(COALESCE(SUM(CASE WHEN period = 'b' THEN 1 END), 0)
+                  AS BIGINT) AS cb
+      FROM binned GROUP BY event_type, bin
+    ),
+    tot AS (
+      SELECT event_type,
+             CAST(SUM(ca) AS BIGINT) AS na,
+             CAST(SUM(cb) AS BIGINT) AS nb
+      FROM cell GROUP BY event_type
+    )
+    SELECT
+      c.event_type,
+      MAX(t.na) AS n_a,
+      MAX(t.nb) AS n_b,
+      ROUND(SUM(
+        (CAST(c.ca + 1 AS DOUBLE) / (t.na + {_PSI_BINS})
+         - CAST(c.cb + 1 AS DOUBLE) / (t.nb + {_PSI_BINS}))
+        * LN((CAST(c.ca + 1 AS DOUBLE) / (t.na + {_PSI_BINS}))
+             / (CAST(c.cb + 1 AS DOUBLE) / (t.nb + {_PSI_BINS})))
+      ), 6) AS psi,
+      CAST(CASE WHEN SUM(
+        (CAST(c.ca + 1 AS DOUBLE) / (t.na + {_PSI_BINS})
+         - CAST(c.cb + 1 AS DOUBLE) / (t.nb + {_PSI_BINS}))
+        * LN((CAST(c.ca + 1 AS DOUBLE) / (t.na + {_PSI_BINS}))
+             / (CAST(c.cb + 1 AS DOUBLE) / (t.nb + {_PSI_BINS})))
+      ) > 0.2 THEN 1 ELSE 0 END AS BIGINT) AS drifted
+    FROM cell c JOIN tot t USING (event_type)
+    GROUP BY c.event_type
+    ORDER BY c.event_type
+"""
+
+
+@query("drift_psi_report", oracle=_PSI_ORACLE)
+def q_drift_psi_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-Stability-Index drift report per event type.
+
+    The standard ML-monitoring question: did the ``value``
+    distribution shift between the first and second half of the
+    stream?  Rows are equal-width-binned over the global value range,
+    per-(type, period, bin) counts become Laplace-smoothed shares,
+    and PSI = sum((p - q) * ln(p/q)) with the conventional 0.2 alert
+    threshold.  Every arithmetic step (integer halving for the time
+    split, one shared float expression for the bin) is written
+    identically in both engines, so the report is value-exact.
+
+    Scale: ONE narrow pass bins the fact table (the 1-row global
+    range is broadcast), then a (type, bin)-keyed map-side-combined
+    count — at most |types| x |bins| cells — carries all further
+    math; nothing per-row ever shuffles.  The same shape works as a
+    foreachBatch monitor on the streaming side.
+    """
+    e = load_table(spark, "events", sf_dir)
+    v = e.select(
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+        "value",
+    )
+    rng = v.agg(
+        F.min("us").alias("lo_us"),
+        F.max("us").alias("hi_us"),
+        F.min("value").alias("lo_v"),
+        F.max("value").alias("hi_v"),
+    )
+    b = _PSI_BINS
+    binned = v.crossJoin(F.broadcast(rng)).select(
+        "event_type",
+        F.when(
+            F.col("us")
+            <= F.col("lo_us")
+            + F.floor((F.col("hi_us") - F.col("lo_us")) / 2).cast("long"),
+            F.lit("a"),
+        )
+        .otherwise(F.lit("b"))
+        .alias("period"),
+        F.when(F.col("hi_v") == F.col("lo_v"), F.lit(0).cast("long"))
+        .otherwise(
+            F.least(
+                F.lit(b - 1).cast("long"),
+                F.floor(
+                    (F.col("value") - F.col("lo_v"))
+                    * float(b)
+                    / (F.col("hi_v") - F.col("lo_v"))
+                ).cast("long"),
+            )
+        )
+        .alias("bin"),
+    )
+    cell = binned.groupBy("event_type", "bin").agg(
+        F.coalesce(F.sum(F.when(F.col("period") == "a", 1)), F.lit(0))
+        .cast("long")
+        .alias("ca"),
+        F.coalesce(F.sum(F.when(F.col("period") == "b", 1)), F.lit(0))
+        .cast("long")
+        .alias("cb"),
+    )
+    tot = cell.groupBy("event_type").agg(
+        F.sum("ca").cast("long").alias("na"),
+        F.sum("cb").cast("long").alias("nb"),
+    )
+    p = (F.col("ca") + 1).cast("double") / (F.col("na") + b)
+    q = (F.col("cb") + 1).cast("double") / (F.col("nb") + b)
+    term = (p - q) * F.log(p / q)
+    return (
+        cell.join(tot, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max("na").alias("n_a"),
+            F.max("nb").alias("n_b"),
+            F.round(F.sum(term), 6).alias("psi"),
+            F.when(F.sum(term) > 0.2, F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("drifted"),
+        )
+        .orderBy("event_type")
+    )
