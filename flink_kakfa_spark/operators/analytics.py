@@ -944,3 +944,103 @@ def q_path_top_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_users"), "path")
         .limit(20)
     )
+
+
+_RRF_K = 60
+
+
+def _rrf_oracle() -> str:
+    lex_inner = _bm25_oracle().strip().rstrip()
+    # reuse the BM25 oracle verbatim as a ranked subquery, and the
+    # cosine oracle shape from similarity.py as the dense ranker
+    return f"""
+    WITH lex0 AS ({lex_inner}),
+    lex AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rl
+      FROM lex0
+    ),
+    q AS (
+      SELECT CAST(embedding AS DOUBLE[]) AS qvec
+      FROM embeddings WHERE vec_id = 0
+    ),
+    dense0 AS (
+      SELECT e.vec_id,
+             ROUND(list_cosine_similarity(
+               CAST(e.embedding AS DOUBLE[]), q.qvec), 6) AS cos_sim
+      FROM embeddings e, q
+      WHERE e.vec_id <> 0
+      ORDER BY cos_sim DESC, e.vec_id ASC
+      LIMIT 10
+    ),
+    dense AS (
+      SELECT vec_id,
+             ROW_NUMBER() OVER (ORDER BY cos_sim DESC, vec_id) AS rd
+      FROM dense0
+    )
+    SELECT
+      COALESCE(l.doc_id, d.vec_id) AS doc_id,
+      CAST(l.rl AS BIGINT) AS lex_rank,
+      CAST(d.rd AS BIGINT) AS dense_rank,
+      ROUND(COALESCE(1.0 / ({_RRF_K} + l.rl), 0)
+            + COALESCE(1.0 / ({_RRF_K} + d.rd), 0), 6) AS rrf
+    FROM lex l FULL OUTER JOIN dense d ON l.doc_id = d.vec_id
+    ORDER BY rrf DESC, doc_id
+    LIMIT 10
+    """
+
+
+@query("rag_hybrid_rrf_topk", oracle=_rrf_oracle())
+def q_rag_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 (lexical) and cosine (dense) top-10
+    lists fused by Reciprocal Rank Fusion (Cormack et al. 2009,
+    rrf = Σ 1/(60 + rank)) — the standard modern search stack, built
+    by COMPOSING two registered rankers: ``rag_bm25_topk`` over
+    ``documents`` and ``sim_cosine_topk`` over the id-aligned
+    ``embeddings`` table.
+
+    Ranks are assigned over each ranker's rounded scores with the
+    repo-wide (score DESC, id) tie-break, and the fused score is the
+    same rational sum in both engines, so the fusion is value-exact.
+    A doc ranked by only one side keeps that side's contribution
+    (COALESCE 0) and a NULL rank column — exactly DuckDB's FULL
+    OUTER semantics.
+
+    Scale: each ranker is already lake-scale (BM25: two token-keyed
+    exchanges; cosine: broadcast query + TakeOrdered); the fusion
+    itself joins two 10-row lists — driver-side-free and constant
+    cost regardless of corpus size.
+    """
+    from pyspark.sql import Window as W
+
+    from flink_kakfa_spark.operators.similarity import q_sim_cosine_topk
+
+    lex = q_rag_bm25_topk(spark, sf_dir).select(
+        "doc_id",
+        F.row_number()
+        .over(W.orderBy(F.desc("score"), "doc_id"))
+        .cast("long")
+        .alias("rl"),
+    )
+    dense = q_sim_cosine_topk(spark, sf_dir).select(
+        F.col("vec_id"),
+        F.row_number()
+        .over(W.orderBy(F.desc("cos_sim"), "vec_id"))
+        .cast("long")
+        .alias("rd"),
+    )
+    fused = lex.join(dense, lex["doc_id"] == dense["vec_id"], "full_outer")
+    return (
+        fused.select(
+            F.coalesce(F.col("doc_id"), F.col("vec_id")).alias("doc_id"),
+            F.col("rl").alias("lex_rank"),
+            F.col("rd").alias("dense_rank"),
+            F.round(
+                F.coalesce(1.0 / (_RRF_K + F.col("rl")), F.lit(0.0))
+                + F.coalesce(1.0 / (_RRF_K + F.col("rd")), F.lit(0.0)),
+                6,
+            ).alias("rrf"),
+        )
+        .orderBy(F.desc("rrf"), "doc_id")
+        .limit(10)
+    )

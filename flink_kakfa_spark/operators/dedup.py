@@ -1300,13 +1300,19 @@ def q_dedup_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame
     length uses integer ceil — no float boundary can drop a pair.
 
     Scale vs the plain inverted index (``dedup_ngram_jaccard``):
-    prefix tokens are by construction each doc's RAREST tokens, so
-    the candidate join's buckets are small even when the vocabulary
-    has hot words — the classic trick that turns an O(sum df^2)
-    blow-up into near-linear candidate generation at corpus scale.
-    The token-frequency relation shuffles once on the word; candidate
-    pairs carry only (doc_a, doc_b); full arrays are joined back
-    per-doc (hash join on doc_id) for verification.
+    EXACT-COLLAPSE FIRST — identical token sets (the dominant case in
+    a dup-heavy crawl) collapse to one representative per canonical
+    digest, and both the within-group (J = 1) and cross-group pair
+    censuses expand back in CLOSED FORM (a group of g docs holds
+    g·(g−1)/2 pairs with key-sum (g−1)·Σids; groups A,B contribute
+    |A|·|B| pairs at the representatives' Jaccard), so replicas never
+    reach the pair join at all — the factorization that kept
+    ``dedup_near_unique`` linear on the 10× dup-heavy corpus.  Among
+    representatives, prefix tokens are by construction each doc's
+    RAREST tokens, so the candidate join's buckets stay small even
+    under hot vocabulary; candidate pairs carry only the two
+    representative ids, and full arrays join back per-group for
+    verification.
     """
     d = load_table(spark, "documents", sf_dir)
     tok = d.select(
@@ -1327,6 +1333,27 @@ def q_dedup_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .select("doc_id", "ws", F.size("ws").alias("n"))
     )
+    # identical token sets share the canonical array, hence the digest
+    groups = (
+        toks.withColumn("digest", F.md5(F.array_join("ws", "\x1f")))
+        .groupBy("digest")
+        .agg(
+            F.count(F.lit(1)).alias("g"),
+            F.sum("doc_id").cast("long").alias("sum_ids"),
+            F.min("doc_id").alias("rep"),
+            F.first("ws").alias("ws"),
+            F.first("n").alias("n"),
+        )
+        # consumed 4x (within-census, prefix index, both verify
+        # sides); AQE never reuses exchanges across stages, so
+        # materialize once (SCALE.md-measured posture)
+        .localCheckpoint()
+    )
+    within = groups.filter(F.col("g") > 1).select(
+        F.lit(20).cast("long").alias("bucket"),
+        F.expr("(g * (g - 1)) DIV 2").alias("n_pairs"),
+        ((F.col("g") - 1) * F.col("sum_ids")).cast("long").alias("sum_keys"),
+    )
     # prefix len = n - ceil(t*n) + 1, integer ceil (a float ceil of
     # 0.9*n can land one short at IEEE boundaries and drop pairs)
     plen = (
@@ -1337,42 +1364,44 @@ def q_dedup_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame
         ).cast("long")
         + 1
     )
-    pref = toks.select(
-        "doc_id", F.explode(F.slice("ws", 1, plen)).alias("w")
-    ).dropDuplicates(["doc_id", "w"])
+    pref = groups.select("rep", F.explode(F.slice("ws", 1, plen)).alias("w"))
     cand = (
         pref.alias("a")
         .join(pref.alias("b"), "w")
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db")
-        )
+        .filter(F.col("a.rep") < F.col("b.rep"))
+        .select(F.col("a.rep").alias("da"), F.col("b.rep").alias("db"))
         .dropDuplicates(["da", "db"])
     )
-    sides = toks.select("doc_id", "ws", "n")
+    sides = groups.select("rep", "ws", "n", "g", "sum_ids")
     verified = (
         cand.join(
             sides.select(
-                F.col("doc_id").alias("da"),
+                F.col("rep").alias("da"),
                 F.col("ws").alias("wa"),
                 F.col("n").alias("na"),
+                F.col("g").alias("ga"),
+                F.col("sum_ids").alias("sa"),
             ),
             "da",
         )
         .join(
             sides.select(
-                F.col("doc_id").alias("db"),
+                F.col("rep").alias("db"),
                 F.col("ws").alias("wb"),
                 F.col("n").alias("nb"),
+                F.col("g").alias("gb"),
+                F.col("sum_ids").alias("sb"),
             ),
             "db",
         )
         .select(
-            "da",
-            "db",
             F.size(F.array_intersect("wa", "wb")).alias("c"),
             "na",
             "nb",
+            "ga",
+            "gb",
+            "sa",
+            "sb",
         )
         .filter(
             F.lit(_PP_T_DEN) * F.col("c")
@@ -1380,14 +1409,19 @@ def q_dedup_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame
         )
     )
     j = F.col("c").cast("double") / (F.col("na") + F.col("nb") - F.col("c"))
+    cross = verified.select(
+        F.floor(j * 20).cast("long").alias("bucket"),
+        (F.col("ga") * F.col("gb")).cast("long").alias("n_pairs"),
+        (F.col("gb") * F.col("sa") + F.col("ga") * F.col("sb"))
+        .cast("long")
+        .alias("sum_keys"),
+    )
     return (
-        verified.select(
-            "da", "db", F.floor(j * 20).cast("long").alias("bucket")
-        )
+        within.unionByName(cross)
         .groupBy("bucket")
         .agg(
-            F.count(F.lit(1)).alias("n_pairs"),
-            F.sum(F.col("da") + F.col("db")).cast("long").alias("sum_keys"),
+            F.sum("n_pairs").cast("long").alias("n_pairs"),
+            F.sum("sum_keys").cast("long").alias("sum_keys"),
         )
         .orderBy("bucket")
     )

@@ -303,3 +303,87 @@ def q_join_part_supplier_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_items"),
         )
     )
+
+
+# Interval-lookup tiers: [lo, hi) over events.value, integer bounds.
+# A literal dim (the IP-geo / price-band shape) shared verbatim with
+# the oracle.
+_TIERS = [
+    ("micro", 0, 1),
+    ("tiny", 1, 5),
+    ("small", 5, 20),
+    ("mid", 20, 75),
+    ("large", 75, 150),
+    ("xl", 150, 300),
+    ("jumbo", 300, 500),
+]
+_TIER_BIN = 25  # bin width for the equi-join rewrite
+
+
+def _tier_values_sql() -> str:
+    return ", ".join(f"('{t}', {lo}, {hi})" for t, lo, hi in _TIERS)
+
+
+@query(
+    "join_interval_lookup_binned",
+    oracle=f"""
+    WITH tiers(tier, lo, hi) AS (VALUES {_tier_values_sql()})
+    SELECT
+      t.tier,
+      CAST(COUNT(*) AS BIGINT) AS n_events,
+      CAST(SUM(CAST(e.value AS DECIMAL(18,4))) AS DECIMAL(18,4))
+        AS sum_value
+    FROM events e JOIN tiers t
+      ON e.value >= t.lo AND e.value < t.hi
+    GROUP BY t.tier
+    ORDER BY t.tier
+    """,
+)
+def q_join_interval_lookup_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval containment lookup (the IP-geolocation / price-band
+    join) compiled to a broadcast EQUI-join via bin expansion.
+
+    The naive formulation — ``fact JOIN dim ON v BETWEEN lo AND hi``
+    — has no equi-key, so Spark plans BroadcastNestedLoopJoin: every
+    row probes every interval, O(n·m) compare work and no codegen
+    hash path.  The rewrite expands each interval into the fixed-width
+    bins it covers (``lo DIV {_TIER_BIN} .. (hi-1) DIV {_TIER_BIN}``,
+    a few rows per tier), broadcasts that, equi-joins the fact on
+    ``floor(value / {_TIER_BIN})``, and re-checks the exact bounds
+    after the hash match.  Same result, but the probe is one hash
+    lookup per row — the standard trick that keeps interval lookups
+    linear at 100 TB (and the bin width is the knob trading dim
+    expansion against false-positive filter work).
+
+    The value sum routes through DECIMAL(18,4) on both engines so the
+    per-tier totals are bit-identical under any partitioning.
+    """
+    e = load_table(spark, "events", sf_dir)
+    tiers = spark.createDataFrame(_TIERS, "tier string, lo long, hi long")
+    bins = tiers.select(
+        "tier",
+        "lo",
+        "hi",
+        F.explode(
+            F.sequence(
+                F.expr(f"lo DIV {_TIER_BIN}"),
+                F.expr(f"(hi - 1) DIV {_TIER_BIN}"),
+            )
+        ).alias("bin"),
+    )
+    matched = e.join(
+        broadcast(bins),
+        (F.floor(F.col("value") / _TIER_BIN).cast("long") == F.col("bin"))
+        & (F.col("value") >= F.col("lo"))
+        & (F.col("value") < F.col("hi")),
+    )
+    return (
+        matched.groupBy("tier")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)"))
+            .cast("decimal(18,4)")
+            .alias("sum_value"),
+        )
+        .orderBy("tier")
+    )
