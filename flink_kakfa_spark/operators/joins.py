@@ -331,8 +331,8 @@ def _tier_values_sql() -> str:
     SELECT
       t.tier,
       CAST(COUNT(*) AS BIGINT) AS n_events,
-      CAST(SUM(CAST(e.value AS DECIMAL(18,4))) AS DECIMAL(18,4))
-        AS sum_value
+      CAST(CAST(SUM(CAST(e.value AS DECIMAL(18,4))) AS DECIMAL(18,4))
+           AS DOUBLE) AS sum_value
     FROM events e JOIN tiers t
       ON e.value >= t.lo AND e.value < t.hi
     GROUP BY t.tier
@@ -383,6 +383,7 @@ def q_join_interval_lookup_binned(spark: SparkSession, sf_dir: str) -> DataFrame
             F.count(F.lit(1)).alias("n_events"),
             F.sum(F.col("value").cast("decimal(18,4)"))
             .cast("decimal(18,4)")
+            .cast("double")
             .alias("sum_value"),
         )
         .orderBy("tier")

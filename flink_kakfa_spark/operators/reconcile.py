@@ -140,7 +140,8 @@ def q_reconcile_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
       change_type,
       CAST(COUNT(*) AS BIGINT) AS n_rows,
       CAST(SUM(k) AS BIGINT) AS sum_key,
-      CAST(SUM(price_delta) AS DECIMAL(18,2)) AS sum_price_delta
+      CAST(CAST(SUM(price_delta) AS DECIMAL(18,2)) AS DOUBLE)
+        AS sum_price_delta
     FROM d
     GROUP BY change_type
     ORDER BY change_type
@@ -216,7 +217,10 @@ def q_reconcile_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
             F.sum("k").cast("long").alias("sum_key"),
-            F.sum("price_delta").cast("decimal(18,2)").alias("sum_price_delta"),
+            F.sum("price_delta")
+            .cast("decimal(18,2)")
+            .cast("double")
+            .alias("sum_price_delta"),
         )
         .orderBy("change_type")
     )

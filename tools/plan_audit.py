@@ -64,6 +64,14 @@ ALLOWED_QUADRATIC = {
     # single-partition window)
     "profile_equidepth_price",
     "pipeline_curriculum_order",
+    # 1-row budget / per-round remaining-total broadcasts onto the
+    # |sources|-row waterfilling state (corpus itself never re-joined)
+    "corpus_epoch_capped_budget",
+    # 1-row global (min,max) range broadcast onto the binning pass
+    "drift_psi_report",
+    # inherits sim_cosine_topk's 1-row query-vector broadcast; the
+    # fusion join itself is two 10-row lists
+    "rag_hybrid_rrf_topk",
 }
 ALLOWED_PYTHON = {
     "mm_decode_frames", "mm_extract_features", "sim_cosine_topk_pandas",
@@ -140,6 +148,15 @@ ALLOWED_SMALL_SIDE_SHUFFLES = {
     # pair counts (bounded <=21/order), item counts (catalog-sized),
     # two-direction rule union, 1-row basket-count broadcast
     "basket_association_rules",
+    # the corpus shuffles ONCE (per-source token totals, map-side
+    # combined to |sources| rows); the 4 unrolled waterfilling rounds
+    # iterate that KB-sized localCheckpoint-ed state — every further
+    # exchange moves <=|sources| rows or a 1-row remaining-total
+    "corpus_epoch_capped_budget",
+    # the fact shuffles ONCE into (type, bin) cells (map-side
+    # combined); totals/PSI/ordering exchanges move <=|types|x|bins|
+    # rows
+    "drift_psi_report",
 }
 
 
