@@ -74,6 +74,11 @@ HEADLINE = [
     # full graph family is tracked in SCALE.md)
     "graph_pagerank_top20",     # iterative integer PageRank: k single-shuffle rounds
     "dedup_substring_runs",     # duplicated-window runs: digest shuffles + islands window
+    # round-5 second-session additions
+    "dedup_jaccard_prefix_filter",  # exact PPJoin: collapse-first + prefix + size filter
+    "rag_hybrid_rrf_topk",      # BM25 + dense RRF fusion (composes two rankers)
+    "drift_psi_report",         # PSI drift monitor: one binning pass + cell math
+    "reconcile_table_checksum", # order-independent manifest: one narrow pass
 ]
 
 

@@ -177,8 +177,12 @@ _WINDOW_FRONT = [
 #   anomaly_mad_events, basket_association_rules, emb_kmeans_portable,
 #   ts_dow_seasonality, search_trigram_parts,
 #   sample_neyman_allocation, prep_winsorize_values,
-#   agg_mode_priority_by_nation, sql_star_except
-#   (77 total after the round-5 in-round additions)
+#   agg_mode_priority_by_nation, sql_star_except,
+#   corpus_epoch_capped_budget, reconcile_table_checksum,
+#   reconcile_snapshot_diff, path_top_sequences, drift_psi_report,
+#   dedup_jaccard_prefix_filter, rag_hybrid_rrf_topk,
+#   join_interval_lookup_binned
+#   (85 total after the round-5 second-session additions)
 # The remaining slots: any round-6 additions first, then backfill
 # with the oldest driver evidence (r1/r2 rows) for re-verification.
 # Update tests/test_000_smoke.py::DRIVER_WINDOW in the same commit.
