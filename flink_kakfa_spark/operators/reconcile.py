@@ -43,6 +43,34 @@ _DUCK_ROW = (
 )
 
 
+def manifest_partial(orders: DataFrame) -> DataFrame:
+    """Per-shard (n_rows, sum_hash, xor_hash) partial manifest of an
+    ``orders``-shaped relation — the mergeable unit: partials from any
+    row-disjoint split combine by SUM/SUM/BIT_XOR to the full-table
+    manifest (the streaming monitor maintains exactly this)."""
+    row_str = F.concat_ws(
+        "|",
+        F.col("o_orderkey"),
+        F.col("o_custkey"),
+        F.col("o_orderstatus"),
+        F.col("o_orderpriority"),
+        F.col("o_totalprice").cast("decimal(18,2)").cast("string"),
+        F.date_format("o_orderdate", "yyyy-MM-dd"),
+    )
+    return (
+        orders.select(
+            (F.col("o_orderkey") % _N_SHARDS).cast("long").alias("shard"),
+            _md5_32(row_str).alias("row_hash"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("row_hash").cast("long").alias("sum_hash"),
+            F.expr("bit_xor(row_hash)").cast("long").alias("xor_hash"),
+        )
+    )
+
+
 @query(
     "reconcile_table_checksum",
     oracle=f"""
@@ -80,28 +108,7 @@ def q_reconcile_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     variant would be one substitution for skewed keys.
     """
     o = load_table(spark, "orders", sf_dir)
-    row_str = F.concat_ws(
-        "|",
-        F.col("o_orderkey"),
-        F.col("o_custkey"),
-        F.col("o_orderstatus"),
-        F.col("o_orderpriority"),
-        F.col("o_totalprice").cast("decimal(18,2)").cast("string"),
-        F.date_format("o_orderdate", "yyyy-MM-dd"),
-    )
-    return (
-        o.select(
-            (F.col("o_orderkey") % _N_SHARDS).cast("long").alias("shard"),
-            _md5_32(row_str).alias("row_hash"),
-        )
-        .groupBy("shard")
-        .agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            F.sum("row_hash").cast("long").alias("sum_hash"),
-            F.expr("bit_xor(row_hash)").cast("long").alias("xor_hash"),
-        )
-        .orderBy("shard")
-    )
+    return manifest_partial(o).orderBy("shard")
 
 
 @query(

@@ -1,0 +1,194 @@
+"""Streaming twins of the reconciliation / drift operators: a
+continuously-maintained table-checksum manifest and a per-batch PSI
+drift monitor.
+
+The reference's consumer only logs what arrives
+(``go/consumer/consumer.go:79-81``); the first two production
+questions about such a feed are "does the landed copy still equal the
+source?" and "has the distribution shifted?". Both batch answers
+(``operators/reconcile.py::reconcile_table_checksum``,
+``operators/quality.py::drift_psi_report``) are built from mergeable
+pieces, so they stream for free:
+
+- The checksum manifest's accumulators (COUNT / SUM / BIT_XOR of row
+  hashes) are commutative and associative, so per-micro-batch partial
+  manifests written to ``batch_id=N`` subdirectories merge to the
+  exact full-table manifest at read time. Replaying a batch after a
+  crash overwrites its own subdirectory — exactly-once at the table
+  level without coordination.
+- PSI against a FIXED reference window (the production monitoring
+  shape: baseline vs live traffic) needs only the reference's bin
+  layout and smoothed shares, both broadcast-sized.
+
+Scale notes: each micro-batch does one narrow pass + a map-side
+combined aggregate into |shards| or |types|x|bins| rows; the state on
+disk grows by KBs per batch regardless of stream volume.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_kakfa_spark.operators.reconcile import manifest_partial
+
+PSI_BINS = 10
+PSI_ALERT = 0.2
+
+
+def streaming_checksum_manifest(orders: DataFrame, path: str, checkpoint: str):
+    """Maintain the sharded table-checksum manifest over an orders
+    stream; returns the StreamingQuery.
+
+    Each micro-batch writes ITS OWN partial manifest under
+    ``{path}/batch_id=N`` with overwrite — idempotent under crash
+    replay. ``read_manifest`` folds the partials; because the
+    accumulators commute, the result equals the batch operator run
+    over the union of all rows ever streamed.
+    """
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            manifest_partial(batch_df)
+            .write.mode("overwrite")
+            .parquet(f"{path}/batch_id={batch_id}")
+        )
+
+    return (
+        orders.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_manifest(spark: SparkSession, path: str) -> DataFrame:
+    """Fold the per-batch partials to the current full manifest."""
+    return (
+        spark.read.parquet(f"{path}/batch_id=*")
+        .groupBy("shard")
+        .agg(
+            F.sum("n_rows").cast("long").alias("n_rows"),
+            F.sum("sum_hash").cast("long").alias("sum_hash"),
+            F.expr("bit_xor(xor_hash)").cast("long").alias("xor_hash"),
+        )
+        .orderBy("shard")
+    )
+
+
+def reference_profile(reference: DataFrame) -> DataFrame:
+    """Per-(event_type, bin) Laplace-smoothed reference shares plus the
+    bin layout (global value range of the reference window).
+
+    Tiny by construction (|types| x PSI_BINS rows) — computed once
+    from the baseline window and broadcast into every micro-batch.
+    """
+    rng = reference.agg(
+        F.min("value").alias("lo_v"), F.max("value").alias("hi_v")
+    )
+    binned = reference.crossJoin(F.broadcast(rng)).select(
+        "event_type", F.col("lo_v"), F.col("hi_v"), _bin_expr().alias("bin")
+    )
+    cell = binned.groupBy("event_type", "bin").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    tot = cell.groupBy("event_type").agg(F.sum("c").alias("n_ref"))
+    # dense (type x bin) grid so bins empty in the reference still
+    # carry their smoothed floor when the live side hits them
+    bins = reference.sparkSession.range(PSI_BINS).select(
+        F.col("id").cast("long").alias("bin")
+    )
+    grid = tot.crossJoin(F.broadcast(bins)).crossJoin(F.broadcast(rng))
+    return grid.join(cell, ["event_type", "bin"], "left").select(
+        "event_type",
+        "bin",
+        "lo_v",
+        "hi_v",
+        (
+            (F.coalesce(F.col("c"), F.lit(0)) + 1).cast("double")
+            / (F.col("n_ref") + PSI_BINS)
+        ).alias("p_ref"),
+    )
+
+
+def _bin_expr():
+    b = PSI_BINS
+    return (
+        F.when(F.col("hi_v") == F.col("lo_v"), F.lit(0).cast("long"))
+        .otherwise(
+            F.least(
+                F.lit(b - 1).cast("long"),
+                F.greatest(
+                    F.lit(0).cast("long"),
+                    F.floor(
+                        (F.col("value") - F.col("lo_v"))
+                        * float(b)
+                        / (F.col("hi_v") - F.col("lo_v"))
+                    ).cast("long"),
+                ),
+            )
+        )
+    )
+
+
+def psi_report(batch_df: DataFrame, profile: DataFrame) -> DataFrame:
+    """PSI of one batch against the reference profile, per event type.
+
+    Live values are binned with the REFERENCE's layout (out-of-range
+    values clamp into the edge bins — exactly how a production monitor
+    treats novel mass) and compared with the smoothed reference
+    shares: psi = sum((q - p) * ln(q / p)).
+    """
+    layout = profile.select("event_type", "lo_v", "hi_v").distinct()
+    binned = batch_df.join(F.broadcast(layout), "event_type").select(
+        "event_type", _bin_expr().alias("bin")
+    )
+    cell = binned.groupBy("event_type", "bin").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    tot = cell.groupBy("event_type").agg(F.sum("c").alias("n_batch"))
+    q = (
+        (F.coalesce(F.col("c"), F.lit(0)) + 1).cast("double")
+        / (F.col("n_batch") + PSI_BINS)
+    )
+    term = (q - F.col("p_ref")) * F.log(q / F.col("p_ref"))
+    return (
+        profile.join(cell, ["event_type", "bin"], "left")
+        .join(tot, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max("n_batch").cast("long").alias("n_batch"),
+            F.round(F.sum(term), 6).alias("psi"),
+            F.when(F.sum(term) > PSI_ALERT, F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("drifted"),
+        )
+    )
+
+
+def streaming_psi_monitor(
+    events: DataFrame, profile: DataFrame, path: str, checkpoint: str
+):
+    """Append one PSI report per (micro-batch, event type) to a
+    Parquet log; returns the StreamingQuery.
+
+    The report write is keyed by ``batch_id`` (overwrite of the
+    batch's own subdirectory), so crash replay is idempotent.
+    """
+    prof = profile.localCheckpoint()  # tiny; pin so every batch reuses it
+
+    def score(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            psi_report(batch_df, prof)
+            .withColumn("batch_id", F.lit(batch_id).cast("long"))
+            .write.mode("overwrite")
+            .parquet(f"{path}/batch_id={batch_id}")
+        )
+
+    return (
+        events.writeStream.foreachBatch(score)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1,0 +1,144 @@
+"""Streaming monitors: incremental checksum manifest and PSI drift."""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from flink_kakfa_spark.registry import all_queries
+from flink_kakfa_spark.streaming.monitors import (
+    PSI_BINS,
+    psi_report,
+    read_manifest,
+    reference_profile,
+    streaming_checksum_manifest,
+    streaming_psi_monitor,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_streamed_manifest_equals_batch_manifest(spark, tmp_path):
+    """Stream the orders fixture file-by-file; the folded manifest
+    must equal the batch operator's (commutativity end-to-end)."""
+    src = tmp_path / "src"
+    (
+        spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        .repartition(3)
+        .write.parquet(str(src))
+    )
+    stream = (
+        spark.readStream.schema(
+            spark.read.parquet(str(src)).schema
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = streaming_checksum_manifest(
+        stream, str(tmp_path / "manifest"), str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+    got = {
+        r["shard"]: (r["n_rows"], r["sum_hash"], r["xor_hash"])
+        for r in read_manifest(spark, str(tmp_path / "manifest")).collect()
+    }
+    want = {
+        r["shard"]: (r["n_rows"], r["sum_hash"], r["xor_hash"])
+        for r in all_queries()["reconcile_table_checksum"](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert got == want
+    # crash replay: restarting with the same checkpoint and no new
+    # data must not change the manifest (per-batch overwrite)
+    q2 = streaming_checksum_manifest(
+        stream, str(tmp_path / "manifest"), str(tmp_path / "ckpt")
+    )
+    q2.awaitTermination(120)
+    got2 = {
+        r["shard"]: (r["n_rows"], r["sum_hash"], r["xor_hash"])
+        for r in read_manifest(spark, str(tmp_path / "manifest")).collect()
+    }
+    assert got2 == want
+
+
+def _events(uid_vals, minute0=0):
+    t0 = dt.datetime(2024, 1, 1)
+    return [
+        Row(
+            event_id=i,
+            ts=t0 + dt.timedelta(minutes=minute0 + i),
+            user_id=1,
+            event_type="metric",
+            value=float(v),
+            props="",
+        )
+        for i, v in enumerate(uid_vals)
+    ]
+
+
+def _python_psi(ref_vals, batch_vals):
+    lo, hi = min(ref_vals), max(ref_vals)
+
+    def bin_of(v):
+        if hi == lo:
+            return 0
+        return min(PSI_BINS - 1, max(0, math.floor((v - lo) * PSI_BINS / (hi - lo))))
+
+    cr = [0] * PSI_BINS
+    for v in ref_vals:
+        cr[bin_of(v)] += 1
+    cb = [0] * PSI_BINS
+    for v in batch_vals:
+        cb[bin_of(v)] += 1
+    psi = 0.0
+    for i in range(PSI_BINS):
+        p = (cr[i] + 1) / (len(ref_vals) + PSI_BINS)
+        q = (cb[i] + 1) / (len(batch_vals) + PSI_BINS)
+        psi += (q - p) * math.log(q / p)
+    return round(psi, 6)
+
+
+def test_psi_report_matches_python_model_and_flags_shift(spark):
+    ref_vals = [i % 10 for i in range(100)]  # uniform 0..9
+    same_vals = [i % 10 for i in range(50)]  # same shape
+    hot_vals = [9] * 50  # mass collapsed to the top bin
+    ref = spark.createDataFrame(_events(ref_vals))
+    prof = reference_profile(ref)
+    same = psi_report(spark.createDataFrame(_events(same_vals)), prof).collect()[0]
+    hot = psi_report(spark.createDataFrame(_events(hot_vals)), prof).collect()[0]
+    assert same["psi"] == _python_psi(ref_vals, same_vals)
+    assert hot["psi"] == _python_psi(ref_vals, hot_vals)
+    assert same["drifted"] == 0
+    assert hot["drifted"] == 1
+    assert hot["psi"] > same["psi"]
+
+
+def test_streaming_psi_monitor_appends_per_batch_reports(spark, tmp_path):
+    ref = spark.createDataFrame(_events([i % 10 for i in range(100)]))
+    prof = reference_profile(ref)
+    src = tmp_path / "src"
+    b0 = spark.createDataFrame(_events([i % 10 for i in range(40)]))
+    b1 = spark.createDataFrame(_events([9] * 40, minute0=100))
+    b0.coalesce(1).write.parquet(str(src / "f0.parquet"))
+    b1.coalesce(1).write.parquet(str(src / "f1.parquet"))
+    stream = (
+        spark.readStream.schema(b0.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    q = streaming_psi_monitor(
+        stream, prof, str(tmp_path / "log"), str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+    rows = (
+        spark.read.parquet(f"{tmp_path}/log/batch_id=*")
+        .orderBy("batch_id")
+        .collect()
+    )
+    assert len(rows) == 2
+    assert sorted(r["drifted"] for r in rows) == [0, 1]  # one calm, one hot
+    assert all(r["n_batch"] == 40 for r in rows)
