@@ -476,7 +476,13 @@ def q_sample_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigma = F.sqrt(0.1 * 0.9 / F.col("n_total"))
     return stats.select(
         F.col("n_total"),
-        ((frac >= 0.1 - 6 * sigma) & (frac <= 0.1 + 6 * sigma)).alias("ok_fraction"),
+        # vacuously true on an empty table (and keeps the division
+        # ANSI-safe when n_total = 0)
+        F.when(F.col("n_total") == 0, F.lit(True))
+        .otherwise(
+            (frac >= 0.1 - 6 * sigma) & (frac <= 0.1 + 6 * sigma)
+        )
+        .alias("ok_fraction"),
     )
 
 

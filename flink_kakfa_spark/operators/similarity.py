@@ -258,6 +258,10 @@ def q_sim_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", as_double("embedding").alias("emb")
     )
     feats = e.select("vec_id", "emb", array_to_vector("emb").alias("features"))
+    if feats.isEmpty():  # KMeans.fit requires >=1 row; empty in, empty out
+        return spark.createDataFrame(
+            [], "vec_id long, cell int, cos_sim double"
+        )
     model = KMeans(k=8, seed=42, featuresCol="features", predictionCol="cell").fit(feats)
     assigned = model.transform(feats).select("vec_id", "emb", "cell")
 
