@@ -350,7 +350,7 @@ def q_quality_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    return d.mapInPandas(
+    return d.filter(F.col("text").isNotNull()).mapInPandas(
         compress,
         "doc_id long, orig_bytes long, comp_bytes long, compression_ratio double",
     )

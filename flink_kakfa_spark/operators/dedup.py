@@ -258,26 +258,56 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
-    d = parallelize(load_table(spark, "documents", sf_dir), spark)
-    toks = d.select("doc_id", F.split(F.col("text"), " ").alias("tokens")).filter(
-        F.size("tokens") >= SHINGLE_K
+    # the IsNotNull lands in the parquet scan (PushedFilters), so the
+    # ml UDFs can never observe a null text no matter how the
+    # optimizer reorders the collapsed projections; MinHash
+    # additionally requires a non-zero vector, hence the shingle-size
+    # gate below
+    d = parallelize(
+        load_table(spark, "documents", sf_dir).filter(
+            F.col("text").isNotNull()
+        ),
+        spark,
     )
+    # coalesce so the tokens array is never NULL even if a
+    # deterministic UDF downstream is reordered past the size filter
+    # (MinHashLSH's approxSimilarityJoin re-executes the plan and NPE'd
+    # in HashingTF on a null-bearing corpus); a null text becomes [""]
+    # and still fails the >= SHINGLE_K filter
+    toks = d.select(
+        "doc_id",
+        F.split(F.coalesce(F.col("text"), F.lit("")), " ").alias("tokens"),
+    ).filter(F.size("tokens") >= SHINGLE_K)
+    # the WHEN guard makes the expression total: the filter above
+    # removes short docs, but Catalyst may still evaluate a collapsed
+    # projection on pre-filter rows, where the descending sequence
+    # would index element_at out of bounds (ANSI error)
     sh = toks.select(
         "doc_id",
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.size("tokens") - (SHINGLE_K - 1)),
-                lambda i: F.concat_ws(
-                    " ",
-                    F.element_at("tokens", i),
-                    F.element_at("tokens", i + 1),
-                    F.element_at("tokens", i + 2),
-                ),
-            )
-        ).alias("shingles"),
+        F.when(
+            F.size("tokens") >= SHINGLE_K,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("tokens") - (SHINGLE_K - 1)),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at("tokens", i),
+                        F.element_at("tokens", i + 1),
+                        F.element_at("tokens", i + 2),
+                    ),
+                )
+            ),
+        ).otherwise(F.array().cast("array<string>")).alias("shingles"),
     )
     tf = HashingTF(inputCol="shingles", outputCol="features", numFeatures=1 << 18, binary=True)
-    feats = tf.transform(sh)
+    # localCheckpoint: approxSimilarityJoin re-executes its input plan
+    # with the LSH hash UDF collapsed into it, and that re-execution
+    # evaluated the UDF on rows the shingle-size filter excludes
+    # (zero vectors -> "Must have at least 1 non zero entry");
+    # materializing the filtered features makes the exclusion physical
+    feats = tf.transform(
+        sh.filter(F.size("shingles") >= 1)
+    ).localCheckpoint()
     lsh = MinHashLSH(inputCol="features", outputCol="sig", numHashTables=8, seed=42)
     model = lsh.fit(feats)
     pairs = model.approxSimilarityJoin(feats, feats, threshold=0.8, distCol="jaccard_dist")
@@ -388,22 +418,35 @@ def q_dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     (4x4 targets J >= ~0.7 pairs).
     """
     d = parallelize(load_table(spark, "documents", sf_dir), spark)
-    toks = d.select("doc_id", F.split(F.col("text"), " ").alias("tokens")).filter(
-        F.size("tokens") >= SHINGLE_K
-    )
+    # coalesce so the tokens array is never NULL even if a
+    # deterministic UDF downstream is reordered past the size filter
+    # (MinHashLSH's approxSimilarityJoin re-executes the plan and NPE'd
+    # in HashingTF on a null-bearing corpus); a null text becomes [""]
+    # and still fails the >= SHINGLE_K filter
+    toks = d.select(
+        "doc_id",
+        F.split(F.coalesce(F.col("text"), F.lit("")), " ").alias("tokens"),
+    ).filter(F.size("tokens") >= SHINGLE_K)
+    # the WHEN guard makes the expression total: the filter above
+    # removes short docs, but Catalyst may still evaluate a collapsed
+    # projection on pre-filter rows, where the descending sequence
+    # would index element_at out of bounds (ANSI error)
     sh = toks.select(
         "doc_id",
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.size("tokens") - (SHINGLE_K - 1)),
-                lambda i: F.concat_ws(
-                    " ",
-                    F.element_at("tokens", i),
-                    F.element_at("tokens", i + 1),
-                    F.element_at("tokens", i + 2),
-                ),
-            )
-        ).alias("sharr"),
+        F.when(
+            F.size("tokens") >= SHINGLE_K,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("tokens") - (SHINGLE_K - 1)),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at("tokens", i),
+                        F.element_at("tokens", i + 1),
+                        F.element_at("tokens", i + 2),
+                    ),
+                )
+            ),
+        ).otherwise(F.array().cast("array<string>")).alias("sharr"),
     )
     h32 = lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")  # noqa: E731
     hashed = sh.withColumn("hl", F.transform("sharr", h32))

@@ -37,9 +37,9 @@ def with_payload(df: DataFrame) -> DataFrame:
     Stand-in for a real image/audio/video payload column; every
     downstream stage treats it as opaque ``binary``.
     """
-    return df.select(
+    return df.filter(F.col("text").isNotNull()).select(
         "doc_id", F.col("text").cast("binary").alias("payload"), "n_chars"
-    )
+    )  # decode stages skip payload-less rows (null-safe by contract)
 
 
 @query(
