@@ -153,10 +153,19 @@ _FEAT_SCHEMA = StructType(
 @query(
     "mm_extract_features",
     oracle="""
-    WITH bytes AS (
-      SELECT doc_id, ord(substr(text, i, 1)) AS v
-      FROM documents,
-           UNNEST(generate_series(1, octet_length(encode(text)))) AS g(i)
+    -- byte-faithful: decode each utf-8 BYTE from the hex rendering
+    -- (ord(substr(text,...)) would yield CODEPOINTS and diverge from
+    -- the byte-level codec on any non-ASCII document)
+    WITH b AS (
+      SELECT doc_id, hex(encode(text)) AS hx,
+             octet_length(encode(text)) AS n
+      FROM documents WHERE text IS NOT NULL
+    ),
+    bytes AS (
+      SELECT doc_id,
+             (strpos('0123456789ABCDEF', substr(hx, 2*i - 1, 1)) - 1) * 16
+             + (strpos('0123456789ABCDEF', substr(hx, 2*i, 1)) - 1) AS v
+      FROM b, UNNEST(generate_series(1, n)) AS g(i)
     ),
     stats AS (
       SELECT doc_id,
