@@ -1389,6 +1389,12 @@ def q_dedup_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame
             F.first("ws").alias("ws"),
             F.first("n").alias("n"),
         )
+        # consumed 4x (within-census, prefix index, both verify
+        # sides); exchange reuse does not materialize across the
+        # duplicated pipelines (18-shuffle plan measured without
+        # this), so pin the collapsed representative table once —
+        # at lake scale this is a persisted intermediate table
+        .localCheckpoint()
     )
     within = groups.filter(F.col("g") > 1).select(
         F.lit(20).cast("long").alias("bucket"),
