@@ -70,122 +70,121 @@ _QUERY_MODULES = [
     "flink_kakfa_spark.operators.reconcile",
 ]
 
-# ROUND-5 WINDOW ROTATION (executes the plan written here in round 4):
-# the driver verifies only the FIRST 50 registered names, so these
-# queries are pulled to the front of the registry regardless of module
-# order. The list = the 39 queries that had never earned a driver
-# CORRECTNESS row through r4 (scalar tail + decontam/corpus/pii/
-# quality/sketches/behavior/prep/tpch_extra/media) + the 4 queries
-# whose r4 rows failed on driver-canonicalizer artifacts and were
-# repaired this round (HUGEINT casts, de-arrayed features) + new
-# round-5 queries. Everything pushed behind the window is green in
-# r1/r2/r4 driver history AND re-verified every round by
+# ROUND-6 WINDOW ROTATION (executes the round-6 plan written here in
+# round 5): the driver verifies only the FIRST 50 registered names, so
+# these queries are pulled to the front of the registry regardless of
+# module order. After r5's 50/50-green run, 85 oracle-backed queries
+# had zero driver CORRECTNESS evidence; this window takes the first 50
+# of that backlog (plan order), and ``_NEXT_WINDOW_PLAN`` below holds
+# the remaining 35 for round 7. Everything pushed behind the window is
+# green in r1/r2/r4/r5 driver history AND re-verified every round by
 # tools/diffcheck.py. Update tests/test_000_smoke.py::DRIVER_WINDOW
 # in the same commit as any change here.
 _WINDOW_FRONT = [
-    # scalar tail — implemented round 2, never driver-checked
-    "scalar_array_funcs",
-    "scalar_json_extract",
-    "scalar_cast_funcs",
-    "reference_message_shape",
-    "scalar_from_json_struct",
-    "scalar_date_funcs2",
-    "scalar_map_funcs",
-    # round-4 modules — never driver-checked
-    "decontam_eval_overlap",
-    "text_repetition_ngrams",
-    "corpus_source_stats",
-    "corpus_mixture_weights",
-    "corpus_temperature_sample",
-    "corpus_domain_filter",
-    "emb_centroid_purity",
-    "emb_quality_stats",
-    "pii_redact",
-    "pii_scan_stats",
-    "quality_gopher_filter",
-    "quality_containment_score",
-    "agg_hll_mergeable_rollup",
-    "sql_recursive_month_spine",
-    "agg_approx_percentile_bounds",
-    "funnel_signup_click_purchase",
-    "agg_salted_wordcount",
-    "cep_error_then_purchase",
-    "anomaly_zscore_events",
-    "pipeline_chunk_documents",
-    "text_unigram_surprisal",
-    "sample_k_per_source",
-    "tpch_q2_min_unit_price",
-    "tpch_q8_market_share",
-    "tpch_q10_returned_revenue",
-    "tpch_q18_big_orders",
-    "tpch_q4_late_shipments",
-    "tpch_q12_priority_by_linestatus",
-    "tpch_q14_promo_share",
-    "tpch_q19_disjunctive_predicates",
-    "mm_wav_roundtrip_features",
-    "mm_bmp_roundtrip_features",
-    # r4 driver rows that failed on canonicalizer artifacts, repaired
-    # this round — re-verify under the driver
-    "text_lang_distribution",
-    "pipeline_training_prep",
-    "pipeline_pack_sequences",
-    "mm_extract_features",
-    # new round-5 queries (7 = exactly the remaining window slots)
-    "tpch_q7_nation_volume",
-    "tpch_q16_supplier_relationship",
-    "text_length_histogram",
-    "text_oov_rate",
-    "dedup_paragraphs",
-    "emb_matryoshka_quality",
-    "sim_sq8_rescore_topk",
+    # text / aggregation tail — never driver-checked
+    "text_char_entropy",
+    "text_bpe_merge_pairs",
+    "agg_corr_covar",
+    "corpus_dataset_card",
+    "sketch_cms_heavy_hitters",
+    "streak_longest_purchase_days",
+    "pipeline_curriculum_order",
+    "pipeline_shuffle_shards",
+    "pipeline_train_split",
+    # full TPC-H tail — diff+judge green, never driver-checked
+    "tpch_q6_forecast_revenue",
+    "tpch_q9_product_type_profit",
+    "tpch_q11_important_stock",
+    "tpch_q13_customer_distribution",
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q20_potential_promotion",
+    "tpch_q21_waiting_suppliers",
+    "tpch_q22_global_sales_opportunity",
+    # lakehouse / CDC / profiling
+    "merge_scd2_orders",
+    "cdc_apply_changelog",
+    "profile_orders_columns",
+    "constraint_check_summary",
+    "join_bloom_filtered_revenue",
+    # analytics block
+    "cohort_weekly_retention",
+    "growth_mom_revenue",
+    "markov_event_transitions",
+    "rag_bm25_topk",
+    "join_salted_skew_revenue",
+    "window_first_last_nth",
+    "ts_ewma_event_value",
+    "attribution_last_touch",
+    "rolling_wau_7d",
+    "rolling_wau_hll",
+    "sample_weighted_topk",
+    "lake_zorder_layout",
+    "trend_slope_per_type",
+    "profile_join_key_skew",
+    "profile_equidepth_price",
+    "setop_all_variants",
+    "join_null_safe_props",
+    "sql_explode_outer_keep_empty",
+    # media / text-advanced / vector
+    "mm_image_ahash_groups",
+    "mm_audio_vad_features",
+    "text_bigram_perplexity",
+    "text_winnow_fingerprints",
+    "sim_pq_adc_topk",
+    "dedup_semdedup",
+    "feature_target_encode",
+    "privacy_k_anonymity",
+    "text_hashing_trick",
 ]
 
-# ROUND-6 ROTATION PLAN (write of record, same protocol as the round-4
-# plan this file's round-5 list executed): after r5's driver run lands,
-# 41 oracle-backed queries remain with zero driver CORRECTNESS
-# evidence — rotate ALL of them into the front of the round-6 window:
-#   text_char_entropy, text_bpe_merge_pairs, agg_corr_covar,
-#   corpus_dataset_card, sketch_cms_heavy_hitters,
-#   streak_longest_purchase_days, pipeline_curriculum_order,
-#   pipeline_shuffle_shards, pipeline_train_split,
-#   tpch_q6_forecast_revenue, tpch_q9_product_type_profit,
-#   tpch_q11_important_stock, tpch_q13_customer_distribution,
-#   tpch_q15_top_supplier, tpch_q17_small_quantity_revenue,
-#   tpch_q20_potential_promotion, tpch_q21_waiting_suppliers,
-#   tpch_q22_global_sales_opportunity, merge_scd2_orders,
-#   cdc_apply_changelog, profile_orders_columns,
-#   constraint_check_summary, join_bloom_filtered_revenue,
-#   cohort_weekly_retention, growth_mom_revenue,
-#   markov_event_transitions, rag_bm25_topk, join_salted_skew_revenue,
-#   window_first_last_nth, ts_ewma_event_value, attribution_last_touch,
-#   rolling_wau_7d, rolling_wau_hll, sample_weighted_topk,
-#   lake_zorder_layout, trend_slope_per_type, profile_join_key_skew,
-#   profile_equidepth_price, setop_all_variants, join_null_safe_props,
-#   sql_explode_outer_keep_empty,
-#   mm_image_ahash_groups, mm_audio_vad_features,
-#   text_bigram_perplexity, text_winnow_fingerprints,
-#   sim_pq_adc_topk, dedup_semdedup,
-#   feature_target_encode, privacy_k_anonymity, text_hashing_trick,
-#   decontam_minhash, eval_langid_metrics, ts_rolling_1h_value,
-#   text_winnow_guarded, mm_image_resize_thumb, mm_audio_resample_stats,
-#   dedup_incremental_ingest, corpus_dsir_weights,
-#   text_tokenizer_fertility,
-#   graph_degree_stats, graph_triangle_count, graph_pagerank_top20,
-#   graph_adamic_adar_top20, dedup_substring_runs,
-#   agg_hist_quantile_rollup, decontam_embedding,
-#   emb_covariance_stats, emb_power_iteration_top,
-#   anomaly_mad_events, basket_association_rules, emb_kmeans_portable,
-#   ts_dow_seasonality, search_trigram_parts,
-#   sample_neyman_allocation, prep_winsorize_values,
-#   agg_mode_priority_by_nation, sql_star_except,
-#   corpus_epoch_capped_budget, reconcile_table_checksum,
-#   reconcile_snapshot_diff, path_top_sequences, drift_psi_report,
-#   dedup_jaccard_prefix_filter, rag_hybrid_rrf_topk,
-#   join_interval_lookup_binned
-#   (85 total after the round-5 second-session additions)
-# The remaining slots: any round-6 additions first, then backfill
-# with the oldest driver evidence (r1/r2 rows) for re-verification.
+# ROUND-7 ROTATION PLAN (write of record, same protocol as the r5→r6
+# handoff this file just executed). The 35 names below are the rest of
+# the zero-driver-evidence backlog; rotate ALL of them into the front
+# of the round-7 window. The remaining ~15 slots: any round-6/7
+# additions first, then backfill with the oldest driver evidence
+# (r1/r2 rows: filters, joins, windows, wordcount) so no query's
+# driver evidence goes more than ~4 rounds stale. This is a REAL
+# constant (not a comment) so tests can assert every name exists —
+# a typo here fails CI this round, not next round.
 # Update tests/test_000_smoke.py::DRIVER_WINDOW in the same commit.
+_NEXT_WINDOW_PLAN = [
+    "decontam_minhash",
+    "eval_langid_metrics",
+    "ts_rolling_1h_value",
+    "text_winnow_guarded",
+    "mm_image_resize_thumb",
+    "mm_audio_resample_stats",
+    "dedup_incremental_ingest",
+    "corpus_dsir_weights",
+    "text_tokenizer_fertility",
+    "graph_degree_stats",
+    "graph_triangle_count",
+    "graph_pagerank_top20",
+    "graph_adamic_adar_top20",
+    "dedup_substring_runs",
+    "agg_hist_quantile_rollup",
+    "decontam_embedding",
+    "emb_covariance_stats",
+    "emb_power_iteration_top",
+    "anomaly_mad_events",
+    "basket_association_rules",
+    "emb_kmeans_portable",
+    "ts_dow_seasonality",
+    "search_trigram_parts",
+    "sample_neyman_allocation",
+    "prep_winsorize_values",
+    "agg_mode_priority_by_nation",
+    "sql_star_except",
+    "corpus_epoch_capped_budget",
+    "reconcile_table_checksum",
+    "reconcile_snapshot_diff",
+    "path_top_sequences",
+    "drift_psi_report",
+    "dedup_jaccard_prefix_filter",
+    "rag_hybrid_rrf_topk",
+    "join_interval_lookup_binned",
+]
 
 # Queries registered WITHOUT oracle SQL (rows-only driver check, by
 # design — engine-seeded algorithms). Their oracle-exact portable
@@ -240,6 +239,11 @@ def load_all() -> None:
     missing = set(front) - set(QUERIES)
     if missing:  # a rename/removal must update _WINDOW_FRONT too
         raise RuntimeError(f"_WINDOW_FRONT names not registered: {sorted(missing)}")
+    plan_missing = set(_NEXT_WINDOW_PLAN) - set(QUERIES)
+    if plan_missing:  # a typo in next round's rotation plan fails NOW
+        raise RuntimeError(
+            f"_NEXT_WINDOW_PLAN names not registered: {sorted(plan_missing)}"
+        )
     rank = {mod: i for i, mod in enumerate(_QUERY_MODULES)}
     ordered = sorted(
         enumerate(QUERIES.items()),

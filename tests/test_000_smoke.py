@@ -27,64 +27,64 @@ PKG = REPO / "flink_kakfa_spark"
 
 # The curated driver-verification window (first 50 registered names).
 # Rounds 1-2 spent the window on the relational block (all green);
-# round 4 spent it on the LLM-pipeline block (44/50 green); round 5
-# rotates in the 39 queries that had never had a driver row (scalar
-# tail + decontam/corpus/pii/quality/sketches/behavior/prep/
-# tpch_extra/media), the 4 r4 rows repaired this round, and new
-# round-5 queries — by end of round 5 the union of r1/r2/r4/r5 green
-# rows covers the whole registry. Rotate DELIBERATELY (update this
-# list + registry._WINDOW_FRONT together); never by accident.
+# round 4 on the LLM-pipeline block; round 5 on the scalar tail +
+# round-4/5 modules (50/50 green). Round 6 takes the first 50 of the
+# 85-query zero-driver-evidence backlog (full TPC-H tail, lakehouse/
+# CDC, analytics, media/text-advanced/vector); the remaining 35 are
+# pinned as registry._NEXT_WINDOW_PLAN for round 7. Rotate
+# DELIBERATELY (update this list + registry._WINDOW_FRONT together);
+# never by accident.
 DRIVER_WINDOW = [
-    "scalar_array_funcs",
-    "scalar_json_extract",
-    "scalar_cast_funcs",
-    "reference_message_shape",
-    "scalar_from_json_struct",
-    "scalar_date_funcs2",
-    "scalar_map_funcs",
-    "decontam_eval_overlap",
-    "text_repetition_ngrams",
-    "corpus_source_stats",
-    "corpus_mixture_weights",
-    "corpus_temperature_sample",
-    "corpus_domain_filter",
-    "emb_centroid_purity",
-    "emb_quality_stats",
-    "pii_redact",
-    "pii_scan_stats",
-    "quality_gopher_filter",
-    "quality_containment_score",
-    "agg_hll_mergeable_rollup",
-    "sql_recursive_month_spine",
-    "agg_approx_percentile_bounds",
-    "funnel_signup_click_purchase",
-    "agg_salted_wordcount",
-    "cep_error_then_purchase",
-    "anomaly_zscore_events",
-    "pipeline_chunk_documents",
-    "text_unigram_surprisal",
-    "sample_k_per_source",
-    "tpch_q2_min_unit_price",
-    "tpch_q8_market_share",
-    "tpch_q10_returned_revenue",
-    "tpch_q18_big_orders",
-    "tpch_q4_late_shipments",
-    "tpch_q12_priority_by_linestatus",
-    "tpch_q14_promo_share",
-    "tpch_q19_disjunctive_predicates",
-    "mm_wav_roundtrip_features",
-    "mm_bmp_roundtrip_features",
-    "text_lang_distribution",
-    "pipeline_training_prep",
-    "pipeline_pack_sequences",
-    "mm_extract_features",
-    "tpch_q7_nation_volume",
-    "tpch_q16_supplier_relationship",
-    "text_length_histogram",
-    "text_oov_rate",
-    "dedup_paragraphs",
-    "emb_matryoshka_quality",
-    "sim_sq8_rescore_topk",
+    "text_char_entropy",
+    "text_bpe_merge_pairs",
+    "agg_corr_covar",
+    "corpus_dataset_card",
+    "sketch_cms_heavy_hitters",
+    "streak_longest_purchase_days",
+    "pipeline_curriculum_order",
+    "pipeline_shuffle_shards",
+    "pipeline_train_split",
+    "tpch_q6_forecast_revenue",
+    "tpch_q9_product_type_profit",
+    "tpch_q11_important_stock",
+    "tpch_q13_customer_distribution",
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q20_potential_promotion",
+    "tpch_q21_waiting_suppliers",
+    "tpch_q22_global_sales_opportunity",
+    "merge_scd2_orders",
+    "cdc_apply_changelog",
+    "profile_orders_columns",
+    "constraint_check_summary",
+    "join_bloom_filtered_revenue",
+    "cohort_weekly_retention",
+    "growth_mom_revenue",
+    "markov_event_transitions",
+    "rag_bm25_topk",
+    "join_salted_skew_revenue",
+    "window_first_last_nth",
+    "ts_ewma_event_value",
+    "attribution_last_touch",
+    "rolling_wau_7d",
+    "rolling_wau_hll",
+    "sample_weighted_topk",
+    "lake_zorder_layout",
+    "trend_slope_per_type",
+    "profile_join_key_skew",
+    "profile_equidepth_price",
+    "setop_all_variants",
+    "join_null_safe_props",
+    "sql_explode_outer_keep_empty",
+    "mm_image_ahash_groups",
+    "mm_audio_vad_features",
+    "text_bigram_perplexity",
+    "text_winnow_fingerprints",
+    "sim_pq_adc_topk",
+    "dedup_semdedup",
+    "feature_target_encode",
+    "privacy_k_anonymity",
+    "text_hashing_trick",
 ]
 
 
@@ -142,6 +142,20 @@ def test_driver_window_is_pinned():
         f"got:      {first50}\n"
         f"expected: {DRIVER_WINDOW}"
     )
+
+
+def test_next_window_plan_names_exist():
+    """Every name in next round's rotation plan must be a registered
+    query, and disjoint from the current window — a typo or rename in
+    the plan fails CI this round, not when the rotation executes."""
+    from flink_kakfa_spark import registry
+
+    registry.load_all()
+    unknown = set(registry._NEXT_WINDOW_PLAN) - set(registry.QUERIES)
+    assert not unknown, f"_NEXT_WINDOW_PLAN names not registered: {sorted(unknown)}"
+    dupes = set(registry._NEXT_WINDOW_PLAN) & set(DRIVER_WINDOW)
+    assert not dupes, f"plan overlaps current window: {sorted(dupes)}"
+    assert len(set(registry._NEXT_WINDOW_PLAN)) == len(registry._NEXT_WINDOW_PLAN)
 
 
 def test_entry_module_exposes_driver_contract():
