@@ -35,12 +35,26 @@ _N_SHARDS = 16
 # money as DECIMAL(18,2) text, date as yyyy-MM-dd).  The decimal cast
 # makes the money column's text identical in both engines (proven by
 # the r4-green decimal-exact queries); raw doubles would render
-# differently.
+# differently.  Every field is COALESCEd to an explicit '<NULL>'
+# sentinel: CONCAT_WS silently SKIPS null arguments in both engines,
+# so without the sentinel two distinct rows whose non-null fields
+# happen to line up after a null drops out ("a|b" from (a, NULL, b)
+# vs (a, b, NULL)) would render — and hash — identically, weakening
+# the 'equal manifests <=> equal tables' claim beyond hash collisions.
 _DUCK_ROW = (
-    "CONCAT_WS('|', o_orderkey, o_custkey, o_orderstatus, "
-    "o_orderpriority, CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR), "
-    "strftime(o_orderdate, '%Y-%m-%d'))"
+    "CONCAT_WS('|', "
+    "COALESCE(CAST(o_orderkey AS VARCHAR), '<NULL>'), "
+    "COALESCE(CAST(o_custkey AS VARCHAR), '<NULL>'), "
+    "COALESCE(o_orderstatus, '<NULL>'), "
+    "COALESCE(o_orderpriority, '<NULL>'), "
+    "COALESCE(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR), '<NULL>'), "
+    "COALESCE(strftime(o_orderdate, '%Y-%m-%d'), '<NULL>'))"
 )
+
+
+def _s(col: F.Column) -> F.Column:
+    """Null-sentineled string form of a field for canonical rendering."""
+    return F.coalesce(col.cast("string"), F.lit("<NULL>"))
 
 
 def manifest_partial(orders: DataFrame) -> DataFrame:
@@ -50,12 +64,12 @@ def manifest_partial(orders: DataFrame) -> DataFrame:
     manifest (the streaming monitor maintains exactly this)."""
     row_str = F.concat_ws(
         "|",
-        F.col("o_orderkey"),
-        F.col("o_custkey"),
-        F.col("o_orderstatus"),
-        F.col("o_orderpriority"),
-        F.col("o_totalprice").cast("decimal(18,2)").cast("string"),
-        F.date_format("o_orderdate", "yyyy-MM-dd"),
+        _s(F.col("o_orderkey")),
+        _s(F.col("o_custkey")),
+        _s(F.col("o_orderstatus")),
+        _s(F.col("o_orderpriority")),
+        _s(F.col("o_totalprice").cast("decimal(18,2)")),
+        _s(F.date_format("o_orderdate", "yyyy-MM-dd")),
     )
     return (
         orders.select(

@@ -138,6 +138,15 @@ def psi_report(batch_df: DataFrame, profile: DataFrame) -> DataFrame:
     values clamp into the edge bins — exactly how a production monitor
     treats novel mass) and compared with the smoothed reference
     shares: psi = sum((q - p) * ln(q / p)).
+
+    Every profiled event type gets a report row even when the batch
+    contains NO rows of that type (``tot`` is LEFT-joined from the
+    profile side, n_batch coalesced to 0): total disappearance of a
+    type is the strongest drift signal, so it is flagged
+    ``drifted=1`` explicitly — an inner join would silently drop the
+    row instead. The vanished type's PSI is computed from the
+    all-smoothed-floor live shares (uniform 1/PSI_BINS), the limit of
+    the smoothing as the batch count goes to 0.
     """
     layout = profile.select("event_type", "lo_v", "hi_v").distinct()
     binned = batch_df.join(F.broadcast(layout), "event_type").select(
@@ -147,19 +156,22 @@ def psi_report(batch_df: DataFrame, profile: DataFrame) -> DataFrame:
         F.count(F.lit(1)).alias("c")
     )
     tot = cell.groupBy("event_type").agg(F.sum("c").alias("n_batch"))
+    n_batch = F.coalesce(F.col("n_batch"), F.lit(0))
     q = (
         (F.coalesce(F.col("c"), F.lit(0)) + 1).cast("double")
-        / (F.col("n_batch") + PSI_BINS)
+        / (n_batch + PSI_BINS)
     )
     term = (q - F.col("p_ref")) * F.log(q / F.col("p_ref"))
     return (
         profile.join(cell, ["event_type", "bin"], "left")
-        .join(tot, "event_type")
+        .join(tot, "event_type", "left")
         .groupBy("event_type")
         .agg(
-            F.max("n_batch").cast("long").alias("n_batch"),
+            F.max(n_batch).cast("long").alias("n_batch"),
             F.round(F.sum(term), 6).alias("psi"),
-            F.when(F.sum(term) > PSI_ALERT, F.lit(1))
+            F.when(
+                (F.sum(term) > PSI_ALERT) | (F.max(n_batch) == 0), F.lit(1)
+            )
             .otherwise(F.lit(0))
             .cast("long")
             .alias("drifted"),

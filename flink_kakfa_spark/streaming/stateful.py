@@ -381,9 +381,11 @@ def streaming_zscore_alerts(
 
         import pandas as pd
 
+        import numpy as np
+
         n0, mean0, m2 = state.get if state.exists else (0, 0.0, 0.0)
         out_ids, out_vals, out_z = [], [], []
-        batch_n, batch_sum, batch_sumsq = 0, 0.0, 0.0
+        batches = []
         for pdf in pdfs:
             vals = pdf["value"].to_numpy()
             # score against PRE-batch stats
@@ -394,20 +396,26 @@ def streaming_zscore_alerts(
                 out_ids.extend(pdf["event_id"].to_numpy()[mask].tolist())
                 out_vals.extend(vals[mask].tolist())
                 out_z.extend(z[mask].tolist())
-            batch_n += len(vals)
-            batch_sum += float(vals.sum())
-            batch_sumsq += float((vals * vals).sum())
-        if batch_n:
-            # Chan et al. pairwise merge of (n, mean, M2)
-            bmean = batch_sum / batch_n
-            bm2 = batch_sumsq - batch_n * bmean * bmean
+            batches.append(vals)
+        if batches:
+            all_vals = np.concatenate(batches)
+            batch_n = len(all_vals)
+            # Chan et al. pairwise merge of (n, mean, M2). The
+            # within-batch M2 is TWO-PASS (sum of squared deviations
+            # from the batch mean), not sumsq - n*mean^2: the one-pass
+            # form cancels catastrophically on large-magnitude
+            # low-variance values and can go negative, permanently
+            # disabling the m2 > 0 alert gate. Clamp the merged M2 at
+            # 0 for the same reason (delta-term rounding).
+            bmean = float(all_vals.mean())
+            bm2 = float(((all_vals - bmean) ** 2).sum())
             if n0 == 0:
                 n1, mean1, m2_1 = batch_n, bmean, bm2
             else:
                 delta = bmean - mean0
                 n1 = n0 + batch_n
                 mean1 = mean0 + delta * batch_n / n1
-                m2_1 = m2 + bm2 + delta * delta * n0 * batch_n / n1
+                m2_1 = max(m2 + bm2 + delta * delta * n0 * batch_n / n1, 0.0)
             state.update((n1, mean1, m2_1))
         yield pd.DataFrame(
             {

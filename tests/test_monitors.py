@@ -142,3 +142,112 @@ def test_streaming_psi_monitor_appends_per_batch_reports(spark, tmp_path):
     assert len(rows) == 2
     assert sorted(r["drifted"] for r in rows) == [0, 1]  # one calm, one hot
     assert all(r["n_batch"] == 40 for r in rows)
+
+
+def _typed_events(vals, event_type, minute0=0, id0=0):
+    t0 = dt.datetime(2024, 1, 1)
+    return [
+        Row(
+            event_id=id0 + i,
+            ts=t0 + dt.timedelta(minutes=minute0 + i),
+            user_id=1,
+            event_type=event_type,
+            value=float(v),
+            props="",
+        )
+        for i, v in enumerate(vals)
+    ]
+
+
+def test_psi_report_flags_absent_type(spark):
+    """A type present in the reference but absent from the batch must
+    still produce a report row — total disappearance is the strongest
+    drift signal — with n_batch=0, drifted=1, and the PSI of the
+    all-smoothed-floor (uniform) live shares. An inner join on the
+    batch totals would silently drop the row instead."""
+    ref_vals = [i % 10 for i in range(100)]
+    ref = spark.createDataFrame(
+        _typed_events(ref_vals, "view") + _typed_events(ref_vals, "click", id0=200)
+    )
+    prof = reference_profile(ref)
+    batch = spark.createDataFrame(_typed_events([i % 10 for i in range(50)], "view"))
+    rows = {r["event_type"]: r for r in psi_report(batch, prof).collect()}
+    assert set(rows) == {"view", "click"}
+    assert rows["view"]["drifted"] == 0
+    absent = rows["click"]
+    assert absent["n_batch"] == 0
+    assert absent["drifted"] == 1
+    assert absent["psi"] == _python_psi(ref_vals, [])
+
+
+def test_streamed_manifest_restart_with_new_data(spark, tmp_path):
+    """Kill/restart evidence for the checksum manifest: stream part of
+    the table, stop, land more files, restart from the same checkpoint
+    — the folded manifest must equal the batch operator over the full
+    table, exactly once (no double-counted shards)."""
+    full = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    first = full.filter(F.col("o_orderkey") % 2 == 0)
+    second = full.filter(F.col("o_orderkey") % 2 == 1)
+    src = tmp_path / "src"
+    first.repartition(2).write.parquet(str(src / "part0"))
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(full.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/*")
+        )
+        q = streaming_checksum_manifest(
+            stream, str(tmp_path / "manifest"), str(tmp_path / "ckpt")
+        )
+        q.awaitTermination(120)
+
+    run_once()  # half the table
+    second.repartition(2).write.parquet(str(src / "part1"))
+    run_once()  # restart: only the new files are processed
+    got = {
+        r["shard"]: (r["n_rows"], r["sum_hash"], r["xor_hash"])
+        for r in read_manifest(spark, str(tmp_path / "manifest")).collect()
+    }
+    want = {
+        r["shard"]: (r["n_rows"], r["sum_hash"], r["xor_hash"])
+        for r in all_queries()["reconcile_table_checksum"](spark, SF_DIR).collect()
+    }
+    assert got == want
+
+
+def test_streaming_psi_monitor_restart_exactly_once(spark, tmp_path):
+    """Kill/restart evidence for the PSI monitor: score one batch,
+    stop, land a drifted batch, restart from the same checkpoint, then
+    restart once more with nothing new — exactly two report rows, no
+    duplicates, correct per-batch verdicts."""
+    ref = spark.createDataFrame(_events([i % 10 for i in range(100)]))
+    prof = reference_profile(ref)
+    src = tmp_path / "src"
+    b0 = spark.createDataFrame(_events([i % 10 for i in range(40)]))
+    b0.coalesce(1).write.parquet(str(src / "f0.parquet"))
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(b0.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/*")
+        )
+        q = streaming_psi_monitor(
+            stream, prof, str(tmp_path / "log"), str(tmp_path / "ckpt")
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    b1 = spark.createDataFrame(_events([9] * 40, minute0=100))
+    b1.coalesce(1).write.parquet(str(src / "f1.parquet"))
+    run_once()  # restart picks up only the drifted batch
+    run_once()  # nothing new: must add nothing
+    rows = (
+        spark.read.parquet(f"{tmp_path}/log/batch_id=*")
+        .orderBy("batch_id")
+        .collect()
+    )
+    assert len(rows) == 2
+    assert [r["drifted"] for r in rows] == [0, 1]
+    assert all(r["n_batch"] == 40 for r in rows)

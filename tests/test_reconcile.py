@@ -116,3 +116,32 @@ def test_path_sequences_on_hand_fixture(spark, tmp_path):
         "signup>click>purchase>click>logout": 2,  # 6th event truncated
         "signup>error": 1,
     }
+
+
+def test_checksum_null_fields_do_not_field_shift(spark):
+    """Regression: CONCAT_WS silently skips NULL arguments, so without
+    an explicit '<NULL>' sentinel two distinct rows whose non-null
+    fields line up after the null drops out render identically —
+    e.g. (status=NULL, priority='X') vs (status='X', priority=NULL).
+    Their row hashes (and thus single-row manifests) must differ."""
+    import datetime as dt
+
+    from flink_kakfa_spark.operators.reconcile import manifest_partial
+
+    schema = (
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_orderpriority string, o_totalprice double, o_orderdate date"
+    )
+
+    def one_row_manifest(status, priority):
+        df = spark.createDataFrame(
+            [(1, 2, status, priority, 10.0, dt.date(2024, 1, 1))], schema
+        )
+        r = manifest_partial(df).collect()[0]
+        return (r["n_rows"], r["sum_hash"], r["xor_hash"])
+
+    a = one_row_manifest(None, "X")
+    b = one_row_manifest("X", None)
+    assert a != b
+    # and NULLs are deterministic, not poisonous: same input, same hash
+    assert one_row_manifest(None, "X") == a

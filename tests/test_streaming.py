@@ -1059,3 +1059,45 @@ def test_streaming_zscore_restart_no_dup_or_loss(spark, tmp_path):
     rows = spark.read.parquet(out).collect()
     assert [(r["event_id"], r["value"]) for r in rows] == [(101, 500.0)]
     assert rows[0]["z"] > 100
+
+
+def test_streaming_zscore_survives_large_magnitude_low_variance(spark, tmp_path):
+    """Regression for the one-pass M2 form (sumsq - n*mean^2): values
+    around 1e8 with unit-scale variance cancel catastrophically there,
+    driving the stored M2 negative or garbage and silently disabling
+    the ``m2 > 0`` alert gate for the key forever. The two-pass
+    within-batch M2 keeps the moments exact: a later spike must still
+    alert with the correct z."""
+    import statistics
+
+    from flink_kakfa_spark.streaming.stateful import streaming_zscore_alerts
+
+    base_vals = [1e8 + (i % 5 - 2) for i in range(60)]  # mean 1e8, sd ~1.4
+    spike = 1e8 + 1000.0
+    spark.createDataFrame(
+        [(i, "view", float(v)) for i, v in enumerate(base_vals)], EV_SCHEMA
+    ).coalesce(1).write.parquet(f"{tmp_path}/src/b0")
+    spark.createDataFrame([(999, "view", spike)], EV_SCHEMA).coalesce(
+        1
+    ).write.parquet(f"{tmp_path}/src/b1")
+
+    stream = (
+        spark.readStream.schema(EV_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{tmp_path}/src/*")
+    )
+    name = "zscore_alerts_bigmag"
+    q = (
+        streaming_zscore_alerts(stream, z_threshold=3.0, min_n=30)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql(f"SELECT * FROM {name}").collect()
+    assert [r["event_id"] for r in rows] == [999]
+    expect_z = (spike - statistics.mean(base_vals)) / statistics.stdev(base_vals)
+    assert abs(rows[0]["z"] - expect_z) / expect_z < 1e-6

@@ -44,7 +44,9 @@ def build(base: str, out: str) -> int:
     df = pq.read_table(f"{base}/documents.parquet").to_pandas()
     mask = df["doc_id"] % 10 == 3
     df.loc[mask, "text"] = df.loc[mask, "text"] + UNI_SUFFIX
-    df["n_chars"] = df["text"].str.len().astype("int64")
+    # NULL text must survive (the null-sweep fixtures carry it):
+    # .str.len() yields NaN there, which cannot cast to int64 directly
+    df["n_chars"] = df["text"].str.len().fillna(0).astype("int64")
     pq.write_table(
         pa.Table.from_pandas(df, preserve_index=False),
         f"{out}/documents.parquet",
