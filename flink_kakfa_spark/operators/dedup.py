@@ -1297,6 +1297,85 @@ def q_dedup_substring_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PP_T_NUM, _PP_T_DEN = 9, 10  # Jaccard >= 0.9
 
 
+def ppjoin_candidates(d: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Candidate-generation stages of the prefix-filtered similarity
+    self-join, shared by the query below and the scale instrumentation
+    (``tools/zipf_ppjoin.py`` counts candidates per fixture with it).
+
+    Returns ``(groups, cand)``: the exact-collapsed representative
+    table (one row per distinct token set: rep id, group size g,
+    sum of member ids, canonical rare-first token array, its size) and
+    the deduplicated candidate rep-id pairs that survive the prefix
+    filter + AllPairs size filter.
+    """
+    tok = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split("text", " "))).alias("w"),
+    )
+    freq = tok.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    # canonical rare-first token order per doc; arrays kept ONLY on
+    # the per-doc relation, never through the candidate shuffle
+    toks = (
+        tok.join(freq, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("df", "w"))),
+                lambda x: x["w"],
+            ).alias("ws")
+        )
+        .select("doc_id", "ws", F.size("ws").alias("n"))
+    )
+    # identical token sets share the canonical array, hence the digest
+    groups = (
+        toks.withColumn("digest", F.md5(F.array_join("ws", "\x1f")))
+        .groupBy("digest")
+        .agg(
+            F.count(F.lit(1)).alias("g"),
+            F.sum("doc_id").cast("long").alias("sum_ids"),
+            F.min("doc_id").alias("rep"),
+            F.first("ws").alias("ws"),
+            F.first("n").alias("n"),
+        )
+        # consumed 4x (within-census, prefix index, both verify
+        # sides); exchange reuse does not materialize across the
+        # duplicated pipelines (18-shuffle plan measured without
+        # this), so pin the collapsed representative table once —
+        # at lake scale this is a persisted intermediate table
+        .localCheckpoint()
+    )
+    # prefix len = n - ceil(t*n) + 1, integer ceil (a float ceil of
+    # 0.9*n can land one short at IEEE boundaries and drop pairs)
+    plen = (
+        F.col("n")
+        - F.floor(
+            (F.lit(_PP_T_NUM) * F.col("n") + F.lit(_PP_T_DEN - 1))
+            / F.lit(_PP_T_DEN)
+        ).cast("long")
+        + 1
+    )
+    pref = groups.select(
+        "rep", "n", F.explode(F.slice("ws", 1, plen)).alias("w")
+    )
+    # size filter (AllPairs/PPJoin): J >= t forces t·|y| <= |x|, so
+    # pairs with >10% size difference never verify — measured 3.3x
+    # candidate reduction on the dense-vocab fixture
+    cand = (
+        pref.alias("a")
+        .join(pref.alias("b"), "w")
+        .filter(
+            (F.col("a.rep") < F.col("b.rep"))
+            & (F.lit(_PP_T_DEN) * F.col("a.n")
+               >= F.lit(_PP_T_NUM) * F.col("b.n"))
+            & (F.lit(_PP_T_DEN) * F.col("b.n")
+               >= F.lit(_PP_T_NUM) * F.col("a.n"))
+        )
+        .select(F.col("a.rep").alias("da"), F.col("b.rep").alias("db"))
+        .dropDuplicates(["da", "db"])
+    )
+    return groups, cand
+
+
 @query(
     "dedup_jaccard_prefix_filter",
     oracle=f"""
@@ -1359,76 +1438,13 @@ def q_dedup_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame
     representative ids, and full arrays join back per-group for
     verification.
     """
-    d = parallelize(load_table(spark, "documents", sf_dir), spark)
-    tok = d.select(
-        "doc_id",
-        F.explode(F.array_distinct(F.split("text", " "))).alias("w"),
-    )
-    freq = tok.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
-    # canonical rare-first token order per doc; arrays kept ONLY on
-    # the per-doc relation, never through the candidate shuffle
-    toks = (
-        tok.join(freq, "w")
-        .groupBy("doc_id")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("df", "w"))),
-                lambda x: x["w"],
-            ).alias("ws")
-        )
-        .select("doc_id", "ws", F.size("ws").alias("n"))
-    )
-    # identical token sets share the canonical array, hence the digest
-    groups = (
-        toks.withColumn("digest", F.md5(F.array_join("ws", "\x1f")))
-        .groupBy("digest")
-        .agg(
-            F.count(F.lit(1)).alias("g"),
-            F.sum("doc_id").cast("long").alias("sum_ids"),
-            F.min("doc_id").alias("rep"),
-            F.first("ws").alias("ws"),
-            F.first("n").alias("n"),
-        )
-        # consumed 4x (within-census, prefix index, both verify
-        # sides); exchange reuse does not materialize across the
-        # duplicated pipelines (18-shuffle plan measured without
-        # this), so pin the collapsed representative table once —
-        # at lake scale this is a persisted intermediate table
-        .localCheckpoint()
+    groups, cand = ppjoin_candidates(
+        parallelize(load_table(spark, "documents", sf_dir), spark)
     )
     within = groups.filter(F.col("g") > 1).select(
         F.lit(20).cast("long").alias("bucket"),
         F.expr("(g * (g - 1)) DIV 2").alias("n_pairs"),
         ((F.col("g") - 1) * F.col("sum_ids")).cast("long").alias("sum_keys"),
-    )
-    # prefix len = n - ceil(t*n) + 1, integer ceil (a float ceil of
-    # 0.9*n can land one short at IEEE boundaries and drop pairs)
-    plen = (
-        F.col("n")
-        - F.floor(
-            (F.lit(_PP_T_NUM) * F.col("n") + F.lit(_PP_T_DEN - 1))
-            / F.lit(_PP_T_DEN)
-        ).cast("long")
-        + 1
-    )
-    pref = groups.select(
-        "rep", "n", F.explode(F.slice("ws", 1, plen)).alias("w")
-    )
-    # size filter (AllPairs/PPJoin): J >= t forces t·|y| <= |x|, so
-    # pairs with >10% size difference never verify — measured 3.3x
-    # candidate reduction on the dense-vocab fixture
-    cand = (
-        pref.alias("a")
-        .join(pref.alias("b"), "w")
-        .filter(
-            (F.col("a.rep") < F.col("b.rep"))
-            & (F.lit(_PP_T_DEN) * F.col("a.n")
-               >= F.lit(_PP_T_NUM) * F.col("b.n"))
-            & (F.lit(_PP_T_DEN) * F.col("b.n")
-               >= F.lit(_PP_T_NUM) * F.col("a.n"))
-        )
-        .select(F.col("a.rep").alias("da"), F.col("b.rep").alias("db"))
-        .dropDuplicates(["da", "db"])
     )
     sides = groups.select("rep", "ws", "n", "g", "sum_ids")
     verified = (
