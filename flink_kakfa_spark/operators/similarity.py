@@ -619,3 +619,91 @@ def q_sim_sq8_rescore_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
         .limit(10)
     )
+
+
+@query(
+    "emb_hard_negatives",
+    oracle="""
+    WITH a AS (
+      SELECT vec_id AS anchor_id, label AS anchor_label,
+             CAST(embedding AS DOUBLE[]) AS avec
+      FROM embeddings WHERE vec_id % 100 = 0
+    ),
+    p AS (
+      SELECT a.anchor_id, c.vec_id, c.label,
+             ROUND(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+                                          a.avec), 6) AS cos_sim
+      FROM a JOIN embeddings c ON c.label <> a.anchor_label
+    )
+    SELECT
+      CAST(anchor_id AS BIGINT) AS anchor_id,
+      CAST(vec_id AS BIGINT) AS negative_id,
+      label AS negative_label,
+      cos_sim
+    FROM p
+    QUALIFY ROW_NUMBER() OVER (
+      PARTITION BY anchor_id ORDER BY cos_sim DESC, vec_id
+    ) <= 3
+    ORDER BY anchor_id, cos_sim DESC, negative_id
+    """,
+)
+def q_emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard-negative mining: for each anchor vector, the 3
+    most-cosine-similar vectors carrying a DIFFERENT label — the
+    near-miss negatives contrastive training (InfoNCE / triplet loss)
+    wants, and the embedding-table counterpart of the text curation
+    ops: same fixture, training-pair output.
+
+    Plan: anchors (1% of vectors) broadcast into a nested-loop join
+    gated on label inequality; the cosine's norms are HOISTED — each
+    side's norm is computed once per row before the join, so the
+    per-pair HOF work is one dot product, not three folds (the
+    measured 3x from decontam_embedding). Only
+    (anchor_id, vec_id, label, cos) cross the ranking shuffle; the
+    vectors never do. Ranking is the rounded cosine with vec_id
+    tiebreak — deterministic across engines.
+
+    Scale: brute force is A x N with A = N/100; at 100 TB mine within
+    IVF cells / LSH buckets first (``sim_ivf_portable_topk``'s probe
+    pruning) and fall back to this exact pass only for the shortlist.
+    """
+    from pyspark.sql.window import Window
+
+    e = parallelize(load_table(spark, "embeddings", sf_dir), spark).select(
+        "vec_id",
+        "label",
+        as_double("embedding").alias("emb"),
+    )
+    e = e.withColumn("nrm", norm(F.col("emb")))
+    anchors = e.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("anchor_label"),
+        F.col("emb").alias("avec"),
+        F.col("nrm").alias("anrm"),
+    )
+    pairs = e.join(
+        F.broadcast(anchors), F.col("label") != F.col("anchor_label")
+    ).select(
+        "anchor_id",
+        "vec_id",
+        "label",
+        F.round(
+            dot(F.col("emb"), F.col("avec"))
+            / (F.col("nrm") * F.col("anrm")),
+            6,
+        ).alias("cos_sim"),
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id").asc()
+    )
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "anchor_id",
+            F.col("vec_id").alias("negative_id"),
+            F.col("label").alias("negative_label"),
+            "cos_sim",
+        )
+        .orderBy("anchor_id", F.col("cos_sim").desc(), "negative_id")
+    )

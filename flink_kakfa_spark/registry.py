@@ -149,6 +149,9 @@ _WINDOW_FRONT = [
 # a typo here fails CI this round, not next round.
 # Update tests/test_000_smoke.py::DRIVER_WINDOW in the same commit.
 _NEXT_WINDOW_PLAN = [
+    # round-6 additions — newest first, per the rotation policy
+    "sketch_kmv_distinct_rollup",
+    "emb_hard_negatives",
     "decontam_minhash",
     "eval_langid_metrics",
     "ts_rolling_1h_value",
