@@ -1044,3 +1044,140 @@ def q_rag_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rrf"), "doc_id")
         .limit(10)
     )
+
+
+from flink_kakfa_spark.operators.mlprep import _MD5_32_SQL, _md5_32
+
+_AB_ARM_SQL = f"(({_MD5_32_SQL.format(x='CAST(user_id AS VARCHAR)')}) % 2)"
+
+
+@query(
+    "ab_test_proportions",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT
+        user_id,
+        CAST({_AB_ARM_SQL} AS BIGINT) AS arm,
+        CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS np
+      FROM events GROUP BY user_id
+    ),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+             CAST(SUM(np) AS BIGINT) AS sum_np
+      FROM per_user
+    ),
+    arms AS (
+      SELECT
+        CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        CAST(SUM(CASE WHEN arm = 0 AND p.np * t.n_users > t.sum_np
+                 THEN 1 ELSE 0 END) AS BIGINT) AS conv_a,
+        CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        CAST(SUM(CASE WHEN arm = 1 AND p.np * t.n_users > t.sum_np
+                 THEN 1 ELSE 0 END) AS BIGINT) AS conv_b
+      FROM per_user p CROSS JOIN tot t
+    ),
+    stats AS (
+      SELECT
+        n_a, conv_a, n_b, conv_b,
+        CASE WHEN n_a > 0 THEN CAST(conv_a AS DOUBLE) / n_a ELSE 0.0 END AS ra,
+        CASE WHEN n_b > 0 THEN CAST(conv_b AS DOUBLE) / n_b ELSE 0.0 END AS rb,
+        CASE WHEN n_a > 0 AND n_b > 0 THEN sqrt(
+          (CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+          * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+          * (1.0 / n_a + 1.0 / n_b)
+        ) ELSE 0.0 END AS se
+      FROM arms
+    )
+    SELECT
+      n_a, conv_a, n_b, conv_b,
+      ROUND(ra, 6) AS rate_a,
+      ROUND(rb, 6) AS rate_b,
+      ROUND(CASE WHEN se > 0 THEN (ra - rb) / se ELSE 0.0 END, 4) AS z_score,
+      CAST(CASE WHEN se > 0 AND ABS((ra - rb) / se) > 1.96
+           THEN 1 ELSE 0 END AS INT) AS significant
+    FROM stats
+    """,
+)
+def q_ab_test_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experimentation readout: users hash-split into arms A/B by md5
+    parity (the portable sticky bucketing every experimentation
+    platform uses — no assignment table), conversion defined as
+    "strictly above the mean purchase count" (an integer-exact,
+    scale-invariant mid-split: ``np * n_users > sum_np`` — never
+    degenerates to all-converted the way an absolute threshold does as
+    volume grows), judged by the two-proportion pooled z-test at
+    alpha = 0.05. A hash split is an A/A experiment, so |z| should be
+    small — the query doubles as a bucketing-bias health check.
+
+    Engine plan: one user_id-keyed shuffle builds per-user purchase
+    counts (map-side combinable); the global (n_users, sum_np) scalar
+    attaches as a broadcast 1-row frame (the module's standard lazy-
+    scalar pattern, no driver collect); one conditional global
+    aggregate folds both arms in a single pass — no pivot shuffle.
+    The z arithmetic runs on four BIGINTs in one projection with a
+    guarded denominator (se = 0 -> z = 0, so an all-converted or
+    empty-arm input degrades to "not significant" instead of a
+    divide-by-zero); both engines evaluate the identical IEEE tree, so
+    ROUND(.., 4/6) is value-exact.
+    """
+    ev = load_table(spark, "events", sf_dir)
+    per_user = ev.groupBy("user_id").agg(
+        F.count(F.when(F.col("event_type") == "purchase", 1))
+        .cast("long")
+        .alias("np")
+    )
+    tot = per_user.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("np").cast("long").alias("sum_np"),
+    )
+    pu = per_user.crossJoin(F.broadcast(tot)).select(
+        (_md5_32(F.col("user_id").cast("string")) % 2).alias("arm"),
+        (F.col("np") * F.col("n_users") > F.col("sum_np"))
+        .cast("int")
+        .alias("converted"),
+    )
+    arms = pu.agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_a"),
+        F.sum(F.when(F.col("arm") == 0, F.col("converted")).otherwise(0))
+        .cast("long")
+        .alias("conv_a"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_b"),
+        F.sum(F.when(F.col("arm") == 1, F.col("converted")).otherwise(0))
+        .cast("long")
+        .alias("conv_b"),
+    )
+    # WHEN-guarded divisions: CaseWhen evaluates only the matched
+    # branch, so the ANSI divide-by-zero can never fire on an empty or
+    # single-arm input (the 0-row sweep hits this with n_a = NULL).
+    ra = F.when(
+        F.col("n_a") > 0, F.col("conv_a").cast("double") / F.col("n_a")
+    ).otherwise(F.lit(0.0))
+    rb = F.when(
+        F.col("n_b") > 0, F.col("conv_b").cast("double") / F.col("n_b")
+    ).otherwise(F.lit(0.0))
+    pooled = (F.col("conv_a") + F.col("conv_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    )
+    se = F.when(
+        (F.col("n_a") > 0) & (F.col("n_b") > 0),
+        F.sqrt(
+            pooled
+            * (F.lit(1.0) - pooled)
+            * (F.lit(1.0) / F.col("n_a") + F.lit(1.0) / F.col("n_b"))
+        ),
+    ).otherwise(F.lit(0.0))
+    z = F.when(se > 0, (ra - rb) / se).otherwise(F.lit(0.0))
+    return arms.select(
+        "n_a",
+        "conv_a",
+        "n_b",
+        "conv_b",
+        F.round(ra, 6).alias("rate_a"),
+        F.round(rb, 6).alias("rate_b"),
+        F.round(z, 4).alias("z_score"),
+        F.when(F.abs(z) > 1.96, 1).otherwise(0).cast("int").alias("significant"),
+    )

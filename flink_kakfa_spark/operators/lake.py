@@ -587,3 +587,100 @@ def q_profile_equidepth_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("o_totalprice").alias("lo"),
         F.max("o_totalprice").alias("hi"),
     )
+
+
+@query(
+    "imv_signed_delta_agg",
+    oracle="""
+    WITH final_state AS (
+      SELECT o_orderpriority,
+             CASE WHEN o_orderkey % 10 = 0
+                  THEN CAST(o_totalprice + 100.00 AS DECIMAL(18,2))
+                  ELSE CAST(o_totalprice AS DECIMAL(18,2)) END AS price
+      FROM orders WHERE o_orderkey % 17 <> 0
+      UNION ALL
+      SELECT o_orderpriority, CAST(50.00 AS DECIMAL(18,2)) AS price
+      FROM orders WHERE o_orderkey % 10 = 5
+    )
+    SELECT
+      o_orderpriority,
+      CAST(COUNT(*) AS BIGINT) AS n_orders,
+      CAST(SUM(price) AS DOUBLE) AS revenue
+    FROM final_state
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q_imv_signed_delta_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance with signed deltas: a materialized
+    revenue-by-priority summary is brought up to date by folding in a
+    changelog of updates (price corrections, +100 on ``key % 10 = 0``),
+    deletes (``key % 17 = 0``) and inserts (a 50.00 rush copy of
+    ``key % 10 = 5``) as (+1/-1)-signed rows — the classic
+    retract/insert dataflow (the multiplicity semantics Flink's
+    retract streams and DBSP/Materialize use) — WITHOUT rescanning the
+    base table. The oracle recomputes the post-change state from
+    scratch; matching it proves the algebraic maintenance is exact.
+
+    Engine plan: the base summary (one map-side-combined groupBy —
+    this is the KB-sized materialized view) unions with the aggregated
+    changelog partials (COUNT -> SUM(sign), SUM(price) ->
+    SUM(sign * price), both over DECIMAL so the merge is exact), and
+    one final 5-row groupBy merges them. At 100 TB the base is never
+    re-read: maintenance cost is O(|changelog|) + a view-sized merge,
+    the whole point of keeping the view's aggregates in the
+    sign-mergeable (count, sum) form rather than as AVG-style
+    finalized values.
+
+    Delete precedence: an updated key that is also deleted emits only
+    its retraction (no re-insert), matching the oracle's
+    ``WHERE key % 17 <> 0`` on the updated branch.
+    """
+    o = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    base = o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("price").alias("rev"),
+    )
+    sign = F.col("sign")
+    upd = o.filter((F.col("o_orderkey") % 10 == 0) & (F.col("o_orderkey") % 17 != 0))
+    changelog = (
+        upd.select("o_orderpriority", "price", F.lit(-1).alias("sign"))
+        .unionByName(
+            upd.select(
+                "o_orderpriority",
+                (F.col("price") + F.lit(100.00).cast("decimal(18,2)"))
+                .cast("decimal(18,2)")
+                .alias("price"),
+                F.lit(1).alias("sign"),
+            )
+        )
+        .unionByName(
+            o.filter(F.col("o_orderkey") % 17 == 0).select(
+                "o_orderpriority", "price", F.lit(-1).alias("sign")
+            )
+        )
+        .unionByName(
+            o.filter(F.col("o_orderkey") % 10 == 5).select(
+                "o_orderpriority",
+                F.lit(50.00).cast("decimal(18,2)").alias("price"),
+                F.lit(1).alias("sign"),
+            )
+        )
+    )
+    delta = changelog.groupBy("o_orderpriority").agg(
+        F.sum(sign).cast("long").alias("n"),
+        F.sum(sign.cast("decimal(18,2)") * F.col("price")).alias("rev"),
+    )
+    return (
+        base.unionByName(delta)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum("n").cast("long").alias("n_orders"),
+            F.sum("rev").cast("double").alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )

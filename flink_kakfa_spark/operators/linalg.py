@@ -441,3 +441,156 @@ def _seed_window():
     from pyspark.sql import Window
 
     return Window.orderBy("vec_id")
+
+
+from flink_kakfa_spark.operators.mlprep import _MD5_32_SQL, _md5_32
+
+_JL_M = 16  # projected dimensionality
+_JL_SCALE = 16384  # 2^14 component quantization — keeps every sum < 2^53
+
+_JL_SIGN_SQL = _MD5_32_SQL.format(
+    x="(CAST(g.i AS VARCHAR) || '_' || CAST(g.j AS VARCHAR))"
+)
+
+
+@query(
+    "emb_jl_projection_quality",
+    oracle=f"""
+    WITH grid AS (
+      SELECT g.j,
+             list(CASE WHEN CAST(({_JL_SIGN_SQL}) AS BIGINT) % 2 = 0
+                       THEN 1 ELSE -1 END ORDER BY g.i) AS srow
+      FROM (SELECT i.i, j.j
+            FROM UNNEST(generate_series(0, {_DIMS - 1})) AS i(i),
+                 UNNEST(generate_series(0, {_JL_M - 1})) AS j(j)) g
+      GROUP BY g.j
+    ),
+    smat AS (SELECT list(srow ORDER BY j) AS S FROM grid),
+    v AS (
+      SELECT vec_id, label,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> CAST(FLOOR(x * {_JL_SCALE}) AS BIGINT)) AS xq
+      FROM embeddings
+    ),
+    proj AS (
+      SELECT vec_id, label,
+        CAST(list_sum(list_transform(xq, t -> t * t)) AS BIGINT) AS nx,
+        list_transform(
+          S, srow -> CAST(list_sum(
+            list_transform(list_zip(xq, srow), p -> p[1] * p[2])
+          ) AS BIGINT)
+        ) AS y
+      FROM v CROSS JOIN smat
+    ),
+    ratio AS (
+      SELECT label,
+        CASE WHEN nx > 0 THEN CAST(FLOOR(
+          CAST(CAST(list_sum(list_transform(y, t -> t * t)) AS BIGINT)
+               AS DOUBLE)
+          / ({_JL_M} * CAST(nx AS DOUBLE)) * 1000000
+        ) AS BIGINT) ELSE 0 END AS micros
+      FROM proj
+    )
+    SELECT
+      CAST(label AS INT) AS label,
+      CAST(COUNT(*) AS BIGINT) AS n_vecs,
+      ROUND(CAST(CAST(SUM(micros) AS BIGINT) AS DOUBLE)
+            / (COUNT(*) * 1000000.0), 6) AS avg_ratio,
+      ROUND(MIN(micros) / 1000000.0, 6) AS min_ratio,
+      ROUND(MAX(micros) / 1000000.0, 6) AS max_ratio
+    FROM ratio
+    GROUP BY label
+    ORDER BY label
+    """,
+)
+def q_emb_jl_projection_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson–Lindenstrauss random-projection QA: project every
+    embedding from d = {_DIMS} to m = {_JL_M} dims with a portable
+    Rademacher (+-1) sign matrix — sign(i, j) from md5 parity, the
+    same seedless construction both engines can derive — and report,
+    per label, how well the projection preserves squared norms:
+    ``ratio = ||y||^2 / (m * ||x||^2)`` (expectation exactly 1 for
+    +-1 projections). The distribution of that ratio IS the JL
+    guarantee; a mean far from 1 or a wide min/max spread means the
+    projection (the cheap ANN / sketching front-end) is distorting
+    geometry.
+
+    Determinism: components quantize to floor(x * 2^14), making every
+    dot product / norm an exact int64 (max |y_j| ~ 2^20, ny ~ 2^44,
+    all < 2^53); the only division happens once per vector and is
+    floored to integer micro-units, so per-label AVG/MIN/MAX aggregate
+    exact integers — no IEEE summation-order drift anywhere.
+
+    Engine plan: the sign matrix is built by one 1-row projection of
+    nested HOF transforms (never a d x m join) and broadcast-cross-
+    joined; projection + norms are per-row narrow HOF folds; the only
+    shuffle is the final |labels|-row aggregate. At 100 TB this is a
+    single map-side-combined pass — the exact shape you want for a
+    sketch that feeds ``sim_lsh_ann_topk``-style pruning.
+    """
+    e = parallelize(load_table(spark, "embeddings", sf_dir), spark).select(
+        "vec_id",
+        "label",
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x: F.floor(x * _JL_SCALE).cast("long"),
+        ).alias("xq"),
+    )
+    sign = lambda i, j: (  # noqa: E731
+        F.when(
+            _md5_32(
+                F.concat_ws("_", i.cast("string"), j.cast("string"))
+            )
+            % 2
+            == 0,
+            F.lit(1),
+        ).otherwise(F.lit(-1))
+    )
+    smat = spark.range(1).select(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(_JL_M - 1)),
+            lambda j: F.transform(
+                F.sequence(F.lit(0), F.lit(_DIMS - 1)),
+                lambda i: sign(i, j),
+            ),
+        ).alias("S")
+    )
+    zero = F.lit(0).cast("long")
+    proj = e.crossJoin(F.broadcast(smat)).select(
+        "label",
+        F.aggregate(
+            F.transform(F.col("xq"), lambda t: t * t), zero, lambda a, t: a + t
+        ).alias("nx"),
+        F.transform(
+            F.col("S"),
+            lambda srow: F.aggregate(
+                F.zip_with(F.col("xq"), srow, lambda a, b: a * b),
+                zero,
+                lambda acc, v: acc + v,
+            ),
+        ).alias("y"),
+    )
+    ny = F.aggregate(
+        F.transform(F.col("y"), lambda t: t * t), zero, lambda a, t: a + t
+    )
+    micros = F.when(
+        F.col("nx") > 0,
+        F.floor(
+            ny.cast("double") / (_JL_M * F.col("nx").cast("double")) * 1000000
+        ).cast("long"),
+    ).otherwise(zero)
+    return (
+        proj.select("label", micros.alias("micros"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            F.round(
+                F.sum("micros").cast("double")
+                / (F.count(F.lit(1)) * 1000000.0),
+                6,
+            ).alias("avg_ratio"),
+            F.round(F.min("micros") / 1000000.0, 6).alias("min_ratio"),
+            F.round(F.max("micros") / 1000000.0, 6).alias("max_ratio"),
+        )
+        .orderBy("label")
+    )

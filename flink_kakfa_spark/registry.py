@@ -68,6 +68,7 @@ _QUERY_MODULES = [
     "flink_kakfa_spark.operators.graph",
     "flink_kakfa_spark.operators.linalg",
     "flink_kakfa_spark.operators.reconcile",
+    "flink_kakfa_spark.operators.skyline",
 ]
 
 # ROUND-6 WINDOW ROTATION (executes the round-6 plan written here in
@@ -150,6 +151,11 @@ _WINDOW_FRONT = [
 # Update tests/test_000_smoke.py::DRIVER_WINDOW in the same commit.
 _NEXT_WINDOW_PLAN = [
     # round-6 additions — newest first, per the rotation policy
+    "emb_jl_projection_quality",
+    "ab_test_proportions",
+    "sketch_kmv_set_overlap",
+    "imv_signed_delta_agg",
+    "pareto_frontier_parts",
     "sketch_kmv_distinct_rollup",
     "emb_hard_negatives",
     "decontam_minhash",

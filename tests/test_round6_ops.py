@@ -152,3 +152,258 @@ def test_hard_negatives_plan_broadcasts_anchors(spark, sf_dir):
     df = all_queries()["emb_hard_negatives"](spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in plan
+
+
+# ---------------------------------------------------------------- round-6 ops
+
+
+def _write_parts(spark, tmp_path, rows):
+    spark.createDataFrame(rows).write.mode("overwrite").parquet(
+        f"{tmp_path}/part.parquet"
+    )
+    return str(tmp_path)
+
+
+def _part(pk, price, size):
+    return Row(
+        p_partkey=pk,
+        p_name=f"part {pk}",
+        p_brand="B",
+        p_type="T",
+        p_size=size,
+        p_retailprice=float(price),
+    )
+
+
+def test_pareto_frontier_bruteforce_parity(spark, sf_dir):
+    """The windowed-sweep frontier must equal the quadratic
+    brute-force domination check computed independently in Python."""
+    import pyarrow.parquet as pq
+
+    got = {
+        r["p_partkey"]
+        for r in all_queries()["pareto_frontier_parts"](spark, sf_dir).collect()
+    }
+    t = pq.read_table(f"{sf_dir}/part.parquet").to_pandas()
+    pts = list(zip(t.p_partkey, t.p_retailprice, t.p_size))
+    want = {
+        pk
+        for pk, pr, sz in pts
+        if not any(
+            (qr <= pr and qs >= sz and (qr < pr or qs > sz))
+            for _, qr, qs in pts
+        )
+    }
+    assert got == want and got
+
+
+def test_pareto_frontier_tie_semantics(spark, tmp_path):
+    """Ties on both axes all survive (no strict dominator); a same-size
+    strictly-cheaper part kills the pricier one; a same-price
+    strictly-larger part kills the smaller one."""
+    sf = _write_parts(
+        spark,
+        tmp_path,
+        [
+            _part(1, 10.0, 50),  # frontier
+            _part(2, 10.0, 50),  # exact tie of 1 -> survives too
+            _part(3, 12.0, 50),  # same size as 1, pricier -> dominated
+            _part(4, 10.0, 40),  # same price as 1, smaller -> dominated
+            _part(5, 5.0, 30),   # cheaper, smaller -> frontier
+            _part(6, 20.0, 60),  # biggest -> frontier
+        ],
+    )
+    got = sorted(
+        r["p_partkey"]
+        for r in all_queries()["pareto_frontier_parts"](spark, sf).collect()
+    )
+    assert got == [1, 2, 5, 6]
+
+
+def test_pareto_frontier_plan_broadcasts_frontier(spark, sf_dir):
+    df = all_queries()["pareto_frontier_parts"](spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_imv_delta_equals_engine_recompute(spark, sf_dir):
+    """Algebraic maintenance == full recompute, proven INSIDE the
+    engine (the oracle differential proves cross-engine parity; this
+    proves the signed-delta fold against Spark's own from-scratch
+    aggregation of the post-change state)."""
+    from flink_kakfa_spark.sources.tables import load_table
+
+    o = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    survivors = o.filter(F.col("o_orderkey") % 17 != 0).select(
+        "o_orderpriority",
+        F.when(
+            F.col("o_orderkey") % 10 == 0,
+            (F.col("price") + F.lit(100.00).cast("decimal(18,2)")).cast(
+                "decimal(18,2)"
+            ),
+        )
+        .otherwise(F.col("price"))
+        .alias("price"),
+    )
+    inserts = o.filter(F.col("o_orderkey") % 10 == 5).select(
+        "o_orderpriority", F.lit(50.00).cast("decimal(18,2)").alias("price")
+    )
+    want = {
+        r["o_orderpriority"]: (r["n"], r["rev"])
+        for r in survivors.unionByName(inserts)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("price").cast("double").alias("rev"),
+        )
+        .collect()
+    }
+    got = {
+        r["o_orderpriority"]: (r["n_orders"], r["revenue"])
+        for r in all_queries()["imv_signed_delta_agg"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_kmv_overlap_exact_degrade_below_k(spark, tmp_path):
+    """Two types sharing exactly 10 of 30/25 user-days, all unions
+    below k: the sketch holds everything and the estimate IS exact."""
+    rows = []
+    eid = 0
+    for u in range(1, 31):  # type view: users 1..30 on day 1
+        rows.append(_event(eid, 1, u, "view"))
+        eid += 1
+    for u in range(21, 46):  # type click: users 21..45 -> overlap 21..30
+        rows.append(_event(eid, 1, u, "click"))
+        eid += 1
+    sf = _write_events(spark, tmp_path, rows)
+    got = all_queries()["sketch_kmv_set_overlap"](spark, sf).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["type_a"], r["type_b"]) == ("click", "view")
+    assert r["exact_overlap"] == 10
+    assert r["kmv_overlap"] == 10
+    assert r["err_bp"] == 0
+
+
+def test_kmv_overlap_estimates_on_fixture(spark, sf_dir):
+    """On the real fixture (unions >> k, heavy overlap) every pair's
+    estimate must land within 50% of exact — far looser than the
+    expected sketch error, so a failure means broken set algebra, not
+    variance."""
+    rows = all_queries()["sketch_kmv_set_overlap"](spark, sf_dir).collect()
+    assert len(rows) == 10  # 5 types -> C(5,2) pairs
+    for r in rows:
+        assert r["exact_overlap"] > 0
+        rel = abs(r["kmv_overlap"] - r["exact_overlap"]) / r["exact_overlap"]
+        assert rel <= 0.5, (r["type_a"], r["type_b"], rel)
+
+
+def test_ab_test_recompute_from_first_principles(spark, tmp_path):
+    """Arm split, conversion cut, rates and z recomputed independently
+    in Python (hashlib md5 parity + the pooled z formula) must match
+    the engine row exactly."""
+    import hashlib
+    import math
+
+    rows = []
+    eid = 0
+    for u in range(1, 41):  # user u makes u purchases -> mean split
+        for _ in range(u):
+            rows.append(_event(eid, (eid % 28) + 1, u, "purchase"))
+            eid += 1
+    sf = _write_events(spark, tmp_path, rows)
+    r = all_queries()["ab_test_proportions"](spark, sf).collect()[0]
+    np_by_user = {u: u for u in range(1, 41)}
+    total = sum(np_by_user.values())
+    n_users = len(np_by_user)
+    arm = {
+        u: int(hashlib.md5(str(u).encode()).hexdigest()[:8], 16) % 2
+        for u in np_by_user
+    }
+    conv = {u: int(np_by_user[u] * n_users > total) for u in np_by_user}
+    n_a = sum(1 for u in arm if arm[u] == 0)
+    n_b = n_users - n_a
+    conv_a = sum(conv[u] for u in arm if arm[u] == 0)
+    conv_b = sum(conv[u] for u in arm if arm[u] == 1)
+    assert (r["n_a"], r["conv_a"], r["n_b"], r["conv_b"]) == (
+        n_a, conv_a, n_b, conv_b,
+    )
+    ra, rb = conv_a / n_a, conv_b / n_b
+    p = (conv_a + conv_b) / (n_a + n_b)
+    se = math.sqrt(p * (1 - p) * (1 / n_a + 1 / n_b))
+    z = (ra - rb) / se if se > 0 else 0.0
+    assert r["rate_a"] == round(ra, 6) and r["rate_b"] == round(rb, 6)
+    assert r["z_score"] == round(z, 4)
+    assert r["significant"] == int(abs(z) > 1.96)
+
+
+def test_jl_projection_numpy_mirror(spark, sf_dir):
+    """Full numpy mirror of the JL pipeline: md5-parity signs,
+    floor-quantization, integer projection, per-label micro-ratio
+    aggregates — every output cell must match exactly."""
+    import hashlib
+    import math
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from flink_kakfa_spark.operators.linalg import _JL_M, _JL_SCALE
+
+    d = 64
+    S = np.array(
+        [
+            [
+                1
+                if int(
+                    hashlib.md5(f"{i}_{j}".encode()).hexdigest()[:8], 16
+                )
+                % 2
+                == 0
+                else -1
+                for i in range(d)
+            ]
+            for j in range(_JL_M)
+        ],
+        dtype=np.int64,
+    )
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pandas()
+    per_label: dict[int, list] = {}
+    for rec in t.itertuples():
+        xq = np.floor(np.array(rec.embedding, dtype=np.float64) * _JL_SCALE
+                      ).astype(np.int64)
+        nx = int(xq @ xq)
+        y = S @ xq
+        ny = int(y @ y)
+        micros = (
+            int(math.floor(float(ny) / (_JL_M * float(nx)) * 1000000))
+            if nx > 0
+            else 0
+        )
+        per_label.setdefault(int(rec.label), []).append(micros)
+    want = {
+        lbl: (
+            len(ms),
+            round(sum(ms) / (len(ms) * 1000000.0), 6),
+            round(min(ms) / 1000000.0, 6),
+            round(max(ms) / 1000000.0, 6),
+        )
+        for lbl, ms in per_label.items()
+    }
+    got = {
+        r["label"]: (r["n_vecs"], r["avg_ratio"], r["min_ratio"], r["max_ratio"])
+        for r in all_queries()["emb_jl_projection_quality"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_jl_projection_preserves_norms_on_average(spark, sf_dir):
+    """The JL property itself: mean ratio within 15% of 1.0 for every
+    label (expectation is exactly 1 for Rademacher projections)."""
+    for r in all_queries()["emb_jl_projection_quality"](spark, sf_dir).collect():
+        assert 0.85 <= r["avg_ratio"] <= 1.15, (r["label"], r["avg_ratio"])

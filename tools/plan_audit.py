@@ -72,6 +72,19 @@ ALLOWED_QUADRATIC = {
     # inherits sim_cosine_topk's 1-row query-vector broadcast; the
     # fusion join itself is two 10-row lists
     "rag_hybrid_rrf_topk",
+    # 1-row (n_users, sum_np) conversion-threshold broadcast cross join
+    "ab_test_proportions",
+    # 1-row Rademacher sign-matrix broadcast cross join (built by one
+    # nested HOF projection, never a d x m join)
+    "emb_jl_projection_quality",
+    # declared exact pass: 1%-anchor frame broadcast into a label-
+    # inequality BNLJ with hoisted norms; the IVF-cell-pruned variant
+    # is the 100 TB path (docstring) — same class as decontam_embedding
+    "emb_hard_negatives",
+    # pair spine = |types| x |types| theta self-join on the distinct
+    # event-type relation (<=5 rows/side); every fact-scale join in
+    # the query is an equi-join
+    "sketch_kmv_set_overlap",
 }
 ALLOWED_PYTHON = {
     "mm_decode_frames", "mm_extract_features", "sim_cosine_topk_pandas",
@@ -157,6 +170,17 @@ ALLOWED_SMALL_SIDE_SHUFFLES = {
     # combined); totals/PSI/ordering exchanges move <=|types|x|bins|
     # rows
     "drift_psi_report",
+    # two fact-scale passes by design: the (type, day, hash) distinct
+    # that feeds the sketch build, and the exact countDistinct kept
+    # only to report realized error (absent at production scale —
+    # the standing daily sketch table is the artifact). Everything
+    # else moves <=k rows per (type, day).
+    "sketch_kmv_distinct_rollup",
+    # two fact-scale passes by design (sketch-feed distinct + the
+    # exact-overlap error report); the salted partial k-min bounds
+    # every window input; all other exchanges move <=|types|*k
+    # sketch rows or |pairs| result rows
+    "sketch_kmv_set_overlap",
 }
 
 
@@ -178,6 +202,10 @@ ALLOWED_GLOBAL_WINDOW = {
     "sql_recursive_month_spine",  # generated 12-row month spine
     "trend_slope_per_type",       # one row per event type (<=5)
     "text_length_histogram",      # OVER () on <=64 log2-bucket rows
+    # ordered frontier sweep over the (price, max_size) aggregate —
+    # <=|distinct prices| rows, never the part facts (skyline.py
+    # two-phase plan)
+    "pareto_frontier_parts",
 }
 
 
