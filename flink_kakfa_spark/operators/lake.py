@@ -684,3 +684,142 @@ def q_imv_signed_delta_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# --- small-file compaction planning -----------------------------------
+# Iceberg/Delta-style table maintenance: given a file manifest, group
+# undersized files into merge jobs of ~target size. The planner runs on
+# METADATA (the manifest), never the data files — at 100 TB the
+# manifest is a few million rows while the table is billions, which is
+# why compaction planning is a metadata-only query in every lake
+# format. Here the manifest is simulated from orders as one "file" per
+# (month, o_orderkey % 8) with a fixed 48-byte row-size proxy.
+
+_COMPACT_TARGET = 4096  # bytes per merge group
+_COMPACT_ROW_BYTES = 48
+
+
+def compaction_plan(manifest: DataFrame, target: int) -> DataFrame:
+    """Per-partition merge groups over small files.
+
+    ``manifest``: (part, file_id, bytes). Files with ``bytes >= target``
+    are left alone; the rest are ordered largest-first within their
+    partition and cut into groups by cumulative-byte range — every
+    group's input totals ~``target`` bytes (ordering by size first
+    packs tightly; the deterministic (bytes desc, file_id) order makes
+    the plan reproducible). Returns (part, group_id, n_files,
+    group_bytes).
+    """
+    small = manifest.filter(F.col("bytes") < target)
+    w = Window.partitionBy("part").orderBy(F.col("bytes").desc(), F.col("file_id"))
+    cum = F.sum("bytes").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        small.withColumn(
+            "group_id", F.floor((cum - 1) / F.lit(target)).cast("long")
+        )
+        .groupBy("part", "group_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_files"),
+            F.sum("bytes").cast("long").alias("group_bytes"),
+        )
+    )
+
+
+@query(
+    "lake_compaction_plan",
+    oracle=f"""
+    WITH manifest AS (
+      SELECT date_trunc('month', o_orderdate) AS part,
+             o_orderkey % 8 AS file_id,
+             CAST(COUNT(*) * {_COMPACT_ROW_BYTES} AS BIGINT) AS bytes
+      FROM orders GROUP BY 1, 2
+    ),
+    small AS (
+      SELECT part, file_id, bytes,
+             SUM(bytes) OVER (
+               PARTITION BY part ORDER BY bytes DESC, file_id
+               ROWS UNBOUNDED PRECEDING
+             ) AS cum
+      FROM manifest WHERE bytes < {_COMPACT_TARGET}
+    ),
+    grp AS (
+      SELECT part,
+             CAST(FLOOR((cum - 1) / {_COMPACT_TARGET}) AS BIGINT) AS group_id,
+             CAST(COUNT(*) AS BIGINT) AS n_files,
+             CAST(SUM(bytes) AS BIGINT) AS group_bytes
+      FROM small GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT part, CAST(COUNT(*) AS BIGINT) AS n_files
+      FROM manifest GROUP BY part
+    )
+    SELECT
+      CAST(t.part AS DATE) AS part_month,
+      t.n_files,
+      CAST(COALESCE(SUM(g.n_files), 0) AS BIGINT) AS n_small_files,
+      CAST(COUNT(g.group_id) AS BIGINT) AS n_merge_groups,
+      CAST(COALESCE(SUM(g.group_bytes), 0) AS BIGINT) AS small_bytes,
+      CAST(COALESCE(MAX(g.group_bytes), 0) AS BIGINT) AS max_group_bytes
+    FROM tot t LEFT JOIN grp g USING (part)
+    GROUP BY 1, 2
+    ORDER BY part_month
+    """,
+)
+def q_lake_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compaction planning summary per month-partition: how many files
+    exist, how many are undersized, and how they pack into merge
+    groups of ~{_COMPACT_TARGET} bytes (largest-first cumulative-range
+    grouping — deterministic, and each group's input is within one
+    file of the target).
+
+    Engine plan: the manifest build is one map-side-combinable groupBy
+    of the fact table (at production scale the manifest already exists
+    as table metadata and the fact scan disappears); everything after
+    runs on manifest rows — a per-partition window (bounded by files
+    per partition), two KB-sized aggregates, one left join. Months
+    whose files are all at target produce zero groups, not zero rows.
+    """
+    o = load_table(spark, "orders", sf_dir)
+    manifest = o.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("part"),
+        (F.col("o_orderkey") % 8).alias("file_id"),
+    ).agg(
+        (F.count(F.lit(1)) * _COMPACT_ROW_BYTES).cast("long").alias("bytes")
+    )
+    grp = compaction_plan(manifest, _COMPACT_TARGET)
+    tot = manifest.groupBy("part").agg(
+        F.count(F.lit(1)).cast("long").alias("n_files")
+    )
+    grp2 = grp.select(
+        "part",
+        F.col("n_files").alias("g_files"),
+        "group_id",
+        "group_bytes",
+    )
+    return (
+        tot.join(grp2, "part", "left")
+        .groupBy("part", "n_files")
+        .agg(
+            F.coalesce(F.sum("g_files"), F.lit(0))
+            .cast("long")
+            .alias("n_small_files"),
+            F.count("group_id").cast("long").alias("n_merge_groups"),
+            F.coalesce(F.sum("group_bytes"), F.lit(0))
+            .cast("long")
+            .alias("small_bytes"),
+            F.coalesce(F.max("group_bytes"), F.lit(0))
+            .cast("long")
+            .alias("max_group_bytes"),
+        )
+        .select(
+            F.col("part").alias("part_month"),
+            "n_files",
+            "n_small_files",
+            "n_merge_groups",
+            "small_bytes",
+            "max_group_bytes",
+        )
+        .orderBy("part_month")
+    )

@@ -594,3 +594,78 @@ def q_emb_jl_projection_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+_DIMQ = 1 << 12  # 2^12 per-component quantization for dim stats
+
+
+@query(
+    "emb_dim_variance_top",
+    oracle=f"""
+    WITH v AS (
+      SELECT list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> CAST(FLOOR(x * {_DIMQ}) AS BIGINT)) AS xq
+      FROM embeddings
+    ),
+    comp AS (
+      SELECT g.i - 1 AS dim, xq[g.i] AS val
+      FROM v, UNNEST(generate_series(1, len(xq))) AS g(i)
+    ),
+    stats AS (
+      SELECT CAST(dim AS INT) AS dim,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(val) AS BIGINT) AS sum_q,
+             CAST(SUM(val * val) AS BIGINT) AS ss
+      FROM comp GROUP BY dim
+    )
+    SELECT dim, n, sum_q,
+           CAST((ss * n - sum_q * sum_q) // (n * n) AS BIGINT) AS var_q
+    FROM stats
+    ORDER BY var_q DESC, dim
+    LIMIT 10
+    """,
+)
+def q_emb_dim_variance_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension variance profile of the embedding table: the 10
+    highest-variance dimensions with exact integer moment sums — the
+    feature-QA pass run before whitening/standardizing or before
+    Matryoshka-style dimension truncation (a dead dimension has ~0
+    variance and can be dropped; one dimension dominating variance
+    means the encoder collapsed). Companion to ``emb_covariance_stats``
+    (full Gram matrix) when only the diagonal is needed — at 100 TB
+    the diagonal pass moves d values per partition instead of d².
+
+    Determinism: components quantize to floor(x * 2^12); count/sum/
+    sum-of-squares are exact int64 (|val| <= 2^13 -> ss*n < 2^60 at
+    SF 1); variance uses the integer identity
+    ``(n*ss - s^2) div n^2`` whose numerator is non-negative
+    (Cauchy-Schwarz), so truncating and flooring division agree across
+    engines.
+
+    Scale: one posexplode then a d-key map-side-combined aggregate —
+    partials are (dim, n, s, ss) triples, d=64 rows per partition; the
+    final relation is d rows and the top-k is a TakeOrdered, no global
+    sort of data.
+    """
+    e = parallelize(load_table(spark, "embeddings", sf_dir), spark).select(
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x: F.floor(x * _DIMQ).cast("long"),
+        ).alias("xq")
+    )
+    comp = e.select(F.posexplode(F.col("xq")).alias("dim", "val"))
+    stats = comp.groupBy(F.col("dim").cast("int").alias("dim")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("val").cast("long").alias("sum_q"),
+        F.sum(F.col("val") * F.col("val")).cast("long").alias("ss"),
+    )
+    return (
+        stats.select(
+            "dim",
+            "n",
+            "sum_q",
+            F.expr("(ss * n - sum_q * sum_q) DIV (n * n)").alias("var_q"),
+        )
+        .orderBy(F.col("var_q").desc(), "dim")
+        .limit(10)
+    )

@@ -185,3 +185,75 @@ def q_text_hashing_trick(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_distinct(F.col("word")).alias("n_distinct_words"),
         )
     )
+
+
+_L_DIVERSITY = 2  # required distinct sensitive values per QI class
+
+
+@query(
+    "privacy_l_diversity",
+    oracle=f"""
+    WITH classes AS (
+      SELECT o_orderpriority,
+             date_trunc('month', o_orderdate) AS m,
+             CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS diversity,
+             CAST(COUNT(*) AS BIGINT) AS n_rows
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT
+      o_orderpriority AS priority,
+      CAST(COUNT(*) AS BIGINT) AS n_classes,
+      CAST(SUM(CASE WHEN diversity < {_L_DIVERSITY} THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_violating,
+      CAST(MIN(diversity) AS BIGINT) AS min_diversity,
+      CAST(SUM(CASE WHEN diversity < {_L_DIVERSITY} THEN n_rows ELSE 0 END)
+           AS BIGINT) AS rows_at_risk
+    FROM classes
+    GROUP BY priority
+    ORDER BY priority
+    """,
+)
+def q_privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit (Machanavajjhala et al. 2007), the companion
+    gate to ``privacy_k_anonymity``: a release can be k-anonymous and
+    still leak — if every row in a quasi-identifier class shares ONE
+    sensitive value, membership in the class reveals it. Here the QI
+    is (order priority, order month), the sensitive attribute is order
+    status, and a class violates when it carries < l = {_L_DIVERSITY}
+    distinct statuses (homogeneity attack surface). Reported per
+    priority: class count, violating classes, worst diversity, and how
+    many rows sit in violating classes.
+
+    Scale: two map-side-combinable hash aggregates — the QI groupBy
+    (distinct-count over a 3-value attribute collapses in the partial
+    aggregate) and the |priorities|-row rollup. Same single-pass shape
+    as the k-anonymity gate; output bounded by attribute cardinality.
+    """
+    o = load_table(spark, "orders", sf_dir)
+    classes = o.groupBy(
+        "o_orderpriority",
+        F.date_trunc("month", F.col("o_orderdate")).alias("m"),
+    ).agg(
+        F.countDistinct("o_orderstatus").cast("long").alias("diversity"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+    )
+    return (
+        classes.groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_classes"),
+            F.sum(
+                F.when(F.col("diversity") < _L_DIVERSITY, 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_violating"),
+            F.min("diversity").cast("long").alias("min_diversity"),
+            F.sum(
+                F.when(
+                    F.col("diversity") < _L_DIVERSITY, F.col("n_rows")
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("rows_at_risk"),
+        )
+        .orderBy("priority")
+    )

@@ -321,3 +321,84 @@ def q_drift_psi_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# Keyword set for the structured-text (code/query-log) detector. The
+# fixture vocabulary is SQL-ish word salad, so SQL keywords are the
+# demonstration set; a code-corpus deployment swaps in per-language
+# token lists (def/class/import, function/const/var, ...) — the
+# operator is the density machinery, not the list.
+_CODE_KEYWORDS = [
+    "join", "filter", "sort", "group", "order", "window",
+    "merge", "scan", "agg", "hash",
+]
+_SQL_CODE_KEYWORDS = "[" + ", ".join(f"'{w}'" for w in _CODE_KEYWORDS) + "]"
+_CODE_THRESH_BP = 3500  # >=35% keyword tokens -> structured
+
+
+@query(
+    "quality_code_detector",
+    oracle=f"""
+    WITH d AS (
+      SELECT source,
+             CAST(len(list_filter(string_split(text, ' '),
+                                  w -> list_contains({_SQL_CODE_KEYWORDS}, w)))
+                  * 10000 // len(string_split(text, ' ')) AS BIGINT)
+               AS density_bp
+      FROM documents
+      WHERE len(string_split(text, ' ')) > 0
+    )
+    SELECT
+      source,
+      CAST(COUNT(*) AS BIGINT) AS n_docs,
+      CAST(SUM(CASE WHEN density_bp >= {_CODE_THRESH_BP} THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_structured,
+      CAST(SUM(density_bp) // COUNT(*) AS BIGINT) AS avg_density_bp,
+      CAST(MIN(density_bp) AS BIGINT) AS min_density_bp,
+      CAST(MAX(density_bp) AS BIGINT) AS max_density_bp
+    FROM d GROUP BY source ORDER BY source
+    """,
+)
+def q_quality_code_detector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured-text detector by keyword-token density — the cheap
+    first-stage router every mixed crawl needs to separate code /
+    query logs / markup from prose before language-specific pipelines
+    run (the heuristic behind fastText code filters, minus the model:
+    a fixed keyword list and a density threshold). Per document,
+    density = keyword tokens / tokens in basis points; per source:
+    doc counts above the {_CODE_THRESH_BP} bp threshold plus the
+    density distribution (avg/min/max), so a mis-threshold is visible
+    in the same report.
+
+    Scale: pure narrow map (HOF filter over the token array — no
+    explode, no shuffle) followed by one |sources|-row aggregate;
+    integer basis points end-to-end, so value-exact.
+    """
+    d = load_table(spark, "documents", sf_dir)
+    t = F.split(F.col("text"), " ")
+    kw = F.array([F.lit(w) for w in _CODE_KEYWORDS])
+    density = F.floor(
+        F.size(F.filter(t, lambda w: F.array_contains(kw, w)))
+        * 10000
+        / F.size(t)
+    ).cast("long")
+    docs = d.filter(F.size(t) > 0).select(
+        "source", density.alias("density_bp")
+    )
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(
+                F.when(F.col("density_bp") >= _CODE_THRESH_BP, 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_structured"),
+            F.floor(F.sum("density_bp") / F.count(F.lit(1)))
+            .cast("long")
+            .alias("avg_density_bp"),
+            F.min("density_bp").alias("min_density_bp"),
+            F.max("density_bp").alias("max_density_bp"),
+        )
+        .orderBy("source")
+    )

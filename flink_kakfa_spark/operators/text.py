@@ -750,3 +750,92 @@ def q_text_bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cnt").desc(), "pair")
         .limit(20)
     )
+
+
+@query(
+    "text_ngram_coverage",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, source, string_split(text, ' ') AS ts FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, source,
+             ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+      FROM tok, UNNEST(generate_series(1, len(ts) - 2)) AS g(i)
+      WHERE len(ts) >= 3
+    ),
+    df AS (
+      SELECT shingle, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+      FROM sh GROUP BY shingle
+    ),
+    per_src AS (SELECT DISTINCT source, shingle FROM sh)
+    SELECT
+      p.source,
+      CAST(COUNT(*) AS BIGINT) AS n_shingles,
+      CAST(SUM(CASE WHEN d.n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_shared,
+      CAST(SUM(CASE WHEN d.n_docs > 1 THEN 1 ELSE 0 END) * 10000
+           // COUNT(*) AS BIGINT) AS dup_rate_bp
+    FROM per_src p JOIN df d USING (shingle)
+    GROUP BY p.source
+    ORDER BY p.source
+    """,
+)
+def q_text_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-document n-gram duplication diagnosis, the corpus-level
+    companion to ``text_repetition_ngrams`` (intra-doc): per source,
+    how many distinct 3-gram shingles its documents contribute and
+    what fraction of them also appear in at least one OTHER document
+    corpus-wide (``n_docs > 1``). A source whose dup_rate is high is
+    boilerplate-heavy or a mirror of another source — exactly the
+    signal used to decide between doc-level dedup
+    (``dedup_ngram_jaccard``) and substring-level dedup
+    (``dedup_substring_runs``) before training.
+
+    Scale: ONE shingle-keyed shuffle computes document frequency and
+    the (<=|sources|-element) source set together, map-side combined;
+    exploding the source set and the |sources|-row rollup never touch
+    fact-sized data, and AQE's skew handling covers hot boilerplate
+    shingles. Integer basis points keep the rate value-exact.
+    """
+    d = load_table(spark, "documents", sf_dir)
+    t = tokens()
+    sh_arr = F.transform(
+        F.sequence(F.lit(1), F.size(t) - 2),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(t, i),
+            F.element_at(t, i + 1),
+            F.element_at(t, i + 2),
+        ),
+    )
+    sh = d.filter(F.size(t) >= 3).select(
+        "doc_id", "source", F.explode(F.array_distinct(sh_arr)).alias("shingle")
+    )
+    # ONE shingle-keyed shuffle: document frequency and the (bounded,
+    # <=|sources|) source set aggregate together, then explode the
+    # source set — no second distinct + join back on the vocab.
+    per_shingle = sh.groupBy("shingle").agg(
+        F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        F.collect_set("source").alias("sources"),
+    )
+    per_src = per_shingle.select(
+        F.explode("sources").alias("source"), "n_docs"
+    )
+    return (
+        per_src.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.sum(F.when(F.col("n_docs") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_shared"),
+            F.floor(
+                F.sum(F.when(F.col("n_docs") > 1, 1).otherwise(0))
+                * 10000
+                / F.count(F.lit(1))
+            )
+            .cast("long")
+            .alias("dup_rate_bp"),
+        )
+        .orderBy("source")
+    )

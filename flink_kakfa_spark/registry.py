@@ -151,6 +151,12 @@ _WINDOW_FRONT = [
 # Update tests/test_000_smoke.py::DRIVER_WINDOW in the same commit.
 _NEXT_WINDOW_PLAN = [
     # round-6 additions — newest first, per the rotation policy
+    "sketch_theta_difference",
+    "lake_compaction_plan",
+    "privacy_l_diversity",
+    "text_ngram_coverage",
+    "quality_code_detector",
+    "emb_dim_variance_top",
     "emb_jl_projection_quality",
     "ab_test_proportions",
     "sketch_kmv_set_overlap",

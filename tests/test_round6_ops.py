@@ -407,3 +407,158 @@ def test_jl_projection_preserves_norms_on_average(spark, sf_dir):
     label (expectation is exactly 1 for Rademacher projections)."""
     for r in all_queries()["emb_jl_projection_quality"](spark, sf_dir).collect():
         assert 0.85 <= r["avg_ratio"] <= 1.15, (r["label"], r["avg_ratio"])
+
+
+# ---- round-6 second batch: compaction / privacy / coverage / ---------
+# ---- code detector / dim variance / theta difference -----------------
+
+from flink_kakfa_spark.operators.lake import compaction_plan
+
+
+def test_compaction_plan_groups_small_files_only(spark):
+    """Large files are left alone; small files pack into cumulative-
+    range groups whose count is exactly ceil(total_small/target) and
+    whose bytes sum to the small total (nothing dropped/duplicated)."""
+    rows = [
+        Row(part="2024-01", file_id=i, bytes=b)
+        for i, b in enumerate([5000, 4096, 1000, 900, 800, 700, 50])
+    ]
+    manifest = spark.createDataFrame(rows)
+    got = compaction_plan(manifest, 4096).collect()
+    # 5000 and 4096 are at/over target -> excluded
+    small_total = 1000 + 900 + 800 + 700 + 50
+    assert sum(r["group_bytes"] for r in got) == small_total
+    assert sum(r["n_files"] for r in got) == 5
+    expect_groups = (small_total - 1) // 4096 + 1
+    assert len(got) == expect_groups
+    assert sorted(r["group_id"] for r in got) == list(range(expect_groups))
+
+
+def test_compaction_plan_is_deterministic_largest_first(spark):
+    """Same manifest in any row order -> identical plan (ordering is
+    (bytes desc, file_id), not input order)."""
+    rows = [Row(part="p", file_id=i, bytes=100 * (i % 7 + 1)) for i in range(20)]
+    a = compaction_plan(spark.createDataFrame(rows), 1000)
+    b = compaction_plan(spark.createDataFrame(list(reversed(rows))), 1000)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def _order(okey, status, month, prio="1-URGENT"):
+    return Row(
+        o_orderkey=okey,
+        o_custkey=okey,
+        o_orderstatus=status,
+        o_totalprice=100.0,
+        o_orderdate=dt.datetime(2024, month, 1),
+        o_orderpriority=prio,
+    )
+
+
+def test_l_diversity_flags_homogeneous_classes(spark, tmp_path):
+    """A (priority, month) class with one distinct status violates
+    l=2; a class with two statuses does not; rows_at_risk counts only
+    violating-class rows."""
+    rows = (
+        [_order(i, "F", 1) for i in range(4)]                  # homogeneous
+        + [_order(10 + i, "F" if i % 2 else "O", 2) for i in range(6)]
+    )
+    spark.createDataFrame(rows).write.mode("overwrite").parquet(
+        f"{tmp_path}/orders.parquet"
+    )
+    got = all_queries()["privacy_l_diversity"](spark, str(tmp_path)).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r["n_classes"] == 2
+    assert r["n_violating"] == 1
+    assert r["min_diversity"] == 1
+    assert r["rows_at_risk"] == 4
+
+
+def test_theta_difference_exact_below_k(spark, tmp_path):
+    """With fewer than k distinct keys per type AND in the union, all
+    three KMV estimates are exact counts, so inclusion-exclusion gives
+    the exact difference: err_bp == 0 on every pair."""
+    rows = []
+    eid = 0
+    # type A: users 1..30; type B: users 21..50 (overlap 10, only_a 20)
+    for u in range(1, 31):
+        rows.append(_event(eid, 1, u, "a_type")); eid += 1
+    for u in range(21, 51):
+        rows.append(_event(eid, 1, u, "b_type")); eid += 1
+    sf = _write_events(spark, tmp_path, rows)
+    got = all_queries()["sketch_theta_difference"](spark, sf).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r["exact_only_a"] == 20
+    assert r["est_only_a"] == 20
+    assert r["err_bp"] == 0
+
+
+def test_dim_variance_identifies_constant_and_spread_dims(spark, tmp_path):
+    """A constant dimension has var_q 0; an alternating +-1 dimension
+    has the exact fixed-point variance q^2; ordering puts the spread
+    dimension first."""
+    q = 1 << 12
+    rows = [
+        Row(vec_id=i, embedding=[0.5, 1.0 if i % 2 == 0 else -1.0], label=0)
+        for i in range(4)
+    ]
+    spark.createDataFrame(rows).write.mode("overwrite").parquet(
+        f"{tmp_path}/embeddings.parquet"
+    )
+    got = all_queries()["emb_dim_variance_top"](spark, str(tmp_path)).collect()
+    assert [r["dim"] for r in got] == [1, 0]
+    top = got[0]
+    # floor(1.0*q)=q, floor(-1.0*q)=-q; mean 0 -> var = q^2 exactly
+    assert top["var_q"] == q * q
+    assert top["sum_q"] == 0
+    assert got[1]["var_q"] == 0  # constant dim
+
+
+def _doc(doc_id, text, source):
+    return Row(
+        doc_id=doc_id, text=text, lang="en", source=source,
+        n_chars=len(text),
+    )
+
+
+def test_ngram_coverage_separates_mirrored_and_unique_sources(spark, tmp_path):
+    """Two identical docs (different sources) -> every shingle shared
+    (10000 bp in both); a third doc with disjoint vocabulary -> 0 bp."""
+    rows = [
+        _doc(1, "alpha beta gamma delta", "mirror1"),
+        _doc(2, "alpha beta gamma delta", "mirror2"),
+        _doc(3, "uniq1 uniq2 uniq3 uniq4", "fresh"),
+    ]
+    spark.createDataFrame(rows).write.mode("overwrite").parquet(
+        f"{tmp_path}/documents.parquet"
+    )
+    got = {
+        r["source"]: r
+        for r in all_queries()["text_ngram_coverage"](spark, str(tmp_path)).collect()
+    }
+    assert got["mirror1"]["dup_rate_bp"] == 10000
+    assert got["mirror2"]["dup_rate_bp"] == 10000
+    assert got["fresh"]["dup_rate_bp"] == 0
+    assert got["fresh"]["n_shingles"] == 2  # 4 tokens -> 2 trigrams
+
+
+def test_code_detector_density_and_threshold(spark, tmp_path):
+    """All-keyword doc -> 10000 bp and counted structured; no-keyword
+    doc -> 0 bp; mixed doc gets the exact floored density."""
+    rows = [
+        _doc(1, "join filter sort group", "s"),    # 4/4 keywords
+        _doc(2, "alpha beta gamma delta", "s"),    # 0/4
+        _doc(3, "join alpha beta", "s"),           # 1/3 -> 3333 bp
+    ]
+    spark.createDataFrame(rows).write.mode("overwrite").parquet(
+        f"{tmp_path}/documents.parquet"
+    )
+    got = all_queries()["quality_code_detector"](spark, str(tmp_path)).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r["n_docs"] == 3
+    assert r["n_structured"] == 1
+    assert r["max_density_bp"] == 10000
+    assert r["min_density_bp"] == 0
+    assert r["avg_density_bp"] == (10000 + 0 + 3333) // 3

@@ -85,6 +85,7 @@ ALLOWED_QUADRATIC = {
     # event-type relation (<=5 rows/side); every fact-scale join in
     # the query is an equi-join
     "sketch_kmv_set_overlap",
+    "sketch_theta_difference",  # same pair-spine shape as set_overlap
 }
 ALLOWED_PYTHON = {
     "mm_decode_frames", "mm_extract_features", "sim_cosine_topk_pandas",
@@ -181,6 +182,12 @@ ALLOWED_SMALL_SIDE_SHUFFLES = {
     # every window input; all other exchanges move <=|types|*k
     # sketch rows or |pairs| result rows
     "sketch_kmv_set_overlap",
+    "sketch_theta_difference",  # same two-declared-pass shape
+    # the fact shuffles once (the (part, file) manifest build, map-side
+    # combined; at production scale the manifest IS table metadata and
+    # even that pass disappears) — the window, both rollups and the
+    # join all move manifest rows, metadata-sized by construction
+    "lake_compaction_plan",
 }
 
 
