@@ -79,6 +79,11 @@ HEADLINE = [
     "rag_hybrid_rrf_topk",      # BM25 + dense RRF fusion (composes two rankers)
     "drift_psi_report",         # PSI drift monitor: one binning pass + cell math
     "reconcile_table_checksum", # order-independent manifest: one narrow pass
+    # round-6 additions: the new families' heavy representatives
+    "sketch_kmv_set_overlap",   # KMV set algebra: salted k-min + sketch-side pair math
+    "text_ngram_coverage",      # inter-doc shingle duplication: one vocab shuffle
+    "lake_compaction_plan",     # metadata-only merge planning over the manifest
+    "emb_hard_negatives",       # broadcast-anchor contrastive mining (hoisted norms)
 ]
 
 
