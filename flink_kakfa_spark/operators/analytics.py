@@ -1181,3 +1181,242 @@ def q_ab_test_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(z, 4).alias("z_score"),
         F.when(F.abs(z) > 1.96, 1).otherwise(0).cast("int").alias("significant"),
     )
+
+
+def _retrieval_eval_oracle() -> str:
+    tf_cols = ",\n        ".join(
+        f"CAST(SUM(CASE WHEN w = '{t}' THEN 1 ELSE 0 END) AS BIGINT) AS tf{i}"
+        for i, t in enumerate(_BM25_TERMS)
+    )
+    df_cols = ",\n        ".join(
+        f"CAST(SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df{i}"
+        for i in range(len(_BM25_TERMS))
+    )
+    score_terms = "\n        + ".join(
+        f"LN(1 + (n_docs - df{i} + 0.5) / (df{i} + 0.5))"
+        f" * (tf{i} * ({_BM25_K1} + 1))"
+        f" / (tf{i} + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * dl / avgdl))"
+        for i in range(len(_BM25_TERMS))
+    )
+    rel_expr = " + ".join(
+        f"CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END"
+        for i in range(len(_BM25_TERMS))
+    )
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, UNNEST(string_split(text, ' ')) AS w FROM documents
+    ),
+    per_doc AS (
+      SELECT
+        doc_id,
+        CAST(COUNT(*) AS BIGINT) AS dl,
+        {tf_cols}
+      FROM tok WHERE w <> '' GROUP BY doc_id
+    ),
+    stats AS (
+      SELECT
+        CAST(COUNT(*) AS BIGINT) AS n_docs,
+        AVG(CAST(dl AS DOUBLE)) AS avgdl,
+        {df_cols}
+      FROM per_doc
+    ),
+    scored AS (
+      SELECT
+        doc_id,
+        CAST(({rel_expr}) AS BIGINT) AS rel,
+        {score_terms} AS score
+      FROM per_doc, stats
+      WHERE tf0 + tf1 + tf2 > 0
+    ),
+    ranked AS (
+      SELECT doc_id, rel,
+             ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rnk
+      FROM scored QUALIFY rnk <= {_BM25_TOPK}
+    ),
+    ideal AS (
+      SELECT rel,
+             ROW_NUMBER() OVER (ORDER BY rel DESC, doc_id) AS rnk
+      FROM scored QUALIFY rnk <= {_BM25_TOPK}
+    ),
+    dcg AS (
+      SELECT CAST(list_reduce(
+               list(CAST((1 << rel) - 1 AS DOUBLE) / log2(rnk + 1)
+                    ORDER BY rnk),
+               (a, b) -> a + b) AS DOUBLE) AS dcg,
+             CAST(SUM(CASE WHEN rel >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS hits10,
+             MIN(CASE WHEN rel >= 2 THEN rnk END) AS first_hit
+      FROM ranked
+    ),
+    idcg AS (
+      SELECT CAST(list_reduce(
+               list(CAST((1 << rel) - 1 AS DOUBLE) / log2(rnk + 1)
+                    ORDER BY rnk),
+               (a, b) -> a + b) AS DOUBLE) AS idcg
+      FROM ideal
+    ),
+    nrel AS (
+      SELECT CAST(SUM(CASE WHEN rel >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_relevant
+      FROM scored
+    )
+    SELECT
+      ROUND(CASE WHEN i.idcg > 0 THEN d.dcg / i.idcg ELSE 0.0 END, 6)
+        AS ndcg_10,
+      ROUND(CASE WHEN d.first_hit IS NOT NULL
+                 THEN 1.0 / d.first_hit ELSE 0.0 END, 6) AS mrr_10,
+      ROUND(d.hits10 / {_BM25_TOPK}.0, 6) AS p_at_10,
+      n.n_relevant
+    FROM dcg d CROSS JOIN idcg i CROSS JOIN nrel n
+    """
+
+
+@query("eval_retrieval_metrics", oracle=_retrieval_eval_oracle())
+def q_eval_retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-quality metrics for the BM25 retriever: NDCG@10, MRR@10
+    and precision@10 against a label the ranker does not optimize —
+    graded relevance = number of DISTINCT query terms the document
+    contains (0-3; binary-relevant at >=2). BM25 ranks by tf/idf
+    weighting, the label only by term presence, so the metrics measure
+    real agreement, not a tautology. This is the eval harness every
+    retrieval stack (the rag_* family here) is tuned against.
+
+    Determinism: DCG terms (2^rel - 1)/log2(rank + 1) are folded in
+    rank order on both engines (sorted-list reduce), so the float
+    addition sequence is identical — no summation-order drift; the
+    NDCG division happens once on two scalars.
+
+    Scale: reuses the BM25 single-pass shape (one tokenize, one doc_id
+    groupBy, 1-row stats broadcast); both rankings are TakeOrdered
+    top-10s and every metric reduces over <=10 rows, so the eval adds
+    one KB-sized stage to the ranker it audits.
+    """
+    d = load_table(spark, "documents", sf_dir)
+    tok = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("w")
+    ).filter(F.col("w") != "")
+    tf_aggs = [
+        F.sum(F.when(F.col("w") == t, 1).otherwise(0)).alias(f"tf{i}")
+        for i, t in enumerate(_BM25_TERMS)
+    ]
+    per_doc = tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("dl"), *tf_aggs
+    )
+    df_aggs = [
+        F.sum(F.when(F.col(f"tf{i}") > 0, 1).otherwise(0)).alias(f"df{i}")
+        for i in range(len(_BM25_TERMS))
+    ]
+    stats = per_doc.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg(F.col("dl").cast("double")).alias("avgdl"),
+        *df_aggs,
+    )
+    hit = sum(F.col(f"tf{i}") for i in range(len(_BM25_TERMS)))
+    rel = sum(
+        F.when(F.col(f"tf{i}") > 0, 1).otherwise(0)
+        for i in range(len(_BM25_TERMS))
+    )
+    score = None
+    for i in range(len(_BM25_TERMS)):
+        idf = F.log(
+            1 + (F.col("n_docs") - F.col(f"df{i}") + 0.5) / (F.col(f"df{i}") + 0.5)
+        )
+        part = (
+            idf
+            * (F.col(f"tf{i}") * (_BM25_K1 + 1))
+            / (
+                F.col(f"tf{i}")
+                + _BM25_K1
+                * (1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+            )
+        )
+        score = part if score is None else score + part
+    scored = (
+        per_doc.crossJoin(F.broadcast(stats))
+        .filter(hit > 0)
+        .select(
+            "doc_id", rel.cast("long").alias("rel"), score.alias("score")
+        )
+    )
+    scored = scored.localCheckpoint()  # 3 consumers; AQE never reuses
+    gain = lambda: (  # noqa: E731
+        (F.pow(F.lit(2.0), F.col("rel").cast("double")) - 1)
+        / F.log2(F.col("rnk") + 1)
+    )
+
+    def _fold_dcg(df, alias):
+        terms = F.transform(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("rnk"), gain().alias("g")))
+            ),
+            lambda s: s["g"],
+        )
+        return df.agg(
+            F.aggregate(terms, F.lit(0.0), lambda a, x: a + x).alias(alias)
+        )
+
+    from pyspark.sql.window import Window as _Wnd
+
+    ranked = (
+        scored.orderBy(F.col("score").desc(), "doc_id")
+        .limit(_BM25_TOPK)
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                _Wnd.orderBy(F.col("score").desc(), "doc_id")
+            ),
+        )
+    )
+    ideal = (
+        scored.orderBy(F.col("rel").desc(), "doc_id")
+        .limit(_BM25_TOPK)
+        .withColumn(
+            "rnk",
+            F.row_number().over(_Wnd.orderBy(F.col("rel").desc(), "doc_id")),
+        )
+    )
+    dcg = ranked.agg(
+        F.aggregate(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct(F.col("rnk"), gain().alias("g")))
+                ),
+                lambda s: s["g"],
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ).alias("dcg"),
+        F.sum(F.when(F.col("rel") >= 2, 1).otherwise(0))
+        .cast("long")
+        .alias("hits10"),
+        F.min(F.when(F.col("rel") >= 2, F.col("rnk"))).alias("first_hit"),
+    )
+    idcg = _fold_dcg(ideal, "idcg")
+    nrel = scored.agg(
+        F.sum(F.when(F.col("rel") >= 2, 1).otherwise(0))
+        .cast("long")
+        .alias("n_relevant")
+    )
+    return (
+        dcg.crossJoin(F.broadcast(idcg))
+        .crossJoin(F.broadcast(nrel))
+        .select(
+            F.round(
+                F.when(
+                    F.col("idcg") > 0, F.col("dcg") / F.col("idcg")
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("ndcg_10"),
+            F.round(
+                F.when(
+                    F.col("first_hit").isNotNull(),
+                    F.lit(1.0) / F.col("first_hit"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("mrr_10"),
+            F.round(F.col("hits10") / F.lit(float(_BM25_TOPK)), 6).alias(
+                "p_at_10"
+            ),
+            "n_relevant",
+        )
+    )

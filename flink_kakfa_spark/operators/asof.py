@@ -126,3 +126,104 @@ def q_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts_asof"),
         F.col("value_asof"),
     )
+
+
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    time_col: str,
+    value_cols: list[str],
+    suffix: str = "_next",
+) -> DataFrame:
+    """Forward as-of: for each left row, attach the EARLIEST right row
+    with right.time >= left.time and matching key — the time-mirror of
+    ``asof_join`` (feature stores call this "next event"; market data
+    calls it forward fill-from-the-future). Same shuffle-once plan:
+    union both sides, sort within key by time with left rows before
+    right rows at equal timestamps (>= semantics: an equal-time right
+    row IS visible), carry the right-row struct BACKWARD with
+    first(ignorenulls) over a current-row..unbounded-following frame.
+    Right-vs-right (key, time) ties resolve by the struct ascending,
+    so first() deterministically sees the smallest value tuple.
+    """
+    lt = left.withColumn("_side", F.lit(0))
+    rt = right.select(
+        key,
+        time_col,
+        F.struct(*[F.col(c) for c in value_cols]).alias("_vals"),
+    ).withColumn("_side", F.lit(1))
+    unioned = lt.unionByName(rt, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.col(time_col).asc(), F.col("_side").asc(), F.col("_vals").asc())
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    carried = unioned.withColumn(
+        "_vals_c", F.first("_vals", ignorenulls=True).over(w)
+    )
+    return carried.filter(F.col("_side") == 0).select(
+        *[F.col(c) for c in left.columns],
+        *[F.col(f"_vals_c.{c}").alias(c + suffix) for c in value_cols],
+    )
+
+
+_ASOF_FWD_TOLERANCE_DAYS = 7
+
+
+@query(
+    "asof_next_purchase",
+    oracle=f"""
+    WITH purchases AS (
+      SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+    ),
+    others AS (
+      SELECT event_id, user_id, ts, event_type FROM events
+      WHERE event_type <> 'purchase'
+    ),
+    j AS (
+      SELECT o.event_id, o.user_id, o.event_type, o.ts,
+             p.ts AS nts, p.value AS nval
+      FROM others o
+      ASOF LEFT JOIN purchases p
+        ON o.user_id = p.user_id AND o.ts <= p.ts
+    )
+    SELECT
+      event_id, user_id, event_type,
+      CASE WHEN nts <= ts + INTERVAL {_ASOF_FWD_TOLERANCE_DAYS} DAY
+           THEN nts END AS ts_next,
+      CASE WHEN nts <= ts + INTERVAL {_ASOF_FWD_TOLERANCE_DAYS} DAY
+           THEN nval END AS value_next
+    FROM j
+    """,
+)
+def q_asof_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join with tolerance: each non-purchase event
+    annotated with the user's NEXT purchase (time and amount), but only
+    if it lands within {_ASOF_FWD_TOLERANCE_DAYS} days — the
+    time-to-conversion shape (attribution, churn labeling) that
+    complements ``asof_last_purchase``. Matches beyond the tolerance
+    null out AFTER the 1:1 as-of match (tolerance restricts the match,
+    it never promotes a later purchase).
+
+    Oracle is DuckDB's native forward ASOF JOIN (``o.ts <= p.ts``) —
+    an independent implementation of the mirrored semantics.
+    """
+    e = load_table(spark, "events", sf_dir)
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    others = e.filter(F.col("event_type") != "purchase").select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    j = asof_join_forward(others, purchases, "user_id", "ts", ["ts", "value"])
+    in_window = F.col("ts_next") <= F.col("ts") + F.expr(
+        f"INTERVAL {_ASOF_FWD_TOLERANCE_DAYS} DAYS"
+    )
+    return j.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.when(in_window, F.col("ts_next")).alias("ts_next"),
+        F.when(in_window, F.col("value_next")).alias("value_next"),
+    )

@@ -104,3 +104,92 @@ def q_merge_scd1_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_totalprice") + 1000.0).alias("o_totalprice"),
     )
     return merge_scd1(target, source, "o_orderkey")
+
+
+def merge_scd3(
+    target: DataFrame,
+    source: DataFrame,
+    key: str,
+    col: str,
+    prev_col: str,
+) -> DataFrame:
+    """SCD type 3 merge: limited history IN the row. The target carries
+    (key, col, prev_col); an update whose value actually changes moves
+    the old value into ``prev_col`` and overwrites ``col``; a no-op
+    update (same value) leaves ``prev_col`` alone; an insert lands with
+    NULL ``prev_col``; unmatched target rows pass through. One
+    key-partitioned full-outer join — the same MERGE skeleton as SCD1,
+    plus the shift rule.
+    """
+    t = target.select(
+        F.col(key).alias("_tk"),
+        F.col(col).alias("_tv"),
+        F.col(prev_col).alias("_tp"),
+    )
+    s = source.select(F.col(key).alias("_sk"), F.col(col).alias("_sv"))
+    j = t.join(s, F.col("_tk") == F.col("_sk"), "full_outer")
+    changed = (
+        F.col("_sk").isNotNull()
+        & F.col("_tk").isNotNull()
+        & ~F.col("_sv").eqNullSafe(F.col("_tv"))
+    )
+    return j.select(
+        F.coalesce(F.col("_sk"), F.col("_tk")).alias(key),
+        F.coalesce(F.col("_sv"), F.col("_tv")).alias(col),
+        F.when(changed, F.col("_tv")).otherwise(F.col("_tp")).alias(prev_col),
+    )
+
+
+@query(
+    "merge_scd3_orders",
+    oracle="""
+    WITH target AS (
+      SELECT o_orderkey, o_orderstatus, CAST(NULL AS VARCHAR) AS prev_status
+      FROM orders WHERE o_orderkey % 3 = 0
+    ),
+    source AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 4 = 0 THEN o_orderstatus ELSE 'X' END
+               AS o_orderstatus
+      FROM orders WHERE o_orderkey % 2 = 0
+    )
+    SELECT
+      CAST(COALESCE(s.o_orderkey, t.o_orderkey) AS BIGINT) AS o_orderkey,
+      COALESCE(s.o_orderstatus, t.o_orderstatus) AS o_orderstatus,
+      CASE WHEN s.o_orderkey IS NOT NULL AND t.o_orderkey IS NOT NULL
+                AND s.o_orderstatus IS DISTINCT FROM t.o_orderstatus
+           THEN t.o_orderstatus ELSE t.prev_status END AS prev_status
+    FROM target t FULL OUTER JOIN source s ON t.o_orderkey = s.o_orderkey
+    """,
+)
+def q_merge_scd3_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD3 merge over orders: target = every 3rd order (no history
+    yet); source = every 2nd order re-statused to 'X', EXCEPT every 4th
+    which resubmits its current status (the no-op-update case). The
+    expected states all occur: changed updates (prev = old status),
+    no-op updates (prev stays NULL), inserts (keys %2 but not %3, prev
+    NULL), and pass-through targets (%3 but not %2).
+
+    Scale: one full-outer hash join on the key — at 100 TB this is the
+    MERGE both sides bucket on; SCD3 specifically avoids SCD2's row
+    explosion when only one generation of history is required.
+    """
+    o = load_table(spark, "orders", sf_dir)
+    target = o.filter(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.lit(None).cast("string").alias("prev_status"),
+    )
+    source = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 4 == 0, F.col("o_orderstatus"))
+        .otherwise(F.lit("X"))
+        .alias("o_orderstatus"),
+    )
+    return merge_scd3(
+        target, source, "o_orderkey", "o_orderstatus", "prev_status"
+    ).select(
+        F.col("o_orderkey").cast("long").alias("o_orderkey"),
+        "o_orderstatus",
+        "prev_status",
+    )

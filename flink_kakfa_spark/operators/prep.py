@@ -586,3 +586,85 @@ def q_prep_winsorize_values(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("w").cast("double").alias("winsorized_sum"),
         )
     )
+
+
+from flink_kakfa_spark.operators.mlprep import _MD5_32_SQL as _KF_MD5_SQL
+from flink_kakfa_spark.operators.mlprep import _md5_32 as _kf_md5
+
+_KFOLDS = 5
+_KF_KEY = "(CAST(doc_id AS VARCHAR) || '_fold')"
+_KF_SQL = "((" + _KF_MD5_SQL.format(x=_KF_KEY) + f") % {_KFOLDS})"
+
+
+@query(
+    "pipeline_kfold_assignment",
+    oracle=f"""
+    WITH tagged AS (
+      SELECT CAST({_KF_SQL} AS BIGINT) AS fold, source, n_chars
+      FROM documents
+    ),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM tagged
+    ),
+    folds AS (
+      SELECT fold,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+             CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+      FROM tagged GROUP BY fold
+    )
+    SELECT
+      f.fold, f.n_docs, f.total_chars, f.n_sources,
+      CAST(ABS(f.n_docs * {_KFOLDS} - t.n_total) * 10000
+           // GREATEST(t.n_total, 1) AS BIGINT) AS imbalance_bp
+    FROM folds f CROSS JOIN tot t
+    ORDER BY f.fold
+    """,
+)
+def q_pipeline_kfold_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-fold cross-validation assignment (k={_KFOLDS}):
+    fold = md5(doc_id || '_fold') mod k — content-free like the
+    train/val/test split, so folds are stable across runs, engines and
+    re-shards, and a salt distinct from any other sampling decision
+    keeps fold choice independent of them. The report is the balance
+    audit run before trusting a CV estimate: per fold, doc count,
+    char mass, source coverage, and the deviation of the fold's doc
+    share from the ideal 1/k in basis points (|n_docs * k - N| / N).
+
+    Scale: one narrow hash map plus a k-row aggregate; the 1-row total
+    attaches as a broadcast (lazy-scalar pattern). Rebalancing is never
+    needed — hash assignment self-balances with sampling error
+    O(1/sqrt(N/k)), which the imbalance column makes visible.
+    """
+    d = load_table(spark, "documents", sf_dir)
+    tagged = d.select(
+        (
+            _kf_md5(F.concat(F.col("doc_id").cast("string"), F.lit("_fold")))
+            % _KFOLDS
+        ).alias("fold"),
+        "source",
+        "n_chars",
+    )
+    tot = tagged.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    folds = tagged.groupBy("fold").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.countDistinct("source").cast("long").alias("n_sources"),
+    )
+    return (
+        folds.crossJoin(F.broadcast(tot))
+        .select(
+            "fold",
+            "n_docs",
+            "total_chars",
+            "n_sources",
+            F.floor(
+                F.abs(F.col("n_docs") * _KFOLDS - F.col("n_total"))
+                * 10000
+                / F.greatest(F.col("n_total"), F.lit(1))
+            )
+            .cast("long")
+            .alias("imbalance_bp"),
+        )
+        .orderBy("fold")
+    )

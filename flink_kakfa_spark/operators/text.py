@@ -839,3 +839,82 @@ def q_text_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "text_encoding_qa",
+    oracle=r"""
+    WITH d AS (
+      SELECT source,
+             length(text) AS n_cp,
+             length(text)
+               - length(regexp_replace(text, '[^\x20-\x7E]', '', 'g'))
+               AS n_nonprint,
+             CASE WHEN regexp_matches(text, '�') THEN 1 ELSE 0 END
+               AS has_replacement,
+             CASE WHEN regexp_matches(text, '[\x00-\x08\x0b\x0c\x0e-\x1f]')
+                  THEN 1 ELSE 0 END AS has_control
+      FROM documents
+    )
+    SELECT
+      source,
+      CAST(COUNT(*) AS BIGINT) AS n_docs,
+      CAST(SUM(has_replacement) AS BIGINT) AS n_replacement_docs,
+      CAST(SUM(has_control) AS BIGINT) AS n_control_docs,
+      CAST(SUM(n_nonprint) AS BIGINT) AS nonprintable_cp,
+      CAST(SUM(n_nonprint) * 10000 // GREATEST(SUM(n_cp), 1) AS BIGINT)
+        AS nonprintable_bp
+    FROM d GROUP BY source ORDER BY source
+    """,
+)
+def q_text_encoding_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding-quality audit per source: documents carrying U+FFFD
+    replacement characters (the scar of a mojibake re-decode),
+    documents with raw C0 control characters, and the share of
+    non-printable-ASCII codepoints — the triage report that decides
+    whether a source needs re-extraction before any content filter
+    runs (a corrupt decode poisons every downstream token statistic).
+    Counts are codepoint-based in both engines, which the unicode
+    fixture sweep exercises.
+
+    Scale: shuffle-free narrow regexp map (JVM-side, codegen'd) plus
+    one |sources|-row aggregate; integer basis points keep the ratio
+    value-exact.
+    """
+    d = load_table(spark, "documents", sf_dir)
+    n_cp = F.length("text")
+    n_nonprint = n_cp - F.length(
+        F.regexp_replace(F.col("text"), "[^\\x20-\\x7E]", "")
+    )
+    has_repl = (
+        F.col("text").rlike("�").cast("int")
+    )
+    has_ctrl = (
+        F.col("text")
+        .rlike("[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]")
+        .cast("int")
+    )
+    per = d.select(
+        "source",
+        n_cp.alias("n_cp"),
+        n_nonprint.alias("n_nonprint"),
+        has_repl.alias("has_replacement"),
+        has_ctrl.alias("has_control"),
+    )
+    return (
+        per.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("has_replacement").cast("long").alias("n_replacement_docs"),
+            F.sum("has_control").cast("long").alias("n_control_docs"),
+            F.sum("n_nonprint").cast("long").alias("nonprintable_cp"),
+            F.floor(
+                F.sum("n_nonprint")
+                * 10000
+                / F.greatest(F.sum("n_cp"), F.lit(1))
+            )
+            .cast("long")
+            .alias("nonprintable_bp"),
+        )
+        .orderBy("source")
+    )

@@ -151,6 +151,11 @@ _WINDOW_FRONT = [
 # Update tests/test_000_smoke.py::DRIVER_WINDOW in the same commit.
 _NEXT_WINDOW_PLAN = [
     # round-6 additions — newest first, per the rotation policy
+    "asof_next_purchase",
+    "merge_scd3_orders",
+    "pipeline_kfold_assignment",
+    "eval_retrieval_metrics",
+    "text_encoding_qa",
     "sketch_theta_difference",
     "lake_compaction_plan",
     "privacy_l_diversity",

@@ -562,3 +562,107 @@ def test_code_detector_density_and_threshold(spark, tmp_path):
     assert r["max_density_bp"] == 10000
     assert r["min_density_bp"] == 0
     assert r["avg_density_bp"] == (10000 + 0 + 3333) // 3
+
+
+# ---- round-6 third batch: forward as-of, SCD3, k-fold, ---------------
+# ---- retrieval eval, encoding QA --------------------------------------
+
+from flink_kakfa_spark.operators.asof import asof_join_forward
+from flink_kakfa_spark.operators.merge import merge_scd3
+
+
+def test_asof_forward_picks_earliest_at_or_after(spark):
+    """Forward as-of semantics: equal-time right rows ARE visible;
+    earlier rights are not; among later rights the earliest wins."""
+    left = spark.createDataFrame(
+        [Row(k=1, t=10), Row(k=1, t=20), Row(k=1, t=31)]
+    )
+    right = spark.createDataFrame(
+        [Row(k=1, t=5, v="past"), Row(k=1, t=20, v="same"),
+         Row(k=1, t=25, v="soon"), Row(k=1, t=30, v="later")]
+    )
+    got = {
+        r["t"]: r["v_next"]
+        for r in asof_join_forward(left, right, "k", "t", ["v"]).collect()
+    }
+    assert got == {10: "same", 20: "same", 31: None}
+
+
+def test_asof_forward_tie_breaks_deterministically(spark):
+    """Two right rows at the same (key, time): first() must always see
+    the smallest value tuple."""
+    left = spark.createDataFrame([Row(k=1, t=10)])
+    right = spark.createDataFrame(
+        [Row(k=1, t=15, v="bbb"), Row(k=1, t=15, v="aaa")]
+    )
+    got = asof_join_forward(left, right, "k", "t", ["v"]).collect()
+    assert got[0]["v_next"] == "aaa"
+
+
+def test_scd3_shift_noop_insert_passthrough(spark):
+    """The four SCD3 states: changed update shifts old value to prev;
+    no-op update leaves prev; insert lands with NULL prev; unmatched
+    target passes through."""
+    target = spark.createDataFrame(
+        [Row(k=1, v="A", p="old"), Row(k=2, v="B", p=None),
+         Row(k=3, v="C", p="keep")]
+    )
+    source = spark.createDataFrame(
+        [Row(k=1, v="Z"),     # changed -> p becomes 'A'
+         Row(k=2, v="B"),     # no-op -> p stays NULL
+         Row(k=9, v="N")]     # insert -> p NULL
+    )
+    got = {r["k"]: (r["v"], r["p"])
+           for r in merge_scd3(target, source, "k", "v", "p").collect()}
+    assert got == {
+        1: ("Z", "A"), 2: ("B", None), 9: ("N", None), 3: ("C", "keep"),
+    }
+
+
+def test_kfold_partition_and_determinism(spark, sf_dir):
+    """Folds partition the corpus exactly (sum of n_docs == N, k rows)
+    and the assignment is a pure function — two runs agree."""
+    q = all_queries()["pipeline_kfold_assignment"]
+    a = q(spark, sf_dir).collect()
+    b = q(spark, sf_dir).collect()
+    assert a == b
+    assert len(a) == 5
+    import duckdb
+    n = duckdb.sql(
+        f"SELECT COUNT(*) FROM read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchone()[0]
+    assert sum(r["n_docs"] for r in a) == n
+
+
+def test_retrieval_metrics_bounds_and_consistency(spark, sf_dir):
+    """NDCG/MRR/precision all live in [0, 1]; if any top-10 doc is
+    binary-relevant then MRR and precision are positive together."""
+    got = all_queries()["eval_retrieval_metrics"](spark, sf_dir).collect()
+    assert len(got) == 1
+    r = got[0]
+    for c in ("ndcg_10", "mrr_10", "p_at_10"):
+        assert 0.0 <= r[c] <= 1.0, (c, r[c])
+    assert (r["mrr_10"] > 0) == (r["p_at_10"] > 0)
+    # the fixture corpus guarantees relevant docs exist
+    assert r["n_relevant"] > 0
+    assert r["ndcg_10"] > 0
+
+
+def test_encoding_qa_flags_mojibake_and_control(spark, tmp_path):
+    """A doc with U+FFFD, a doc with a C0 control char, and a clean
+    ASCII doc produce exactly the expected per-source counts."""
+    rows = [
+        _doc(1, "bad � decode", "s"),
+        _doc(2, "ctrl \x07 char", "s"),
+        _doc(3, "clean ascii text", "s"),
+    ]
+    spark.createDataFrame(rows).write.mode("overwrite").parquet(
+        f"{tmp_path}/documents.parquet"
+    )
+    got = all_queries()["text_encoding_qa"](spark, str(tmp_path)).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r["n_docs"] == 3
+    assert r["n_replacement_docs"] == 1
+    assert r["n_control_docs"] == 1
+    assert r["nonprintable_cp"] == 2  # the U+FFFD and the BEL

@@ -86,6 +86,11 @@ ALLOWED_QUADRATIC = {
     # the query is an equi-join
     "sketch_kmv_set_overlap",
     "sketch_theta_difference",  # same pair-spine shape as set_overlap
+    # 1-row corpus-stats broadcast (BM25 shape) + 1-row dcg/idcg/nrel
+    # scalar fuses
+    "eval_retrieval_metrics",
+    # 1-row fold-total broadcast cross join (lazy-scalar pattern)
+    "pipeline_kfold_assignment",
 }
 ALLOWED_PYTHON = {
     "mm_decode_frames", "mm_extract_features", "sim_cosine_topk_pandas",
@@ -213,6 +218,8 @@ ALLOWED_GLOBAL_WINDOW = {
     # <=|distinct prices| rows, never the part facts (skyline.py
     # two-phase plan)
     "pareto_frontier_parts",
+    # rank windows over the two post-limit 10-row top-k relations
+    "eval_retrieval_metrics",
 }
 
 
