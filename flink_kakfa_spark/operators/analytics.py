@@ -1420,3 +1420,108 @@ def q_eval_retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_relevant",
         )
     )
+
+
+@query(
+    "ts_cusum_changepoint",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             CAST(ts AS DATE) AS d,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    keyed AS (
+      SELECT event_type, d, x,
+             CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+             CAST(SUM(x) OVER (PARTITION BY event_type) AS DECIMAL(28,6))
+               AS tot
+      FROM daily
+    ),
+    pref AS (
+      SELECT event_type, d, n,
+             SUM(x * n - tot) OVER (
+               PARTITION BY event_type ORDER BY d
+               ROWS UNBOUNDED PRECEDING
+             ) AS p
+      FROM keyed
+    ),
+    cusum AS (
+      SELECT event_type, d, n, p,
+             p - MIN(p) OVER (
+               PARTITION BY event_type ORDER BY d
+               ROWS UNBOUNDED PRECEDING
+             ) AS s
+      FROM pref
+    )
+    SELECT
+      event_type,
+      CAST(n AS BIGINT) AS n_days,
+      d AS change_day,
+      CAST(s AS DOUBLE) AS max_cusum_scaled
+    FROM cusum
+    QUALIFY ROW_NUMBER() OVER (
+      PARTITION BY event_type ORDER BY s DESC, d
+    ) = 1
+    ORDER BY event_type
+    """,
+)
+def q_ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detection per event type (Page 1954): the
+    day where the one-sided cumulative sum of deviations from the
+    per-type mean peaks — the standard "when did this metric shift"
+    scan over a daily series. The recursion S_t = max(0, S_{t-1} +
+    d_t) is rewritten relationally as S_t = P_t - min_{j<=t} P_j
+    (prefix sum minus running prefix minimum), so no iterative state
+    is needed — two ordered window passes compute the exact CUSUM.
+
+    Determinism: deviations are scaled by n (d_t = x_t * n - total)
+    so the mean never divides — every window sum is exact DECIMAL;
+    the reported peak is scaled by n accordingly (argmax position is
+    scale-invariant). Ties resolve to the earliest day.
+
+    Scale: one map-side-combinable (type, day) aggregate of the fact
+    table; the windows run per type over calendar-bounded day counts
+    (a partition is years-of-days rows, never fact rows).
+    """
+    ev = load_table(spark, "events", sf_dir)
+    from pyspark.sql.window import Window as _Wd
+
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("d")
+    ).agg(
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .cast("decimal(28,6)")
+        .alias("x")
+    )
+    w_all = _Wd.partitionBy("event_type")
+    keyed = daily.select(
+        "event_type",
+        "d",
+        "x",
+        F.count(F.lit(1)).over(w_all).cast("long").alias("n"),
+        F.sum("x").over(w_all).cast("decimal(28,6)").alias("tot"),
+    )
+    w_ord = (
+        _Wd.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(_Wd.unboundedPreceding, _Wd.currentRow)
+    )
+    pref = keyed.withColumn(
+        "p", F.sum(F.col("x") * F.col("n") - F.col("tot")).over(w_ord)
+    )
+    cusum = pref.withColumn("s", F.col("p") - F.min("p").over(w_ord))
+    w_pick = _Wd.partitionBy("event_type").orderBy(
+        F.col("s").desc(), F.col("d").asc()
+    )
+    return (
+        cusum.withColumn("rn", F.row_number().over(w_pick))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("n").alias("n_days"),
+            F.col("d").alias("change_day"),
+            F.col("s").cast("double").alias("max_cusum_scaled"),
+        )
+        .orderBy("event_type")
+    )

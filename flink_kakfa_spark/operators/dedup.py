@@ -1499,3 +1499,147 @@ def q_dedup_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("bucket")
     )
+
+
+def _band_stats_oracle() -> str:
+    per_band = "\n      UNION ALL\n      ".join(
+        "SELECT {band} AS band, {keys} AS bkey FROM sigs".format(
+            band=band,
+            keys="("
+            + " || '_' || ".join(
+                f"CAST(s{p} AS VARCHAR)"
+                for p in range(band * _MH_ROWS, (band + 1) * _MH_ROWS)
+            )
+            + ")",
+        )
+        for band in range(_MH_BANDS)
+    )
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, len(ts) - 2),
+               i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
+             )) AS sharr
+      FROM tok WHERE len(ts) >= 3
+    ),
+    hashed AS (
+      SELECT doc_id,
+             list_transform(sharr, s -> CAST({_MH_H_SQL} AS BIGINT)) AS hl
+      FROM sh
+    ),
+    sigs AS (
+      SELECT doc_id,
+      {_MH_SIG_SQL}
+      FROM hashed
+    ),
+    bands AS (
+      {per_band}
+    ),
+    buckets AS (
+      SELECT band, bkey, CAST(COUNT(*) AS BIGINT) AS n
+      FROM bands GROUP BY band, bkey
+    )
+    SELECT
+      CAST(band AS INT) AS band,
+      CAST(COUNT(*) AS BIGINT) AS n_buckets,
+      CAST(SUM(n) AS BIGINT) AS n_docs,
+      CAST(MAX(n) AS BIGINT) AS max_bucket,
+      CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS singletons,
+      CAST(SUM(n * (n - 1) / 2) AS BIGINT) AS candidate_pairs
+    FROM buckets GROUP BY band ORDER BY band
+    """
+
+
+@query("dedup_lsh_band_stats", oracle=_band_stats_oracle())
+def q_dedup_lsh_band_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH tuning diagnostics for the portable MinHash pipeline: per
+    band, the bucket census that decides whether the (bands x rows)
+    configuration is right BEFORE paying for the candidate join —
+    bucket count, max bucket size (the skew hazard: one hot bucket is
+    a quadratic candidate bomb), singleton share (docs generating no
+    candidates in that band), and the exact candidate-pair volume
+    sum(C(n,2)). Running this census on a sample is how band/row
+    settings are chosen at 100 TB; the signature math is byte-shared
+    with ``dedup_minhash_portable``, so the census describes exactly
+    the join that query would run.
+
+    Scale: signatures are one narrow pass; the census is a two-level
+    hash aggregate on (band, band-key) then band — never materializes
+    a candidate pair.
+    """
+    d = parallelize(load_table(spark, "documents", sf_dir), spark)
+    toks = F.split(F.coalesce(F.col("text"), F.lit("")), " ")
+    sh = d.select(
+        "doc_id",
+        F.when(
+            F.size(toks) >= SHINGLE_K,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(toks) - (SHINGLE_K - 1)),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at(toks, i),
+                        F.element_at(toks, i + 1),
+                        F.element_at(toks, i + 2),
+                    ),
+                )
+            ),
+        )
+        .otherwise(F.array().cast("array<string>"))
+        .alias("sharr"),
+    ).filter(F.size("sharr") > 0)
+    h32 = lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast(  # noqa: E731
+        "long"
+    )
+    hashed = sh.withColumn("hl", F.transform("sharr", h32))
+
+    def perm_min(p: int):
+        a, b = _mh_ab(p)
+        return F.array_min(
+            F.transform("hl", lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(_MH_M))
+        ).alias(f"s{p}")
+
+    sigs = hashed.select("doc_id", *[perm_min(p) for p in range(_MH_PERMS)])
+    bands = sigs.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(band).alias("band"),
+                        F.concat_ws(
+                            "_",
+                            *[
+                                F.col(f"s{p}").cast("string")
+                                for p in range(
+                                    band * _MH_ROWS, (band + 1) * _MH_ROWS
+                                )
+                            ],
+                        ).alias("bkey"),
+                    )
+                    for band in range(_MH_BANDS)
+                ]
+            )
+        ).alias("b")
+    ).select("b.band", "b.bkey")
+    buckets = bands.groupBy("band", "bkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    return (
+        buckets.groupBy(F.col("band").cast("int").alias("band"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_buckets"),
+            F.sum("n").cast("long").alias("n_docs"),
+            F.max("n").cast("long").alias("max_bucket"),
+            F.sum(F.when(F.col("n") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("singletons"),
+            F.sum(F.col("n") * (F.col("n") - 1) / 2)
+            .cast("long")
+            .alias("candidate_pairs"),
+        )
+        .orderBy("band")
+    )

@@ -508,3 +508,122 @@ def q_graph_adamic_adar_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score_fp"), "node_a", "node_b")
         .limit(20)
     )
+
+
+@query(
+    "graph_neighbor_jaccard_top20",
+    oracle=f"""
+    WITH {_EDGES_SQL},
+    adj AS (
+      SELECT src, dst FROM edges
+      UNION ALL
+      SELECT dst AS src, src AS dst FROM edges
+    ),
+    deg AS (
+      SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS c
+      FROM adj GROUP BY src
+    ),
+    ctr AS (
+      SELECT a.src AS w, a.dst AS nb
+      FROM adj a JOIN deg d ON d.node = a.src
+      WHERE d.c BETWEEN 2 AND {{cap}}
+    ),
+    common AS (
+      SELECT o1.nb AS a, o2.nb AS c, CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM ctr o1 JOIN ctr o2 ON o1.w = o2.w AND o1.nb < o2.nb
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT
+        m.a, m.c, m.n_common,
+        CAST(m.n_common * 10000
+             // (da.c + dc.c - m.n_common) AS BIGINT) AS jaccard_bp
+      FROM common m
+      JOIN deg da ON da.node = m.a
+      JOIN deg dc ON dc.node = m.c
+    )
+    SELECT
+      s.a AS node_a, s.c AS node_b, s.n_common, s.jaccard_bp
+    FROM scored s LEFT JOIN edges e ON e.src = s.a AND e.dst = s.c
+    WHERE e.src IS NULL
+    ORDER BY s.jaccard_bp DESC, s.n_common DESC, node_a, node_b
+    LIMIT 20
+    """.format(cap=64),
+)
+def q_graph_neighbor_jaccard_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 predicted links by neighbor-set Jaccard — the normalized
+    companion to ``graph_adamic_adar_top20`` (common neighbors over
+    union of neighborhoods, so high-degree nodes can't dominate on raw
+    overlap count). Same guarded-wedge plan: degree-capped centers
+    bound pair fan-out; |N(a) n N(c)| comes from the wedge aggregate,
+    never a set materialization, and the union size is the degree
+    identity da + dc - common, so the score needs only the degree
+    table (two KB-sized joins). Integer basis points make desc-score
+    top-k deterministic. Existing edges are anti-joined out — only NEW
+    links are predictions.
+
+    Scale: one wedge self-join on capped centers + one (a, c)
+    aggregate — identical cost envelope to Adamic-Adar; everything
+    else is degree-table-sized.
+    """
+    edges = _copurchase_edges(spark, sf_dir)
+    adj = edges.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("src"), F.col("dst")),
+                F.struct(F.col("dst").alias("src"), F.col("src").alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
+    deg = adj.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    ctr = (
+        adj.join(deg, "src")
+        .filter((F.col("c") >= 2) & (F.col("c") <= _AA_DEGREE_CAP))
+        .select(F.col("src").alias("w"), F.col("dst").alias("nb"))
+    )
+    o1 = ctr.select(F.col("w"), F.col("nb").alias("a"))
+    o2 = ctr.select(F.col("w"), F.col("nb").alias("c"))
+    common = (
+        o1.join(o2, "w")
+        .filter(F.col("a") < F.col("c"))
+        .groupBy("a", "c")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    da = deg.select(F.col("src").alias("a"), F.col("c").alias("da"))
+    dc = deg.select(F.col("src").alias("c"), F.col("c").alias("dc"))
+    scored = (
+        common.join(da, "a")
+        .join(dc, "c")
+        .select(
+            "a",
+            "c",
+            "n_common",
+            F.floor(
+                F.col("n_common")
+                * 10000
+                / (F.col("da") + F.col("dc") - F.col("n_common"))
+            )
+            .cast("long")
+            .alias("jaccard_bp"),
+        )
+    )
+    ex = edges.select(
+        F.col("src").alias("a"), F.col("dst").alias("c"), F.lit(1).alias("_e")
+    )
+    return (
+        scored.join(ex, ["a", "c"], "left")
+        .filter(F.col("_e").isNull())
+        .select(
+            F.col("a").alias("node_a"),
+            F.col("c").alias("node_b"),
+            "n_common",
+            "jaccard_bp",
+        )
+        .orderBy(
+            F.col("jaccard_bp").desc(),
+            F.col("n_common").desc(),
+            "node_a",
+            "node_b",
+        )
+        .limit(20)
+    )

@@ -918,3 +918,138 @@ def q_text_encoding_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+_JS_TOPV = 1000  # vocabulary truncation for the divergence grid
+
+
+@query(
+    "text_js_divergence_sources",
+    oracle=f"""
+    WITH w AS (
+      SELECT source, u.w AS word
+      FROM documents, UNNEST(string_split(text, ' ')) AS u(w)
+      WHERE u.w <> ''
+    ),
+    sw AS (
+      SELECT source, word, CAST(COUNT(*) AS BIGINT) AS c
+      FROM w GROUP BY source, word
+    ),
+    vocab AS (
+      SELECT word, CAST(SUM(c) AS BIGINT) AS cw
+      FROM sw GROUP BY word
+      ORDER BY cw DESC, word LIMIT {_JS_TOPV}
+    ),
+    stot AS (
+      SELECT source, CAST(SUM(c) AS BIGINT) AS ns FROM sw GROUP BY source
+    ),
+    gtot AS (
+      SELECT CAST(SUM(cw) AS BIGINT) AS n,
+             CAST(COUNT(*) AS BIGINT) AS v
+      FROM vocab
+    ),
+    grid AS (
+      SELECT s.source, s.ns, vb.word, vb.cw, g.n, g.v,
+             COALESCE(c.c, 0) AS csw
+      FROM stot s
+      CROSS JOIN vocab vb
+      CROSS JOIN gtot g
+      LEFT JOIN sw c ON c.source = s.source AND c.word = vb.word
+    ),
+    terms AS (
+      SELECT source, word,
+        0.5 * ((csw + 0.5) / (ns + 0.5 * v))
+            * LN(((csw + 0.5) / (ns + 0.5 * v))
+                 / (0.5 * ((csw + 0.5) / (ns + 0.5 * v))
+                    + 0.5 * ((cw + 0.5) / (n + 0.5 * v))))
+        + 0.5 * ((cw + 0.5) / (n + 0.5 * v))
+            * LN(((cw + 0.5) / (n + 0.5 * v))
+                 / (0.5 * ((csw + 0.5) / (ns + 0.5 * v))
+                    + 0.5 * ((cw + 0.5) / (n + 0.5 * v))))
+          AS t
+      FROM grid
+    )
+    SELECT
+      source,
+      ROUND(CAST(list_reduce(list(t ORDER BY word), (a, b) -> a + b)
+                 AS DOUBLE), 6) AS js_divergence
+    FROM terms GROUP BY source ORDER BY source
+    """,
+)
+def q_text_js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence between each source's unigram
+    distribution and the corpus — the text-side drift report next to
+    ``drift_psi_report`` (events): a source whose JS is high writes in
+    a different register than the rest of the mix and deserves its own
+    curation settings. Laplace-smoothed over the top-{_JS_TOPV} corpus
+    vocabulary (the standard truncation — tail words contribute
+    O(1/N) and the grid stays |sources| x V at any corpus size).
+
+    Determinism: both engines evaluate the identical smoothed-share
+    expression tree per (source, word) cell and fold the terms in
+    sorted word order (sorted-list reduce), so the float addition
+    sequence matches exactly — the sorted fold is the same toolkit the
+    retrieval eval uses.
+
+    Scale: one (source, word) shuffle of the token stream (map-side
+    combined); vocabulary and per-source totals are vocab-/source-
+    sized; the grid is built by crossing two tiny relations, never the
+    corpus.
+    """
+    d = load_table(spark, "documents", sf_dir)
+    w = d.select(
+        "source", F.explode(tokens()).alias("word")
+    ).filter(F.col("word") != "")
+    sw = w.groupBy("source", "word").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    sw = sw.localCheckpoint()  # 3 consumers; AQE never reuses exchanges
+    vocab = (
+        sw.groupBy("word")
+        .agg(F.sum("c").cast("long").alias("cw"))
+        .orderBy(F.col("cw").desc(), "word")
+        .limit(_JS_TOPV)
+    )
+    stot = sw.groupBy("source").agg(F.sum("c").cast("long").alias("ns"))
+    gtot = vocab.agg(
+        F.sum("cw").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("v"),
+    )
+    grid = (
+        stot.crossJoin(F.broadcast(vocab))
+        .crossJoin(F.broadcast(gtot))
+        .join(sw, ["source", "word"], "left")
+        .select(
+            "source",
+            "word",
+            "ns",
+            "cw",
+            "n",
+            "v",
+            F.coalesce(F.col("c"), F.lit(0)).alias("csw"),
+        )
+    )
+    p = (F.col("csw") + 0.5) / (F.col("ns") + 0.5 * F.col("v"))
+    q = (F.col("cw") + 0.5) / (F.col("n") + 0.5 * F.col("v"))
+    m = 0.5 * p + 0.5 * q
+    term = 0.5 * p * F.log(p / m) + 0.5 * q * F.log(q / m)
+    return (
+        grid.select("source", "word", term.alias("t"))
+        .groupBy("source")
+        .agg(
+            F.round(
+                F.aggregate(
+                    F.transform(
+                        F.sort_array(
+                            F.collect_list(F.struct(F.col("word"), F.col("t")))
+                        ),
+                        lambda s: s["t"],
+                    ),
+                    F.lit(0.0),
+                    lambda a, x: a + x,
+                ),
+                6,
+            ).alias("js_divergence")
+        )
+        .orderBy("source")
+    )

@@ -151,6 +151,10 @@ _WINDOW_FRONT = [
 # Update tests/test_000_smoke.py::DRIVER_WINDOW in the same commit.
 _NEXT_WINDOW_PLAN = [
     # round-6 additions — newest first, per the rotation policy
+    "ts_cusum_changepoint",
+    "dedup_lsh_band_stats",
+    "graph_neighbor_jaccard_top20",
+    "text_js_divergence_sources",
     "asof_next_purchase",
     "merge_scd3_orders",
     "pipeline_kfold_assignment",

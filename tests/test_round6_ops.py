@@ -666,3 +666,98 @@ def test_encoding_qa_flags_mojibake_and_control(spark, tmp_path):
     assert r["n_replacement_docs"] == 1
     assert r["n_control_docs"] == 1
     assert r["nonprintable_cp"] == 2  # the U+FFFD and the BEL
+
+
+# ---- round-6 fourth batch: CUSUM, LSH band stats, --------------------
+# ---- neighbor Jaccard, JS divergence ----------------------------------
+
+
+def test_cusum_locates_a_planted_level_shift(spark, tmp_path):
+    """A series that steps up on day 11 of 20 peaks its CUSUM exactly
+    at the last day of the high regime reachable from the shift — for
+    a clean step, the prefix-sum-minus-prefix-min form peaks on the
+    final day with the max spanning the shifted segment; the planted
+    change is visible as max_cusum >> 0 and change_day in the high
+    regime."""
+    rows = []
+    eid = 0
+    for day in range(1, 21):
+        v = 1.0 if day <= 10 else 5.0
+        rows.append(
+            Row(event_id=eid, ts=dt.datetime(2024, 1, day, 12), user_id=1,
+                event_type="view", value=v, props="")
+        )
+        eid += 1
+    sf = _write_events(spark, tmp_path, rows)
+    got = all_queries()["ts_cusum_changepoint"](spark, sf).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r["n_days"] == 20
+    assert r["max_cusum_scaled"] > 0
+    assert r["change_day"] >= dt.date(2024, 1, 11)
+
+
+def test_cusum_flat_series_peaks_at_zero_ish(spark, tmp_path):
+    """A constant series has zero deviations everywhere: the CUSUM
+    max is exactly 0 (scaled integers, no float fuzz)."""
+    rows = [
+        Row(event_id=i, ts=dt.datetime(2024, 1, 1 + i, 12), user_id=1,
+            event_type="view", value=2.0, props="")
+        for i in range(10)
+    ]
+    sf = _write_events(spark, tmp_path, rows)
+    r = all_queries()["ts_cusum_changepoint"](spark, sf).collect()[0]
+    assert r["max_cusum_scaled"] == 0.0
+
+
+def test_lsh_band_stats_census_identities(spark, sf_dir):
+    """Per band: docs partition into buckets (sum == n_docs and equals
+    every other band's total), singletons <= buckets, and the
+    candidate-pair count obeys sum C(n,2) >= 0 with max_bucket
+    consistency (a bucket of size m implies >= C(m,2) pairs)."""
+    got = all_queries()["dedup_lsh_band_stats"](spark, sf_dir).collect()
+    assert len(got) == 4
+    totals = {r["n_docs"] for r in got}
+    assert len(totals) == 1  # every band sees every doc once
+    for r in got:
+        assert r["singletons"] <= r["n_buckets"]
+        m = r["max_bucket"]
+        assert r["candidate_pairs"] >= m * (m - 1) // 2
+
+
+def test_neighbor_jaccard_is_normalized_and_new_links_only(spark, sf_dir):
+    """Scores are valid basis points (0..10000]; no predicted pair is
+    an existing edge; ordering is by score desc."""
+    from flink_kakfa_spark.operators.graph import _copurchase_edges
+    got = all_queries()["graph_neighbor_jaccard_top20"](spark, sf_dir).collect()
+    assert 0 < len(got) <= 20
+    scores = [r["jaccard_bp"] for r in got]
+    assert scores == sorted(scores, reverse=True)
+    assert all(0 < s <= 10000 for s in scores)
+    edges = {
+        (r["src"], r["dst"])
+        for r in _copurchase_edges(spark, sf_dir).collect()
+    }
+    assert all((r["node_a"], r["node_b"]) not in edges for r in got)
+
+
+def test_js_divergence_mirror_source_is_near_corpus(spark, tmp_path):
+    """A source whose text IS the corpus distribution scores ~0; a
+    disjoint-vocabulary source scores much higher."""
+    base = "alpha beta gamma delta epsilon"
+    rows = (
+        [_doc(i, base, "typical") for i in range(1, 9)]
+        + [_doc(9, base, "mirror")]
+        + [_doc(10, "zz1 zz2 zz3 zz4 zz5", "weird")]
+    )
+    spark.createDataFrame(rows).write.mode("overwrite").parquet(
+        f"{tmp_path}/documents.parquet"
+    )
+    got = {
+        r["source"]: r["js_divergence"]
+        for r in all_queries()["text_js_divergence_sources"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert got["weird"] > 10 * max(got["mirror"], 1e-9)
+    assert got["mirror"] < 0.05

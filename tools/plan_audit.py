@@ -91,6 +91,9 @@ ALLOWED_QUADRATIC = {
     "eval_retrieval_metrics",
     # 1-row fold-total broadcast cross join (lazy-scalar pattern)
     "pipeline_kfold_assignment",
+    # |sources| x top-V vocab grid built by crossing two tiny
+    # broadcast relations (+1-row totals) — never the corpus
+    "text_js_divergence_sources",
 }
 ALLOWED_PYTHON = {
     "mm_decode_frames", "mm_extract_features", "sim_cosine_topk_pandas",
@@ -193,6 +196,17 @@ ALLOWED_SMALL_SIDE_SHUFFLES = {
     # even that pass disappears) — the window, both rollups and the
     # join all move manifest rows, metadata-sized by construction
     "lake_compaction_plan",
+    # same guarded-wedge envelope as graph_adamic_adar_top20: one
+    # capped wedge self-join + (a,c) aggregate; degree joins and the
+    # edge anti-join move degree-/edge-table rows
+    "graph_neighbor_jaccard_top20",
+    # one (source, word) token shuffle (localCheckpoint-ed, 3
+    # consumers); vocab/source totals and the grid join move
+    # vocab-sized relations
+    "text_js_divergence_sources",
+    # one (type, day) fact aggregate; every window partitions on
+    # event_type over calendar-bounded day counts
+    "ts_cusum_changepoint",
 }
 
 

@@ -41,6 +41,8 @@ SMALL = ["region", "nation", "customer", "supplier", "part"]
 
 def build(spark) -> None:
     if os.path.isdir(OUT):
+        if os.environ.get("SPARK_GRAFT_SCALE10_REUSE") == "1":
+            return  # reuse the previously built 10x fixtures
         shutil.rmtree(OUT)
     os.makedirs(OUT)
     for t in SMALL:
