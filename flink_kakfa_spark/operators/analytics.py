@@ -1485,15 +1485,29 @@ def q_ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     (a partition is years-of-days rows, never fact rows).
     """
     ev = load_table(spark, "events", sf_dir)
-    from pyspark.sql.window import Window as _Wd
+    return cusum_from_daily(cusum_daily(ev))
 
-    daily = ev.groupBy(
+
+def cusum_daily(events: DataFrame) -> DataFrame:
+    """The mergeable (type, day) -> decimal-sum state the CUSUM runs
+    over — per-batch partials of this aggregate fold exactly (SUM is
+    commutative/associative over DECIMAL), which is what lets the
+    streaming monitor (streaming/monitors.py) maintain it
+    incrementally."""
+    return events.groupBy(
         "event_type", F.col("ts").cast("date").alias("d")
     ).agg(
         F.sum(F.col("value").cast("decimal(18,6)"))
         .cast("decimal(28,6)")
         .alias("x")
     )
+
+
+def cusum_from_daily(daily: DataFrame) -> DataFrame:
+    """Exact CUSUM peak per type from the (type, day, x) state (see
+    q_ts_cusum_changepoint for the relational-recursion derivation)."""
+    from pyspark.sql.window import Window as _Wd
+
     w_all = _Wd.partitionBy("event_type")
     keyed = daily.select(
         "event_type",
@@ -1524,4 +1538,161 @@ def q_ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("s").cast("double").alias("max_cusum_scaled"),
         )
         .orderBy("event_type")
+    )
+
+
+_MQ_QUERIES = {
+    "q_join": ("join", "filter"),
+    "q_scan": ("scan", "table"),
+    "q_stream": ("stream", "window"),
+}
+_MQ_TOPK = 5
+
+
+def _bm25_multiquery_oracle() -> str:
+    all_terms = sorted({t for ts in _MQ_QUERIES.values() for t in ts})
+    tf_cols = ",\n        ".join(
+        f"CAST(SUM(CASE WHEN w = '{t}' THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS tf_{t}"
+        for t in all_terms
+    )
+    df_cols = ",\n        ".join(
+        f"CAST(SUM(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS df_{t}"
+        for t in all_terms
+    )
+
+    def score(terms):
+        return "\n          + ".join(
+            f"LN(1 + (n_docs - df_{t} + 0.5) / (df_{t} + 0.5))"
+            f" * (tf_{t} * ({_BM25_K1} + 1))"
+            f" / (tf_{t} + {_BM25_K1}"
+            f" * (1 - {_BM25_B} + {_BM25_B} * dl / avgdl))"
+            for t in terms
+        )
+
+    branches = "\n      UNION ALL\n      ".join(
+        f"SELECT '{q}' AS query_id, doc_id,\n          {score(ts)} AS score\n"
+        f"        FROM scored WHERE {' + '.join(f'tf_{t}' for t in ts)} > 0"
+        for q, ts in sorted(_MQ_QUERIES.items())
+    )
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, UNNEST(string_split(text, ' ')) AS w FROM documents
+    ),
+    per_doc AS (
+      SELECT
+        doc_id,
+        CAST(COUNT(*) AS BIGINT) AS dl,
+        {tf_cols}
+      FROM tok WHERE w <> '' GROUP BY doc_id
+    ),
+    stats AS (
+      SELECT
+        CAST(COUNT(*) AS BIGINT) AS n_docs,
+        AVG(CAST(dl AS DOUBLE)) AS avgdl,
+        {df_cols}
+      FROM per_doc
+    ),
+    scored AS (SELECT * FROM per_doc, stats),
+    ranked AS (
+      {branches}
+    )
+    SELECT query_id, doc_id, ROUND(score, 4) AS score,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY query_id ORDER BY score DESC, doc_id
+           ) AS BIGINT) AS rnk
+    FROM ranked
+    QUALIFY rnk <= {_MQ_TOPK}
+    ORDER BY query_id, rnk
+    """
+
+
+@query("rag_bm25_multiquery_topk", oracle=_bm25_multiquery_oracle())
+def q_rag_bm25_multiquery_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched BM25: top-{_MQ_TOPK} documents for EACH query in a
+    query set — the production retrieval shape (``rag_bm25_topk`` is
+    the single-query teaching form; real stacks score a batch of
+    queries per pass). The corpus is tokenized and aggregated ONCE for
+    the union of all query terms; each query's score reuses the same
+    per-doc tf columns, and ranking is a window PARTITIONED BY
+    query_id — parallel across queries, never a global sort.
+
+    Scale: corpus cost is one doc_id groupBy regardless of query
+    count (term columns grow with the term-union, not the corpus);
+    the per-query candidate sets (docs with >=1 term hit) are
+    df-sized; at 100 TB with thousands of queries the term-union tf
+    map becomes a (doc, term)->tf skinny table joined to an inverted
+    query-term list — same single corpus pass, same partitioned rank.
+    """
+    d = load_table(spark, "documents", sf_dir)
+    all_terms = sorted({t for ts in _MQ_QUERIES.values() for t in ts})
+    tok = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("w")
+    ).filter(F.col("w") != "")
+    per_doc = tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("dl"),
+        *[
+            F.sum(F.when(F.col("w") == t, 1).otherwise(0)).alias(f"tf_{t}")
+            for t in all_terms
+        ],
+    )
+    stats = per_doc.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg(F.col("dl").cast("double")).alias("avgdl"),
+        *[
+            F.sum(F.when(F.col(f"tf_{t}") > 0, 1).otherwise(0)).alias(
+                f"df_{t}"
+            )
+            for t in all_terms
+        ],
+    )
+    scored = per_doc.crossJoin(F.broadcast(stats))
+
+    def score(terms):
+        s = None
+        for t in terms:
+            idf = F.log(
+                1
+                + (F.col("n_docs") - F.col(f"df_{t}") + 0.5)
+                / (F.col(f"df_{t}") + 0.5)
+            )
+            part = (
+                idf
+                * (F.col(f"tf_{t}") * (_BM25_K1 + 1))
+                / (
+                    F.col(f"tf_{t}")
+                    + _BM25_K1
+                    * (1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+                )
+            )
+            s = part if s is None else s + part
+        return s
+
+    # ONE pass over the per-doc aggregate: every query's (score, hit)
+    # is computed inline and exploded — no per-query union re-scanning
+    # the corpus relation
+    qstructs = F.array(
+        *[
+            F.struct(
+                F.lit(q).alias("query_id"),
+                score(ts).alias("score"),
+                sum(F.col(f"tf_{t}") for t in ts).alias("hit"),
+            )
+            for q, ts in sorted(_MQ_QUERIES.items())
+        ]
+    )
+    ranked = (
+        scored.select("doc_id", F.explode(qstructs).alias("qs"))
+        .filter(F.col("qs.hit") > 0)
+        .select(F.col("qs.query_id").alias("query_id"), "doc_id", F.col("qs.score").alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id")
+    )
+    return (
+        ranked.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= _MQ_TOPK)
+        .select("query_id", "doc_id", F.round("score", 4).alias("score"), "rnk")
+        .orderBy("query_id", "rnk")
     )

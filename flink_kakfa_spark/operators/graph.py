@@ -566,7 +566,12 @@ def q_graph_neighbor_jaccard_top20(spark: SparkSession, sf_dir: str) -> DataFram
     aggregate — identical cost envelope to Adamic-Adar; everything
     else is degree-table-sized.
     """
-    edges = _copurchase_edges(spark, sf_dir)
+    # edges feeds the adjacency AND the final anti-join; deg feeds the
+    # wedge filter AND both score joins — materialize each once (AQE
+    # does not reuse exchanges across stages, see graph_pagerank_top20;
+    # without these the co-purchase edge build re-ran once per
+    # consumer: 19 exchanges vs 6)
+    edges = _copurchase_edges(spark, sf_dir).localCheckpoint()
     adj = edges.select(
         F.explode(
             F.array(
@@ -575,11 +580,16 @@ def q_graph_neighbor_jaccard_top20(spark: SparkSession, sf_dir: str) -> DataFram
             )
         ).alias("e")
     ).select("e.src", "e.dst")
-    deg = adj.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    deg = (
+        adj.groupBy("src")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint()
+    )
     ctr = (
         adj.join(deg, "src")
         .filter((F.col("c") >= 2) & (F.col("c") <= _AA_DEGREE_CAP))
         .select(F.col("src").alias("w"), F.col("dst").alias("nb"))
+        .localCheckpoint()
     )
     o1 = ctr.select(F.col("w"), F.col("nb").alias("a"))
     o2 = ctr.select(F.col("w"), F.col("nb").alias("c"))

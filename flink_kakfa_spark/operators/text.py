@@ -1053,3 +1053,148 @@ def q_text_js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "text_keyphrase_rake",
+    oracle=f"""
+    WITH marked AS (
+      SELECT doc_id,
+             string_split(
+               array_to_string(
+                 list_transform(
+                   string_split(text, ' '),
+                   w -> CASE WHEN list_contains({_SQL_STOPWORDS}, w)
+                             THEN '|' ELSE w END
+                 ), ' '
+               ), '|'
+             ) AS chunks
+      FROM documents
+    ),
+    phr AS (
+      SELECT doc_id, trim(c.p) AS phrase
+      FROM marked, UNNEST(chunks) AS c(p)
+      WHERE trim(c.p) <> ''
+    ),
+    pw AS (
+      SELECT phrase, u.w AS word,
+             len(string_split(phrase, ' ')) AS plen
+      FROM phr, UNNEST(string_split(phrase, ' ')) AS u(w)
+    ),
+    wstat AS (
+      SELECT word,
+             CAST(COUNT(*) AS BIGINT) AS freq,
+             CAST(SUM(plen) AS BIGINT) AS degree
+      FROM pw GROUP BY word
+    ),
+    dphr AS (
+      SELECT phrase, CAST(COUNT(*) AS BIGINT) AS n_occ
+      FROM phr GROUP BY phrase
+    ),
+    scoredw AS (
+      SELECT d.phrase, d.n_occ, u.w AS word,
+             CAST(s.degree AS DOUBLE) / s.freq AS wscore
+      FROM dphr d, UNNEST(string_split(d.phrase, ' ')) AS u(w)
+      JOIN wstat s ON s.word = u.w
+    )
+    SELECT
+      phrase, n_occ,
+      CAST(len(string_split(phrase, ' ')) AS BIGINT) AS n_words,
+      ROUND(CAST(list_reduce(list(wscore ORDER BY word, wscore),
+                             (a, b) -> a + b) AS DOUBLE), 4) AS score
+    FROM scoredw
+    GROUP BY phrase, n_occ
+    ORDER BY score DESC, phrase
+    LIMIT 20
+    """,
+)
+def q_text_keyphrase_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyphrase extraction (Rose et al. 2010): candidate phrases
+    are maximal stopword-free token runs; a word's score is
+    degree/frequency (degree = summed length of every phrase it occurs
+    in — co-occurrence reach); a phrase's score is the sum of its
+    words' scores. Top-20 phrases corpus-wide — the classic cheap
+    keyword/topic surfacing pass over a new corpus before any model
+    runs.
+
+    Determinism: word scores are exact rationals evaluated identically
+    (one division); the per-phrase sum folds word scores in sorted
+    order on both engines (sorted-list reduce — duplicate words in a
+    phrase carry equal scores, so the tie is harmless).
+
+    Scale: phrase chunking is a narrow in-array map (stopwords
+    replaced by separators, split — no regex backtracking); word stats
+    are one (word) aggregate; phrase scoring joins the DISTINCT phrase
+    table (vocab-scale) to the word-score table — fact-sized data
+    crosses exactly one (phrase) shuffle.
+    """
+    d = load_table(spark, "documents", sf_dir)
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
+    chunks = F.split(
+        F.array_join(
+            F.transform(
+                tokens(),
+                lambda w: F.when(
+                    F.array_contains(stop_arr, w), F.lit("|")
+                ).otherwise(w),
+            ),
+            " ",
+        ),
+        "\\|",
+    )
+    phr = (
+        d.select("doc_id", F.explode(chunks).alias("p"))
+        .select(F.trim(F.col("p")).alias("phrase"))
+        .filter(F.col("phrase") != "")
+    )
+    pw = phr.select(
+        "phrase",
+        F.explode(F.split(F.col("phrase"), " ")).alias("word"),
+        F.size(F.split(F.col("phrase"), " ")).alias("plen"),
+    )
+    wstat = pw.groupBy("word").agg(
+        F.count(F.lit(1)).cast("long").alias("freq"),
+        F.sum("plen").cast("long").alias("degree"),
+    )
+    dphr = phr.groupBy("phrase").agg(
+        F.count(F.lit(1)).cast("long").alias("n_occ")
+    )
+    scoredw = (
+        dphr.select(
+            "phrase",
+            "n_occ",
+            F.explode(F.split(F.col("phrase"), " ")).alias("word"),
+        )
+        .join(wstat, "word")
+        .select(
+            "phrase",
+            "n_occ",
+            "word",
+            (F.col("degree").cast("double") / F.col("freq")).alias("wscore"),
+        )
+    )
+    return (
+        scoredw.groupBy("phrase", "n_occ")
+        .agg(
+            F.aggregate(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(
+                            F.struct(F.col("word"), F.col("wscore"))
+                        )
+                    ),
+                    lambda s: s["wscore"],
+                ),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            ).alias("raw")
+        )
+        .select(
+            "phrase",
+            "n_occ",
+            F.size(F.split(F.col("phrase"), " ")).cast("long").alias("n_words"),
+            F.round(F.col("raw"), 4).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), "phrase")
+        .limit(20)
+    )

@@ -204,3 +204,47 @@ def streaming_psi_monitor(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# --- streaming CUSUM change-point monitor ------------------------------
+# The CUSUM state is the (type, day) -> decimal-sum relation
+# (operators/analytics.py::cusum_daily) whose accumulator is a plain
+# SUM — commutative and associative — so per-micro-batch partials
+# written to batch_id=N subdirectories merge to the exact full-history
+# state, the same exactly-once recipe as the checksum manifest. The
+# report (prefix-sum-minus-prefix-min peak per type) derives from the
+# merged state at read time and equals the batch operator run over
+# every row ever streamed.
+
+from flink_kakfa_spark.operators.analytics import cusum_daily, cusum_from_daily
+
+
+def streaming_cusum_monitor(events: DataFrame, path: str, checkpoint: str):
+    """Maintain the daily CUSUM state over an event stream; returns
+    the StreamingQuery. Crash replay overwrites the batch's own
+    partial subdirectory — idempotent."""
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            cusum_daily(batch_df)
+            .write.mode("overwrite")
+            .parquet(f"{path}/batch_id={batch_id}")
+        )
+
+    return (
+        events.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_cusum_report(spark: SparkSession, path: str) -> DataFrame:
+    """Fold the per-batch daily partials and compute the exact CUSUM
+    report over the merged history."""
+    daily = (
+        spark.read.parquet(f"{path}/batch_id=*")
+        .groupBy("event_type", "d")
+        .agg(F.sum("x").cast("decimal(28,6)").alias("x"))
+    )
+    return cusum_from_daily(daily)

@@ -251,3 +251,48 @@ def test_streaming_psi_monitor_restart_exactly_once(spark, tmp_path):
     assert len(rows) == 2
     assert [r["drifted"] for r in rows] == [0, 1]
     assert all(r["n_batch"] == 40 for r in rows)
+
+
+def test_streaming_cusum_matches_batch_and_restarts_exactly_once(
+    spark, tmp_path
+):
+    """Kill/restart evidence for the CUSUM monitor: stream half the
+    event history, stop, land the other half, restart from the same
+    checkpoint, restart once more with nothing new — the folded report
+    must equal the batch operator over the full fixture (same peak,
+    same day), proving the partials merged exactly once."""
+    from flink_kakfa_spark.streaming.monitors import (
+        read_cusum_report,
+        streaming_cusum_monitor,
+    )
+
+    full = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    first = full.filter(F.col("event_id") % 2 == 0)
+    second = full.filter(F.col("event_id") % 2 == 1)
+    src = tmp_path / "src"
+    first.repartition(2).write.parquet(str(src / "part0"))
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(full.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/*")
+        )
+        q = streaming_cusum_monitor(
+            stream, str(tmp_path / "state"), str(tmp_path / "ckpt")
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    second.repartition(2).write.parquet(str(src / "part1"))
+    run_once()  # restart: only the new files are processed
+    run_once()  # nothing new: partials must not double-count
+    got = {
+        r["event_type"]: (r["n_days"], r["change_day"], r["max_cusum_scaled"])
+        for r in read_cusum_report(spark, str(tmp_path / "state")).collect()
+    }
+    want = {
+        r["event_type"]: (r["n_days"], r["change_day"], r["max_cusum_scaled"])
+        for r in all_queries()["ts_cusum_changepoint"](spark, SF_DIR).collect()
+    }
+    assert got == want

@@ -761,3 +761,53 @@ def test_js_divergence_mirror_source_is_near_corpus(spark, tmp_path):
     }
     assert got["weird"] > 10 * max(got["mirror"], 1e-9)
     assert got["mirror"] < 0.05
+
+
+# ---- round-6 fifth batch: multi-query BM25, RAKE ----------------------
+
+
+def test_multiquery_bm25_consistent_with_single_ranker(spark, sf_dir):
+    """Each query's ranking is internally consistent: scores descend,
+    ranks are 1..k, and every returned doc actually contains at least
+    one of the query's terms."""
+    import duckdb
+    got = all_queries()["rag_bm25_multiquery_topk"](spark, sf_dir).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == {"q_join", "q_scan", "q_stream"}
+    from flink_kakfa_spark.operators.analytics import _MQ_QUERIES
+    con = duckdb.connect()
+    for q, rows in by_q.items():
+        assert [r["rnk"] for r in rows] == list(range(1, len(rows) + 1))
+        scores = [r["score"] for r in rows]
+        assert scores == sorted(scores, reverse=True)
+        terms = _MQ_QUERIES[q]
+        for r in rows:
+            hit = con.execute(
+                f"""SELECT COUNT(*) FROM read_parquet('{sf_dir}/documents.parquet')
+                    WHERE doc_id = {r['doc_id']}
+                      AND ({' OR '.join(f"list_contains(string_split(text, ' '), '{t}')" for t in terms)})"""
+            ).fetchone()[0]
+            assert hit == 1, (q, r["doc_id"])
+
+
+def test_rake_scores_multiword_phrases_by_degree(spark, tmp_path):
+    """RAKE first principles on a crafted doc: with stopword 'the'
+    separating phrases, a longer phrase accumulates its words' degree
+    scores and outranks repeated singletons."""
+    text = "deep learning models the deep learning models the corpus"
+    rows = [_doc(1, text, "s")]
+    spark.createDataFrame(rows).write.mode("overwrite").parquet(
+        f"{tmp_path}/documents.parquet"
+    )
+    got = all_queries()["text_keyphrase_rake"](spark, str(tmp_path)).collect()
+    by_phrase = {r["phrase"]: r for r in got}
+    assert set(by_phrase) == {"deep learning models", "corpus"}
+    top = got[0]
+    assert top["phrase"] == "deep learning models"
+    assert top["n_occ"] == 2
+    assert top["n_words"] == 3
+    # each word: freq 2, degree 6 -> wscore 3.0; phrase = 9.0
+    assert top["score"] == 9.0
+    assert by_phrase["corpus"]["score"] == 1.0

@@ -89,6 +89,9 @@ ALLOWED_QUADRATIC = {
     # 1-row corpus-stats broadcast (BM25 shape) + 1-row dcg/idcg/nrel
     # scalar fuses
     "eval_retrieval_metrics",
+    # 1-row corpus-stats broadcast (BM25 shape), queries exploded
+    # inline in one pass
+    "rag_bm25_multiquery_topk",
     # 1-row fold-total broadcast cross join (lazy-scalar pattern)
     "pipeline_kfold_assignment",
     # |sources| x top-V vocab grid built by crossing two tiny
@@ -196,10 +199,6 @@ ALLOWED_SMALL_SIDE_SHUFFLES = {
     # even that pass disappears) — the window, both rollups and the
     # join all move manifest rows, metadata-sized by construction
     "lake_compaction_plan",
-    # same guarded-wedge envelope as graph_adamic_adar_top20: one
-    # capped wedge self-join + (a,c) aggregate; degree joins and the
-    # edge anti-join move degree-/edge-table rows
-    "graph_neighbor_jaccard_top20",
     # one (source, word) token shuffle (localCheckpoint-ed, 3
     # consumers); vocab/source totals and the grid join move
     # vocab-sized relations
@@ -207,6 +206,11 @@ ALLOWED_SMALL_SIDE_SHUFFLES = {
     # one (type, day) fact aggregate; every window partitions on
     # event_type over calendar-bounded day counts
     "ts_cusum_changepoint",
+    # the token stream aggregates twice (per-doc tf build feeds both
+    # the 1-row corpus stats and the scoring pass — at production
+    # scale the tf table is persisted once); ranking exchanges move
+    # df-sized candidate rows partitioned by query_id
+    "rag_bm25_multiquery_topk",
 }
 
 
