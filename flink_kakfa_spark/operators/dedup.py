@@ -1643,3 +1643,78 @@ def q_dedup_lsh_band_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("band")
     )
+
+
+@query(
+    "dedup_survivor_selection",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id, source, n_chars,
+             md5(array_to_string(string_split(text, ' ')[1:8], ' ')) AS grp,
+             len(list_distinct(string_split(text, ' '))) AS n_uniq
+      FROM documents
+    ),
+    ranked AS (
+      SELECT doc_id, source, grp, n_chars,
+             ROW_NUMBER() OVER (
+               PARTITION BY grp
+               ORDER BY n_uniq DESC, n_chars DESC, doc_id
+             ) AS rn,
+             CAST(COUNT(*) OVER (PARTITION BY grp) AS BIGINT) AS grp_size
+      FROM g
+    )
+    SELECT
+      CAST(doc_id AS BIGINT) AS survivor_id,
+      source,
+      grp_size,
+      CAST(grp_size - 1 AS BIGINT) AS n_dropped
+    FROM ranked
+    WHERE rn = 1 AND grp_size > 1
+    ORDER BY grp_size DESC, survivor_id
+    """,
+)
+def q_dedup_survivor_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-document selection: after duplicate grouping (here
+    the md5 of the first 8 tokens — the boilerplate-header criterion;
+    swap in the full-text digest for exact dups), pick WHICH copy
+    survives — highest unique-token count, then longest, then lowest
+    doc_id — and report each multi-member group's survivor and
+    casualty count. Dedup tools that drop "duplicates" without a
+    deterministic survivor rule produce non-reproducible corpora;
+    this is the rule, as a query.
+
+    Scale: the ranking window partitions by the 16-byte digest —
+    group sizes are duplicate multiplicities (bounded small in
+    practice; a pathological mega-group is one key, which AQE's skew
+    split handles) — and only (doc_id, source, two ints) cross the
+    shuffle, never the text.
+    """
+    d = load_table(spark, "documents", sf_dir)
+    t = F.split(F.coalesce(F.col("text"), F.lit("")), " ")
+    g = d.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.md5(F.concat_ws(" ", F.slice(t, 1, 8)).cast("binary")).alias("grp"),
+        F.size(F.array_distinct(t)).alias("n_uniq"),
+    )
+    w = Window.partitionBy("grp").orderBy(
+        F.col("n_uniq").desc(), F.col("n_chars").desc(), F.col("doc_id")
+    )
+    wc = Window.partitionBy("grp")
+    ranked = g.select(
+        "doc_id",
+        "source",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wc).cast("long").alias("grp_size"),
+    )
+    return (
+        ranked.filter((F.col("rn") == 1) & (F.col("grp_size") > 1))
+        .select(
+            F.col("doc_id").cast("long").alias("survivor_id"),
+            "source",
+            "grp_size",
+            (F.col("grp_size") - 1).cast("long").alias("n_dropped"),
+        )
+        .orderBy(F.col("grp_size").desc(), "survivor_id")
+    )

@@ -151,6 +151,7 @@ _WINDOW_FRONT = [
 # Update tests/test_000_smoke.py::DRIVER_WINDOW in the same commit.
 _NEXT_WINDOW_PLAN = [
     # round-6 additions — newest first, per the rotation policy
+    "dedup_survivor_selection",
     "rag_bm25_multiquery_topk",
     "text_keyphrase_rake",
     "ts_cusum_changepoint",

@@ -811,3 +811,25 @@ def test_rake_scores_multiword_phrases_by_degree(spark, tmp_path):
     # each word: freq 2, degree 6 -> wscore 3.0; phrase = 9.0
     assert top["score"] == 9.0
     assert by_phrase["corpus"]["score"] == 1.0
+
+
+def test_survivor_selection_rule_and_census(spark, tmp_path):
+    """Groups share the first-8-token head; the survivor is the copy
+    with the most unique tokens (then longest, then lowest id); the
+    casualty census counts the rest; singleton groups are silent."""
+    head = "h1 h2 h3 h4 h5 h6 h7 h8"
+    rows = [
+        _doc(1, head + " tail tail tail", "s"),          # 2 uniq tail words... 
+        _doc(2, head + " a b c", "s"),                   # most unique -> survivor
+        _doc(3, head + " a a a a a a a a a a", "s"),     # longest but fewer uniq
+        _doc(4, "different head entirely alone", "s"),   # singleton -> silent
+    ]
+    spark.createDataFrame(rows).write.mode("overwrite").parquet(
+        f"{tmp_path}/documents.parquet"
+    )
+    got = all_queries()["dedup_survivor_selection"](spark, str(tmp_path)).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r["survivor_id"] == 2
+    assert r["grp_size"] == 3
+    assert r["n_dropped"] == 2
