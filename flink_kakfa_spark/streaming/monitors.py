@@ -248,3 +248,96 @@ def read_cusum_report(spark: SparkSession, path: str) -> DataFrame:
         .agg(F.sum("x").cast("decimal(28,6)").alias("x"))
     )
     return cusum_from_daily(daily)
+
+
+# --- streaming count-min heavy-term monitor -----------------------------
+# Count-min cells are data-independent (salt x md5-bucket) and merge by
+# plain cell-wise SUM, so per-micro-batch 3x256 partials under
+# batch_id=N fold to the sketch the batch operator
+# (operators/sketches.py::q_sketch_cms_heavy_hitters) would build over
+# every document ever streamed. The monitor tracks a FIXED WATCHLIST of
+# terms (the production shape, like the PSI monitor's fixed reference
+# profile): estimates are min-over-depth reads of the folded cells —
+# KBs of state per batch regardless of stream volume.
+
+from flink_kakfa_spark.operators.sketches import (
+    _CMS_DEPTH,
+    _cms_bucket_spark,
+)
+
+
+def cms_partial(batch_df: DataFrame) -> DataFrame:
+    """3 x 256 count-min cell partial for one micro-batch of
+    documents."""
+    words = batch_df.select(
+        F.explode(F.split("text", " ")).alias("word")
+    ).filter(F.col("word") != "")
+    cells = words.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(salt).alias("salt"),
+                        _cms_bucket_spark(F.col("word"), salt).alias("bucket"),
+                    )
+                    for salt in range(_CMS_DEPTH)
+                ]
+            )
+        ).alias("sb")
+    ).select("sb.salt", "sb.bucket")
+    return cells.groupBy("salt", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("total")
+    )
+
+
+def streaming_cms_monitor(docs: DataFrame, path: str, checkpoint: str):
+    """Maintain the count-min sketch over a document stream; returns
+    the StreamingQuery. Crash replay overwrites the batch's own
+    partial subdirectory — idempotent."""
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            cms_partial(batch_df)
+            .write.mode("overwrite")
+            .parquet(f"{path}/batch_id={batch_id}")
+        )
+
+    return (
+        docs.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_cms_estimates(
+    spark: SparkSession, path: str, watchlist: list[str]
+) -> DataFrame:
+    """Fold the per-batch cell partials and read the min-over-depth
+    count-min estimate for each watchlist term."""
+    sketch = (
+        spark.read.parquet(f"{path}/batch_id=*")
+        .groupBy("salt", "bucket")
+        .agg(F.sum("total").cast("long").alias("total"))
+    )
+    wl = spark.createDataFrame([(w,) for w in watchlist], ["word"])
+    cells = wl.select(
+        "word",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(salt).alias("salt"),
+                        _cms_bucket_spark(F.col("word"), salt).alias("bucket"),
+                    )
+                    for salt in range(_CMS_DEPTH)
+                ]
+            )
+        ).alias("sb"),
+    ).select("word", "sb.salt", "sb.bucket")
+    return (
+        cells.join(F.broadcast(sketch), ["salt", "bucket"])
+        .groupBy("word")
+        .agg(F.min("total").cast("long").alias("cms_estimate"))
+        .orderBy("word")
+    )

@@ -296,3 +296,48 @@ def test_streaming_cusum_matches_batch_and_restarts_exactly_once(
         for r in all_queries()["ts_cusum_changepoint"](spark, SF_DIR).collect()
     }
     assert got == want
+
+
+def test_streaming_cms_matches_batch_estimates_after_restart(spark, tmp_path):
+    """Kill/restart evidence for the count-min monitor: stream half the
+    corpus, stop, land the rest, restart, restart again with nothing
+    new — folded-cell estimates for the batch operator's top-20 words
+    must equal that operator's cms_estimate values exactly (cell-wise
+    SUM mergeability), with no double counting."""
+    from flink_kakfa_spark.streaming.monitors import (
+        read_cms_estimates,
+        streaming_cms_monitor,
+    )
+
+    full = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    first = full.filter(F.col("doc_id") % 2 == 0)
+    second = full.filter(F.col("doc_id") % 2 == 1)
+    src = tmp_path / "src"
+    first.repartition(2).write.parquet(str(src / "part0"))
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(full.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/*")
+        )
+        q = streaming_cms_monitor(
+            stream, str(tmp_path / "cms"), str(tmp_path / "ckpt")
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    second.repartition(2).write.parquet(str(src / "part1"))
+    run_once()
+    run_once()  # nothing new: cells must not double-count
+    batch = {
+        r["word"]: r["cms_estimate"]
+        for r in all_queries()["sketch_cms_heavy_hitters"](spark, SF_DIR).collect()
+    }
+    got = {
+        r["word"]: r["cms_estimate"]
+        for r in read_cms_estimates(
+            spark, str(tmp_path / "cms"), sorted(batch)
+        ).collect()
+    }
+    assert got == batch
