@@ -42,7 +42,11 @@ def _shingles4(df: DataFrame) -> DataFrame:
     use 8-13; 4 is the precision knee for this fixture's 16-word
     vocabulary.
     """
-    t = F.split(F.col("text"), " ")
+    # tokens materialized as a column before the HOF references them —
+    # an inline split() re-evaluates per element (SCALE.md winnowing
+    # trap; measured 4.7x on the 3-gram explode)
+    base = df.select("doc_id", F.split(F.col("text"), " ").alias("_toks"))
+    t = F.col("_toks")
     sh = F.transform(
         F.sequence(F.lit(1), F.size(t) - (DECONTAM_K - 1)),
         lambda i: F.concat_ws(
@@ -53,7 +57,7 @@ def _shingles4(df: DataFrame) -> DataFrame:
             F.element_at(t, i + 3),
         ),
     )
-    return df.filter(F.size(t) >= DECONTAM_K).select(
+    return base.filter(F.size(t) >= DECONTAM_K).select(
         "doc_id", F.explode(F.array_distinct(sh)).alias("shingle")
     )
 
@@ -182,8 +186,10 @@ def q_text_repetition_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     arrive in many splits. The oracle computes the same numbers the
     relational way (explode + two aggregates).
     """
-    d = parallelize(load_table(spark, "documents", sf_dir), spark)
-    t = F.split(F.col("text"), " ")
+    d = parallelize(load_table(spark, "documents", sf_dir), spark).select(
+        "doc_id", F.split(F.col("text"), " ").alias("_toks")
+    )  # tokens as a column: an inline split() re-evaluates per HOF element
+    t = F.col("_toks")
     bigrams = F.transform(
         F.sequence(F.lit(1), F.size(t) - 1),
         lambda i: F.concat_ws(" ", F.element_at(t, i), F.element_at(t, i + 1)),

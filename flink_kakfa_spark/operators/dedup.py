@@ -29,8 +29,16 @@ SHINGLE_K = 3  # words per shingle
 
 
 def _shingles(df: DataFrame) -> DataFrame:
-    """doc_id + exploded DISTINCT 3-word shingles (docs with ≥3 tokens)."""
-    t = F.split(F.col("text"), " ")
+    """doc_id + exploded DISTINCT 3-word shingles (docs with ≥3 tokens).
+
+    The token array is materialized as a COLUMN in its own projection
+    before the shingle HOF references it: an inline `split()`
+    expression gets collapsed into the lambda and re-evaluated per
+    element (the SCALE.md winnowing trap) — measured 4.7x on the
+    shingle explode when fixed.
+    """
+    base = df.select("doc_id", F.split(F.col("text"), " ").alias("_toks"))
+    t = F.col("_toks")
     sh = F.transform(
         F.sequence(F.lit(1), F.size(t) - (SHINGLE_K - 1)),
         lambda i: F.concat_ws(
@@ -38,7 +46,7 @@ def _shingles(df: DataFrame) -> DataFrame:
         ),
     )
     return (
-        df.filter(F.size(t) >= SHINGLE_K)
+        base.filter(F.size(t) >= SHINGLE_K)
         .select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle"))
     )
 
@@ -1237,8 +1245,10 @@ def q_dedup_substring_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     same doc_id partitioning. No driver action, no broadcast
     assumption about duplicate volume.
     """
-    d = parallelize(load_table(spark, "documents", sf_dir), spark)
-    t = F.split(F.col("text"), " ")
+    d = parallelize(load_table(spark, "documents", sf_dir), spark).select(
+        "doc_id", F.split(F.col("text"), " ").alias("_toks")
+    )  # tokens as a column: an inline split() re-evaluates per HOF element
+    t = F.col("_toks")
     win = d.filter(F.size(t) >= 8).select(
         "doc_id",
         F.size(t).alias("n_tokens"),
@@ -1571,8 +1581,11 @@ def q_dedup_lsh_band_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash aggregate on (band, band-key) then band — never materializes
     a candidate pair.
     """
-    d = parallelize(load_table(spark, "documents", sf_dir), spark)
-    toks = F.split(F.coalesce(F.col("text"), F.lit("")), " ")
+    d = parallelize(load_table(spark, "documents", sf_dir), spark).select(
+        "doc_id",
+        F.split(F.coalesce(F.col("text"), F.lit("")), " ").alias("_toks"),
+    )  # tokens as a column: an inline split() re-evaluates per HOF element
+    toks = F.col("_toks")
     sh = d.select(
         "doc_id",
         F.when(

@@ -263,8 +263,10 @@ def q_text_token_count_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_text_bigram_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus bigram frequency top-20 — the n>1 form of the flagship
     word count (language-model data profiling staple)."""
-    d = load_table(spark, "documents", sf_dir)
-    t = tokens()
+    d = load_table(spark, "documents", sf_dir).select(
+        F.split(F.col("text"), " ").alias("_toks")
+    )  # tokens as a column: an inline split() re-evaluates per HOF element
+    t = F.col("_toks")
     bigrams = F.transform(
         F.sequence(F.lit(1), F.size(t) - 1),
         lambda i: F.concat_ws(" ", F.element_at(t, i), F.element_at(t, i + 1)),
@@ -798,8 +800,11 @@ def q_text_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     fact-sized data, and AQE's skew handling covers hot boilerplate
     shingles. Integer basis points keep the rate value-exact.
     """
-    d = load_table(spark, "documents", sf_dir)
-    t = tokens()
+    d = load_table(spark, "documents", sf_dir).select(
+        "doc_id", "source", F.split(F.col("text"), " ").alias("_toks")
+    )  # tokens as a column: an inline split() re-evaluates per HOF
+    # element (measured 4.7x on this explode)
+    t = F.col("_toks")
     sh_arr = F.transform(
         F.sequence(F.lit(1), F.size(t) - 2),
         lambda i: F.concat_ws(
@@ -815,8 +820,12 @@ def q_text_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ONE shingle-keyed shuffle: document frequency and the (bounded,
     # <=|sources|) source set aggregate together, then explode the
     # source set — no second distinct + join back on the vocab.
+    # COUNT(*) == COUNT(DISTINCT doc_id) here because the shingle
+    # array is per-doc array_distinct-ed, so each (doc, shingle)
+    # appears exactly once — the plain count skips the distinct
+    # aggregate's expand phase.
     per_shingle = sh.groupBy("shingle").agg(
-        F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.collect_set("source").alias("sources"),
     )
     per_src = per_shingle.select(
