@@ -1138,8 +1138,10 @@ def q_dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
     text. The shared set is joined (not collected); no driver action,
     no broadcast assumption about duplicate volume.
     """
-    d = parallelize(load_table(spark, "documents", sf_dir), spark)
-    t = F.split(F.col("text"), " ")
+    d = parallelize(load_table(spark, "documents", sf_dir), spark).select(
+        "doc_id", F.split(F.col("text"), " ").alias("_toks")
+    )  # tokens as a column: an inline split() re-evaluates per HOF element
+    t = F.col("_toks")
     n_seg = F.ceil(F.size(t) / F.lit(16.0)).cast("long")
     seg_texts = F.transform(
         F.sequence(F.lit(0), n_seg - 1),
