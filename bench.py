@@ -18,6 +18,7 @@ neighbor.
 from __future__ import annotations
 
 import json
+import math
 import os
 import sys
 import time
@@ -87,9 +88,52 @@ HEADLINE = [
 ]
 
 
+# Stall-proofing (round 7, VERDICT r6 item 2): the round-6 driver run
+# recorded 39.7 s for a query that measures 6.4 s on a quiet host — a
+# sustained host stall poisoned both timed passes. Two defenses:
+#  1. quiet-host records: the per-query minimum across all committed
+#     BENCH_r*.json files (min across rounds filters any past stall).
+#     A row whose best-of-N exceeds RETRY_THRESHOLD× its record gets up
+#     to MAX_RETRIES extra runs; the JSON carries a `retried` map so a
+#     persisting outlier is visibly annotated, never silent.
+#  2. drift_factor: geomean of (this run / record) over the trivial
+#     rows — plans untouched for rounds, so any drift is host load.
+#     A loaded-host run is thereby self-labeling in the artifact.
+RETRY_THRESHOLD = 3.0
+MAX_RETRIES = 3
+DRIFT_SENTINELS = ["wordcount", "scalar_json_extract", "text_quality_score"]
+
+
+def quiet_host_records(repo_dir: str, sf: str) -> dict[str, float]:
+    """Per-query minimum across committed BENCH_r*.json (same sf)."""
+    records: dict[str, float] = {}
+    try:
+        names = sorted(os.listdir(repo_dir))
+    except OSError:
+        return records
+    for fname in names:
+        if not (fname.startswith("BENCH_r") and fname.endswith(".json")):
+            continue
+        try:
+            with open(os.path.join(repo_dir, fname)) as f:
+                data = json.load(f)
+        except (OSError, ValueError):
+            continue
+        # the driver wraps bench stdout under a "parsed" key
+        if isinstance(data.get("parsed"), dict):
+            data = {**data, **data["parsed"]}
+        if str(data.get("sf")) != str(sf):
+            continue
+        for q, t in (data.get("queries") or {}).items():
+            if isinstance(t, (int, float)) and t > 0:
+                records[q] = min(records.get(q, float("inf")), float(t))
+    return records
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     spark = get_spark("bench")
     queries = all_queries()
 
@@ -115,18 +159,48 @@ def main() -> None:
         for name in HEADLINE:
             samples[name].append(run(name))
     timings = {name: round(min(ts), 3) for name, ts in samples.items()}
-    total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
+
+    records = quiet_host_records(os.path.dirname(os.path.abspath(__file__)), sf)
+    retried: dict[str, int] = {}
+    for name in HEADLINE:
+        rec = records.get(name)
+        if not rec:
+            continue
+        tries = 0
+        while timings[name] > RETRY_THRESHOLD * rec and tries < MAX_RETRIES:
+            tries += 1
+            # brief pause lets a transient host stall pass before re-sampling
+            time.sleep(2.0 * tries)
+            timings[name] = round(min(timings[name], run(name)), 3)
+        if tries:
+            retried[name] = tries
+
+    drift_ratios = [
+        timings[q] / records[q]
+        for q in DRIFT_SENTINELS
+        if q in timings and records.get(q)
+    ]
+    drift_factor = (
+        round(math.exp(sum(math.log(r) for r in drift_ratios) / len(drift_ratios)), 3)
+        if drift_ratios
+        else None
     )
+
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "headline_suite_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+        # host-load self-label: ~1.0 on a quiet host; >1.3 means every
+        # number in this run is inflated by external load, not plans
+        "drift_factor": drift_factor,
+    }
+    if retried:
+        # rows that stayed >3x their quiet-host record and were re-run
+        out["retried"] = retried
+    print(json.dumps(out))
     spark.stop()
 
 

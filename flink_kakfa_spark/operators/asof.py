@@ -82,7 +82,13 @@ def asof_join(
     "asof_last_purchase",
     oracle="""
     WITH purchases AS (
-      SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+      -- MAX(value) per (user_id, ts): DuckDB's ASOF tie choice among
+      -- equal-timestamp rows is unspecified, while the Spark side's
+      -- last() deterministically carries the GREATEST (ts, value)
+      -- struct -- collapsing ties first aligns both engines.
+      SELECT user_id, ts, MAX(value) AS value
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id, ts
     ),
     others AS (
       SELECT event_id, user_id, ts, event_type FROM events
@@ -175,7 +181,13 @@ _ASOF_FWD_TOLERANCE_DAYS = 7
     "asof_next_purchase",
     oracle=f"""
     WITH purchases AS (
-      SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+      -- MIN(value) per (user_id, ts): DuckDB's ASOF tie choice among
+      -- equal-timestamp rows is unspecified, while the Spark side
+      -- deterministically carries the smallest (ts, value) struct --
+      -- collapsing ties first makes both sides pick the same row.
+      SELECT user_id, ts, MIN(value) AS value
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id, ts
     ),
     others AS (
       SELECT event_id, user_id, ts, event_type FROM events

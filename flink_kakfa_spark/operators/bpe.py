@@ -16,11 +16,21 @@ merge fold; the chosen pair is a driver-side ``first()`` per round
 Lineage is kept bounded by caching each round's vocab and unpersisting
 the previous one.
 
-Oracle: the loop is not expressible as one SQL statement, so the
-query registers rows-only for the driver; correctness evidence is the
-pure-Python reference implementation in tests/test_bpe.py, which must
-produce the identical merge table on micro corpora AND on the sf0.001
-fixture.
+Oracle (round 7, VERDICT r6 item 3): the k merge rounds UNROLL as a
+DuckDB CTE chain, so both queries are value-exact. The key trick is a
+string encoding of the symbol array — symbols joined by a DOUBLE
+``\\x1f`` separator with double separators at both ends — under which
+one BPE merge of pair (l, r) is exactly one SQL ``replace``:
+
+    replace(s, SEP||l||SEP||SEP||r||SEP, SEP||l||r||SEP)
+
+Each match consumes the inner halves of the two flanking boundary
+markers, so adjacent occurrences never share a matched character and
+``replace``'s left-to-right non-overlapping scan reproduces the BPE
+fold's semantics ("after merging at i, position i+1 cannot start a
+merge") — verified against a pure-Python fold on adversarial
+overlap cases in tests/test_bpe.py. The pure-Python reference trainer
+remains pinned on micro corpora AND the sf0.001 fixture.
 """
 
 from __future__ import annotations
@@ -33,6 +43,90 @@ from flink_kakfa_spark.sources.tables import load_table
 
 N_MERGES = 8
 EOW = "</w>"  # end-of-word marker, merged like any symbol
+
+# Oracle-side symbol-array encoding: symbols joined (and flanked) by a
+# DOUBLE unit separator. \x1f cannot occur in the corpus (fixtures are
+# printable text) and not in EOW, so boundaries are unambiguous.
+_SEP = "\x1f"
+_SEP2 = _SEP + _SEP
+
+
+def _bpe_oracle_ctes(n_merges: int) -> str:
+    """The shared CTE chain both BPE oracles build on: word-frequency
+    vocabulary -> n unrolled merge rounds. Defines ``v{i}`` (vocab
+    after i merges, symbol arrays encoded as strings) and ``b{i}``
+    (round i's chosen merge: step/"left"/"right"/pair_freq; empty once
+    the best pair's frequency drops below 2, which empties every later
+    round — the SQL mirror of the trainer's break)."""
+    parts = [
+        f"""
+    words AS (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+      FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      WHERE word <> ''
+      GROUP BY word
+    ),
+    v0 AS (
+      SELECT word, freq,
+             '{_SEP2}' || array_to_string(
+               list_append(string_split(word, ''), '{EOW}'), '{_SEP2}'
+             ) || '{_SEP2}' AS s
+      FROM words
+    )"""
+    ]
+    for i in range(n_merges):
+        parts.append(
+            f"""
+    a{i} AS (
+      SELECT freq, string_split(trim(s, '{_SEP}'), '{_SEP2}') AS arr FROM v{i}
+    ),
+    p{i} AS (
+      SELECT arr[g.i] AS "left", arr[g.i + 1] AS "right",
+             CAST(SUM(freq) AS BIGINT) AS pair_freq
+      FROM a{i}, UNNEST(generate_series(1, len(arr) - 1)) AS g(i)
+      GROUP BY 1, 2
+    ),
+    b{i} AS (
+      SELECT * FROM (
+        SELECT {i} AS step, "left", "right", pair_freq FROM p{i}
+        ORDER BY pair_freq DESC, "left" ASC, "right" ASC LIMIT 1
+      ) WHERE pair_freq >= 2
+    ),
+    v{i + 1} AS (
+      SELECT w.word, w.freq,
+             replace(w.s,
+                     '{_SEP}' || b."left" || '{_SEP2}' || b."right" || '{_SEP}',
+                     '{_SEP}' || b."left" || b."right" || '{_SEP}') AS s
+      FROM v{i} w, b{i} b
+    )"""
+        )
+    return "WITH" + ",".join(parts)
+
+
+_TRAIN_ORACLE = (
+    _bpe_oracle_ctes(N_MERGES)
+    + "".join(
+        f"""
+    SELECT CAST(step AS INTEGER) AS step, "left", "right", pair_freq FROM b{i}
+    {'UNION ALL' if i < N_MERGES - 1 else ''}"""
+        for i in range(N_MERGES)
+    )
+    + "\n    ORDER BY step"
+)
+
+_TOKENIZE_ORACLE = (
+    _bpe_oracle_ctes(N_MERGES)
+    + f"""
+    SELECT token, CAST(SUM(freq) AS BIGINT) AS n_occurrences
+    FROM (
+      SELECT unnest(string_split(trim(s, '{_SEP}'), '{_SEP2}')) AS token, freq
+      FROM v{N_MERGES}
+    )
+    GROUP BY token
+    ORDER BY n_occurrences DESC, token ASC
+    LIMIT 20
+    """
+)
 
 
 def _sql_quote(s: str) -> str:
@@ -78,8 +172,12 @@ def train_bpe(
     ).cache()
     merges = []
     for step in range(n_merges):
+        # size guard: Spark's sequence(0, -1) yields a DESCENDING
+        # [0, -1] (not empty), which would fabricate (sym, NULL) pairs
+        # for fully-merged single-symbol words
         pairs = (
-            vocab.select(
+            vocab.filter(F.size("syms") >= 2)
+            .select(
                 F.explode(
                     F.expr(
                         "transform(sequence(0, size(syms) - 2),"
@@ -112,9 +210,9 @@ def train_bpe(
     )
 
 
-@query("text_bpe_train_merges")  # iterative: rows-only driver check
+@query("text_bpe_train_merges", oracle=_TRAIN_ORACLE)
 def q_text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Train {N_MERGES} BPE merges on the documents corpus.
+    """Train 8 BPE merges on the documents corpus.
 
     Word frequencies come from one corpus pass; every training round
     then touches only the vocabulary (distinct words), the same
@@ -150,7 +248,7 @@ def apply_merges(words: DataFrame, merges: list[tuple[str, str]]) -> DataFrame:
     return out.withColumnRenamed("syms", "tokens")
 
 
-@query("text_bpe_tokenize")  # trained merges are loop-derived: rows-only
+@query("text_bpe_tokenize", oracle=_TOKENIZE_ORACLE)
 def q_text_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenize the corpus with the merges ``text_bpe_train_merges``
     learns, and report the resulting token vocabulary's top 20 by

@@ -321,9 +321,16 @@ def q_quality_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     compresses far below ~0.4; near-random text sits near 1.0 —
     the standard cheap redundancy gate (Gopher-family filters).
 
-    DuckDB has no zlib, so there is no SQL oracle; the pytest oracle
-    recomputes ratios with Python zlib directly (deterministic:
-    zlib level 6 output length is fixed for a given input). Spark
+    Rows-only by necessity, not convenience: every output column is
+    either zlib-derived (comp_bytes, compression_ratio — no SQL
+    engine exposes zlib, and no closed-form SQL expression equals a
+    DEFLATE output length) or trivially implied (orig_bytes). The
+    pytest oracle recomputes ratios with Python zlib directly
+    (deterministic: zlib level 6 output length is fixed for a given
+    input), and the deterministic redundancy signal this gate pairs
+    with — per-doc character entropy — is value-exact under
+    ``text_char_entropy``'s DuckDB oracle, so splitting deterministic
+    columns out of this query would only duplicate that one. Spark
     side is an Arrow-batched ``mapInPandas`` narrow map — zero
     shuffles, scales with input splits. The UDF is a closure (NOT a
     module-level function) so the driver-by-path import pickles it

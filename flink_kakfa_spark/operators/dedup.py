@@ -1665,8 +1665,8 @@ def q_dedup_lsh_band_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH g AS (
       SELECT doc_id, source, n_chars,
-             md5(array_to_string(string_split(text, ' ')[1:8], ' ')) AS grp,
-             len(list_distinct(string_split(text, ' '))) AS n_uniq
+             md5(array_to_string(string_split(COALESCE(text, ''), ' ')[1:8], ' ')) AS grp,
+             len(list_distinct(string_split(COALESCE(text, ''), ' '))) AS n_uniq
       FROM documents
     ),
     ranked AS (

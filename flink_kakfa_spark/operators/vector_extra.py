@@ -311,3 +311,100 @@ def q_dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("n_dropped"),
         F.round(F.avg("c"), 4).alias("avg_cos"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ANN recall audit (round 7, VERDICT r6 item 5): every ANN shortlist in
+# the engine measured against the brute-force ground truth, as a query.
+# Both sides are deterministic, so this composes the four ANN oracles
+# with the exact-cosine oracle into one value-exact DuckDB statement.
+
+_RECALL_K = 10
+_RECALL_METHODS = [
+    # (method label, registered query whose top-10 is audited)
+    ("ivf_portable", "sim_ivf_portable_topk"),
+    ("lsh", "sim_lsh_ann_topk"),
+    ("pq_adc", "sim_pq_adc_topk"),
+    ("sq8", "sim_sq8_rescore_topk"),
+]
+
+
+def _recall_oracle() -> str:
+    from flink_kakfa_spark.registry import ORACLES
+
+    union = "\n      UNION ALL ".join(
+        f"SELECT '{m}' AS method, vec_id FROM ({ORACLES[qname]})"
+        for m, qname in _RECALL_METHODS
+    )
+    return f"""
+    WITH exact AS (
+      SELECT vec_id FROM ({ORACLES["sim_cosine_topk"]})
+    ),
+    u AS (
+      {union}
+    )
+    SELECT u.method,
+           CAST({_RECALL_K} AS INTEGER) AS k,
+           CAST(COUNT(e.vec_id) AS BIGINT) AS n_hits,
+           ROUND(COUNT(e.vec_id) / {_RECALL_K}.0, 6) AS recall
+    FROM u LEFT JOIN exact e USING (vec_id)
+    GROUP BY u.method
+    ORDER BY u.method
+    """
+
+
+@query("sim_ann_recall_at_k", oracle=_recall_oracle())
+def q_sim_ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of every ANN shortlist (IVF, hyperplane LSH, PQ/ADC,
+    SQ8-rescore) against the brute-force cosine top-10 — the retrieval
+    eval harness's discipline (``eval_retrieval_metrics``) applied to
+    the engine's own index structures.
+
+    Composes the already-registered ANN queries wholesale: each one's
+    final top-10 ids join against the exact top-10 (a broadcast 10-row
+    frame), and recall is hits/k per method. Because every component
+    query is deterministic (integer-quantized hyperplanes/codebooks,
+    pinned tie-breaks), recall itself is value-exact and
+    oracle-checked — an ANN regression (a quantizer change that drops
+    recall) fails CORRECTNESS, not just a benchmark eyeball.
+
+    Scale: the audit runs each ANN plan once at whatever SF the tables
+    are — on a cluster you'd point it at a sampled partition; the
+    join side is always k rows, broadcast.
+    """
+    from flink_kakfa_spark.operators.similarity import (
+        q_sim_cosine_topk,
+        q_sim_ivf_portable_topk,
+        q_sim_lsh_ann_topk,
+        q_sim_sq8_rescore_topk,
+    )
+
+    fns = {
+        "ivf_portable": q_sim_ivf_portable_topk,
+        "lsh": q_sim_lsh_ann_topk,
+        "pq_adc": q_sim_pq_adc_topk,
+        "sq8": q_sim_sq8_rescore_topk,
+    }
+    exact = (
+        q_sim_cosine_topk(spark, sf_dir)
+        .select("vec_id")
+        .withColumn("_hit", F.lit(1))
+    )
+    u = None
+    for method, _qname in _RECALL_METHODS:
+        part = fns[method](spark, sf_dir).select(
+            F.lit(method).alias("method"), "vec_id"
+        )
+        u = part if u is None else u.unionByName(part)
+    return (
+        u.join(F.broadcast(exact), "vec_id", "left")
+        .groupBy("method")
+        .agg(
+            F.lit(_RECALL_K).cast("int").alias("k"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("long").alias("n_hits"),
+            F.round(
+                F.sum(F.coalesce(F.col("_hit"), F.lit(0))) / F.lit(_RECALL_K), 6
+            ).alias("recall"),
+        )
+        .orderBy("method")
+    )

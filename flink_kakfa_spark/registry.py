@@ -13,6 +13,8 @@ computed column is aliased identically on both sides.
 from __future__ import annotations
 
 import importlib
+import re
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -71,86 +73,18 @@ _QUERY_MODULES = [
     "flink_kakfa_spark.operators.skyline",
 ]
 
-# ROUND-6 WINDOW ROTATION (executes the round-6 plan written here in
-# round 5): the driver verifies only the FIRST 50 registered names, so
+# ROUND-7 WINDOW ROTATION (executes the round-7 plan written here in
+# round 6): the driver verifies only the FIRST 50 registered names, so
 # these queries are pulled to the front of the registry regardless of
-# module order. After r5's 50/50-green run, 85 oracle-backed queries
-# had zero driver CORRECTNESS evidence; this window takes the first 50
-# of that backlog (plan order), and ``_NEXT_WINDOW_PLAN`` below holds
-# the remaining 35 for round 7. Everything pushed behind the window is
-# green in r1/r2/r4/r5 driver history AND re-verified every round by
+# module order. After r6's 50/50-green run, 60 oracle-backed queries
+# still had zero driver CORRECTNESS evidence; this window takes the
+# FIRST 50 of that 60-name backlog (plan order), and
+# ``_NEXT_WINDOW_PLAN`` below leads with the remaining 10-name tail
+# for round 8. Everything pushed behind the window is green in
+# r1/r2/r4/r5/r6 driver history AND re-verified every round by
 # tools/diffcheck.py. Update tests/test_000_smoke.py::DRIVER_WINDOW
 # in the same commit as any change here.
 _WINDOW_FRONT = [
-    # text / aggregation tail — never driver-checked
-    "text_char_entropy",
-    "text_bpe_merge_pairs",
-    "agg_corr_covar",
-    "corpus_dataset_card",
-    "sketch_cms_heavy_hitters",
-    "streak_longest_purchase_days",
-    "pipeline_curriculum_order",
-    "pipeline_shuffle_shards",
-    "pipeline_train_split",
-    # full TPC-H tail — diff+judge green, never driver-checked
-    "tpch_q6_forecast_revenue",
-    "tpch_q9_product_type_profit",
-    "tpch_q11_important_stock",
-    "tpch_q13_customer_distribution",
-    "tpch_q15_top_supplier",
-    "tpch_q17_small_quantity_revenue",
-    "tpch_q20_potential_promotion",
-    "tpch_q21_waiting_suppliers",
-    "tpch_q22_global_sales_opportunity",
-    # lakehouse / CDC / profiling
-    "merge_scd2_orders",
-    "cdc_apply_changelog",
-    "profile_orders_columns",
-    "constraint_check_summary",
-    "join_bloom_filtered_revenue",
-    # analytics block
-    "cohort_weekly_retention",
-    "growth_mom_revenue",
-    "markov_event_transitions",
-    "rag_bm25_topk",
-    "join_salted_skew_revenue",
-    "window_first_last_nth",
-    "ts_ewma_event_value",
-    "attribution_last_touch",
-    "rolling_wau_7d",
-    "rolling_wau_hll",
-    "sample_weighted_topk",
-    "lake_zorder_layout",
-    "trend_slope_per_type",
-    "profile_join_key_skew",
-    "profile_equidepth_price",
-    "setop_all_variants",
-    "join_null_safe_props",
-    "sql_explode_outer_keep_empty",
-    # media / text-advanced / vector
-    "mm_image_ahash_groups",
-    "mm_audio_vad_features",
-    "text_bigram_perplexity",
-    "text_winnow_fingerprints",
-    "sim_pq_adc_topk",
-    "dedup_semdedup",
-    "feature_target_encode",
-    "privacy_k_anonymity",
-    "text_hashing_trick",
-]
-
-# ROUND-7 ROTATION PLAN (write of record, same protocol as the r5→r6
-# handoff this file just executed). The 35 names below are the rest of
-# the zero-driver-evidence backlog; rotate ALL of them into the front
-# of the round-7 window. The remaining ~15 slots: any round-6/7
-# additions first, then backfill with the oldest driver evidence
-# (r1/r2 rows: filters, joins, windows, wordcount) so no query's
-# driver evidence goes more than ~4 rounds stale. This is a REAL
-# constant (not a comment) so tests can assert every name exists —
-# a typo here fails CI this round, not next round.
-# Update tests/test_000_smoke.py::DRIVER_WINDOW in the same commit.
-_NEXT_WINDOW_PLAN = [
-    # round-6 additions — newest first, per the rotation policy
     "dedup_survivor_selection",
     "rag_bm25_multiquery_topk",
     "text_keyphrase_rake",
@@ -201,7 +135,22 @@ _NEXT_WINDOW_PLAN = [
     "search_trigram_parts",
     "sample_neyman_allocation",
     "prep_winsorize_values",
-    "agg_mode_priority_by_nation",
+]
+
+# ROUND-8 ROTATION PLAN (write of record, same protocol as the
+# r6->r7 handoff this file just executed). The plan holds 15 names:
+# the 10-name TAIL of the zero-driver-evidence backlog (every other
+# oracle-backed query now has at least one driver-green round), then
+# 5 backfill rows whose driver evidence is oldest (round 1) so no
+# query's driver evidence goes more than ~6 rounds stale. Round-7
+# additions (e.g. sim_ann_recall_at_k) are appended to this list by
+# the commit that registers them; the round-8 window is this plan
+# followed by next-oldest-evidence backfill up to 50. This is a REAL
+# constant (not a comment) so tests can assert every name exists --
+# a typo here fails CI this round, not next round.
+# Update tests/test_000_smoke.py::DRIVER_WINDOW in the same commit.
+_NEXT_WINDOW_PLAN = [
+    "agg_mode_priority_by_nation",  # tail of the r6 backlog, never driver-checked
     "sql_star_except",
     "corpus_epoch_capped_budget",
     "reconcile_table_checksum",
@@ -211,6 +160,16 @@ _NEXT_WINDOW_PLAN = [
     "dedup_jaccard_prefix_filter",
     "rag_hybrid_rrf_topk",
     "join_interval_lookup_binned",
+    # round-7 oracle upgrades/additions -- first driver check in r8
+    "text_bpe_train_merges",
+    "text_bpe_tokenize",
+    "sim_ann_recall_at_k",
+    # oldest (r1) driver evidence -- refresh so nothing stays stale
+    "wordcount",
+    "filter_returned_items",
+    "filter_in_like_null",
+    "distinct_segments",
+    "dedup_exact_keep_first",
 ]
 
 # Queries registered WITHOUT oracle SQL (rows-only driver check, by
@@ -221,8 +180,6 @@ _NEXT_WINDOW_PLAN = [
 _WINDOW_BACK = {
     "dedup_minhash_lsh",
     "sim_ivf_kmeans_topk",
-    "text_bpe_train_merges",  # iterative trainer — python-oracle pytest
-    "text_bpe_tokenize",      # applies trained merges — python-oracle pytest
     "quality_compression_ratio",  # zlib — python-oracle pytest
 }
 
@@ -239,12 +196,38 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     def deco(fn: QueryFn) -> QueryFn:
         if name in QUERIES:
             raise ValueError(f"duplicate query name: {name}")
+        _render_doc_constants(fn)
         QUERIES[name] = fn
         if oracle is not None:
             ORACLES[name] = oracle
         return fn
 
     return deco
+
+
+def _render_doc_constants(fn: QueryFn) -> None:
+    """Substitute ``{_MODULE_CONSTANT}`` tokens in a query docstring
+    with the constant's value from the function's module.
+
+    Docstrings cannot be f-strings (Python only binds plain string
+    literals to ``__doc__``), so query docs that quote their tuning
+    constants — "top-{_MQ_TOPK}", "l = {_L_DIVERSITY}" — would
+    otherwise render the placeholder literally in ``help()``. Only
+    tokens that name an existing module-level constant are replaced;
+    any other braces in the doc are left untouched.
+    """
+    doc = fn.__doc__
+    if not doc or "{" not in doc:
+        return
+    mod_vars = vars(sys.modules.get(fn.__module__)) if fn.__module__ else {}
+
+    def sub(m: re.Match[str]) -> str:
+        val = mod_vars.get(m.group(1))
+        return str(val) if val is not None else m.group(0)
+
+    # SCREAMING_SNAKE names only (optionally underscore-prefixed): the
+    # existence check keeps example braces like ``{k: v}`` untouched
+    fn.__doc__ = re.sub(r"\{(_?[A-Z][A-Z0-9_]+)\}", sub, doc)
 
 
 def load_all() -> None:

@@ -341,3 +341,86 @@ def read_cms_estimates(
         .agg(F.min("total").cast("long").alias("cms_estimate"))
         .orderBy("word")
     )
+
+
+# --- streaming KMV distinct-users monitor --------------------------------
+# A k-minimum-values sketch merges by "k smallest of the union of each
+# part's k smallest": if hash h is among a type's k smallest distinct
+# hashes overall, then any micro-batch containing h has fewer than k
+# hashes below h, so h survives that batch's k-min partial — no global
+# minimum can be lost. Per-batch partials under batch_id=N therefore
+# fold to the EXACT sketch (and estimate) the batch operator
+# (operators/sketches.py::q_sketch_kmv_distinct_rollup) computes over
+# every event ever streamed, with <= k rows per event_type per batch of
+# state — the same KB-scale invariant as the CUSUM/CMS monitors.
+
+from flink_kakfa_spark.operators.sketches import (
+    _KMV_K,
+    _KMV_SPACE,
+    _kmv_md5_32,
+)
+
+
+def kmv_partial(batch_df: DataFrame) -> DataFrame:
+    """Per-event_type k-min partial (<= k smallest distinct user-id
+    hashes) for one micro-batch of events."""
+    from pyspark.sql import Window
+
+    h = batch_df.select(
+        "event_type",
+        _kmv_md5_32(F.col("user_id").cast("string")).alias("hv"),
+    ).distinct()
+    w = Window.partitionBy("event_type").orderBy("hv")
+    return (
+        h.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _KMV_K)
+        .select("event_type", "hv")
+    )
+
+
+def streaming_kmv_monitor(events: DataFrame, path: str, checkpoint: str):
+    """Maintain per-type KMV distinct-user sketches over an event
+    stream; returns the StreamingQuery. Crash replay overwrites the
+    batch's own partial subdirectory — idempotent."""
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            kmv_partial(batch_df)
+            .write.mode("overwrite")
+            .parquet(f"{path}/batch_id={batch_id}")
+        )
+
+    return (
+        events.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_kmv_estimates(spark: SparkSession, path: str) -> DataFrame:
+    """Fold the per-batch k-min partials and read the classic
+    ``(k-1) * |space| / kth_min`` estimate per event_type (degrading
+    to the exact held count when fewer than k hashes exist)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy("hv")
+    merged = (
+        spark.read.parquet(f"{path}/batch_id=*")
+        .select("event_type", "hv")
+        .distinct()
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _KMV_K)
+    )
+    sk = merged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_held"), F.max("hv").alias("kth")
+    )
+    est = F.when(F.col("n_held") < _KMV_K, F.col("n_held")).otherwise(
+        F.floor(
+            F.lit((_KMV_K - 1) * _KMV_SPACE)
+            / F.greatest(F.col("kth"), F.lit(1))
+        )
+    )
+    return sk.select(
+        "event_type", est.cast("long").alias("kmv_users")
+    ).orderBy("event_type")

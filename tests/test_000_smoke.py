@@ -27,64 +27,64 @@ PKG = REPO / "flink_kakfa_spark"
 
 # The curated driver-verification window (first 50 registered names).
 # Rounds 1-2 spent the window on the relational block (all green);
-# round 4 on the LLM-pipeline block; round 5 on the scalar tail +
-# round-4/5 modules (50/50 green). Round 6 takes the first 50 of the
-# 85-query zero-driver-evidence backlog (full TPC-H tail, lakehouse/
-# CDC, analytics, media/text-advanced/vector); the remaining 35 are
-# pinned as registry._NEXT_WINDOW_PLAN for round 7. Rotate
-# DELIBERATELY (update this list + registry._WINDOW_FRONT together);
-# never by accident.
+# round 4 on the LLM-pipeline block; round 5 on the scalar tail;
+# round 6 on the first 50 of the zero-driver-evidence backlog (all
+# 50/50 green). Round 7 takes the NEXT 50 of that backlog (round-6
+# additions + graph/embedding/eval/dedup families); the 10-name tail
+# plus stale-evidence backfill is pinned as registry._NEXT_WINDOW_PLAN
+# for round 8. Rotate DELIBERATELY (update this list +
+# registry._WINDOW_FRONT together); never by accident.
 DRIVER_WINDOW = [
-    "text_char_entropy",
-    "text_bpe_merge_pairs",
-    "agg_corr_covar",
-    "corpus_dataset_card",
-    "sketch_cms_heavy_hitters",
-    "streak_longest_purchase_days",
-    "pipeline_curriculum_order",
-    "pipeline_shuffle_shards",
-    "pipeline_train_split",
-    "tpch_q6_forecast_revenue",
-    "tpch_q9_product_type_profit",
-    "tpch_q11_important_stock",
-    "tpch_q13_customer_distribution",
-    "tpch_q15_top_supplier",
-    "tpch_q17_small_quantity_revenue",
-    "tpch_q20_potential_promotion",
-    "tpch_q21_waiting_suppliers",
-    "tpch_q22_global_sales_opportunity",
-    "merge_scd2_orders",
-    "cdc_apply_changelog",
-    "profile_orders_columns",
-    "constraint_check_summary",
-    "join_bloom_filtered_revenue",
-    "cohort_weekly_retention",
-    "growth_mom_revenue",
-    "markov_event_transitions",
-    "rag_bm25_topk",
-    "join_salted_skew_revenue",
-    "window_first_last_nth",
-    "ts_ewma_event_value",
-    "attribution_last_touch",
-    "rolling_wau_7d",
-    "rolling_wau_hll",
-    "sample_weighted_topk",
-    "lake_zorder_layout",
-    "trend_slope_per_type",
-    "profile_join_key_skew",
-    "profile_equidepth_price",
-    "setop_all_variants",
-    "join_null_safe_props",
-    "sql_explode_outer_keep_empty",
-    "mm_image_ahash_groups",
-    "mm_audio_vad_features",
-    "text_bigram_perplexity",
-    "text_winnow_fingerprints",
-    "sim_pq_adc_topk",
-    "dedup_semdedup",
-    "feature_target_encode",
-    "privacy_k_anonymity",
-    "text_hashing_trick",
+    "dedup_survivor_selection",
+    "rag_bm25_multiquery_topk",
+    "text_keyphrase_rake",
+    "ts_cusum_changepoint",
+    "dedup_lsh_band_stats",
+    "graph_neighbor_jaccard_top20",
+    "text_js_divergence_sources",
+    "asof_next_purchase",
+    "merge_scd3_orders",
+    "pipeline_kfold_assignment",
+    "eval_retrieval_metrics",
+    "text_encoding_qa",
+    "sketch_theta_difference",
+    "lake_compaction_plan",
+    "privacy_l_diversity",
+    "text_ngram_coverage",
+    "quality_code_detector",
+    "emb_dim_variance_top",
+    "emb_jl_projection_quality",
+    "ab_test_proportions",
+    "sketch_kmv_set_overlap",
+    "imv_signed_delta_agg",
+    "pareto_frontier_parts",
+    "sketch_kmv_distinct_rollup",
+    "emb_hard_negatives",
+    "decontam_minhash",
+    "eval_langid_metrics",
+    "ts_rolling_1h_value",
+    "text_winnow_guarded",
+    "mm_image_resize_thumb",
+    "mm_audio_resample_stats",
+    "dedup_incremental_ingest",
+    "corpus_dsir_weights",
+    "text_tokenizer_fertility",
+    "graph_degree_stats",
+    "graph_triangle_count",
+    "graph_pagerank_top20",
+    "graph_adamic_adar_top20",
+    "dedup_substring_runs",
+    "agg_hist_quantile_rollup",
+    "decontam_embedding",
+    "emb_covariance_stats",
+    "emb_power_iteration_top",
+    "anomaly_mad_events",
+    "basket_association_rules",
+    "emb_kmeans_portable",
+    "ts_dow_seasonality",
+    "search_trigram_parts",
+    "sample_neyman_allocation",
+    "prep_winsorize_values",
 ]
 
 
@@ -117,15 +117,12 @@ def test_registry_loads_all_queries():
     # only genuinely non-SQL-expressible ops may omit an oracle:
     # dedup_minhash_lsh hashes with Spark's xxhash64 (not in DuckDB);
     # sim_ivf_kmeans_topk's centroids depend on Spark's sampling;
-    # text_bpe_train_merges is an iterative trainer (python-oracle
-    # verified in tests/test_bpe.py);
     # quality_compression_ratio needs zlib (python-oracle verified in
-    # tests/test_curation.py)
+    # tests/test_curation.py). The BPE pair (train/tokenize) gained
+    # value-exact unrolled-CTE oracles in round 7.
     assert missing_oracles <= {
         "dedup_minhash_lsh",
         "sim_ivf_kmeans_topk",
-        "text_bpe_train_merges",
-        "text_bpe_tokenize",
         "quality_compression_ratio",
     }, f"queries without oracle SQL: {sorted(missing_oracles)}"
 

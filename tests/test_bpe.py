@@ -1,6 +1,8 @@
 """BPE trainer verified against an independent pure-Python reference
 implementation — on micro corpora with known merges AND on the
-sf0.001 fixture (the rows-only driver check's correctness evidence).
+sf0.001 fixture. Since round 7 both BPE queries also carry value-exact
+unrolled-CTE DuckDB oracles (diffcheck + driver); these tests remain
+the third, engine-independent witness.
 """
 
 from __future__ import annotations
@@ -106,6 +108,42 @@ def _py_apply(word: str, merges) -> list[str]:
                 i += 1
         syms = out
     return syms
+
+
+def test_oracle_replace_encoding_matches_fold():
+    """The DuckDB oracle's one-replace-per-merge trick (double-SEP
+    symbol encoding) must reproduce the left-to-right non-overlapping
+    fold on adversarial overlap shapes — runs/odd runs/adjacent
+    occurrences/false-boundary suffixes — no Spark needed."""
+    from flink_kakfa_spark.operators.bpe import _SEP, _SEP2
+
+    con = duckdb.connect()
+    cases = [
+        (["a", "a", "a", "a"], ("a", "a")),   # adjacent occurrences share a boundary
+        (["a", "a", "a"], ("a", "a")),        # odd run: last 'a' survives
+        (["b", "a", "a", "a", "c"], ("a", "a")),
+        (["xl", "r"], ("l", "r")),            # 'l' mid-symbol: must NOT merge
+        (["l", "rx", "r"], ("l", "r")),       # 'r' prefix of next symbol: no merge
+        (["l", "r", "l", "r"], ("l", "r")),
+        (["lr", "l", "r"], ("l", "r")),       # merged symbol equals pair concat
+        (["a"], ("a", "a")),                  # single symbol: untouched
+    ]
+    for syms, (left, right) in cases:
+        s = _SEP2 + _SEP2.join(syms) + _SEP2
+        got_s = con.execute(
+            "SELECT replace(?, ?, ?)",
+            [s, _SEP + left + _SEP2 + right + _SEP, _SEP + left + right + _SEP],
+        ).fetchone()[0]
+        got = got_s.strip(_SEP).split(_SEP2)
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                out.append(left + right)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        assert got == out, (syms, left, right, got, out)
 
 
 def test_bpe_tokenize_matches_python_on_fixture(spark, sf_dir):

@@ -341,3 +341,48 @@ def test_streaming_cms_matches_batch_estimates_after_restart(spark, tmp_path):
         ).collect()
     }
     assert got == batch
+
+
+def test_streaming_kmv_matches_batch_estimates_after_restart(spark, tmp_path):
+    """Kill/restart evidence for the KMV monitor: stream half the
+    event history, stop, land the rest, restart, restart again with
+    nothing new — the folded per-type distinct-user estimates must
+    equal the batch operator's kmv_users exactly (k-min-of-union
+    mergeability), with no double counting."""
+    from flink_kakfa_spark.streaming.monitors import (
+        read_kmv_estimates,
+        streaming_kmv_monitor,
+    )
+
+    full = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    first = full.filter(F.col("event_id") % 2 == 0)
+    second = full.filter(F.col("event_id") % 2 == 1)
+    src = tmp_path / "src"
+    first.repartition(2).write.parquet(str(src / "part0"))
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(full.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/*")
+        )
+        q = streaming_kmv_monitor(
+            stream, str(tmp_path / "kmv"), str(tmp_path / "ckpt")
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    second.repartition(2).write.parquet(str(src / "part1"))
+    run_once()
+    run_once()  # nothing new: sketches must not double-merge
+    batch = {
+        r["event_type"]: r["kmv_users"]
+        for r in all_queries()["sketch_kmv_distinct_rollup"](
+            spark, SF_DIR
+        ).collect()
+    }
+    got = {
+        r["event_type"]: r["kmv_users"]
+        for r in read_kmv_estimates(spark, str(tmp_path / "kmv")).collect()
+    }
+    assert got == batch

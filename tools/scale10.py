@@ -1,16 +1,24 @@
-"""10× scale-posture runner (the SCALE.md measurement protocol, scripted).
+"""N× scale-posture runner (the SCALE.md measurement protocol, scripted).
 
-Builds a 10×-replicated copy of the sf0.1 fixtures under /tmp (ids
+Builds an N×-replicated copy of the sf0.1 fixtures under /tmp (ids
 shifted so keys stay unique; texts replicated VERBATIM so the corpus is
 dup-heavy — the regime that breaks quadratic near-dup plans), then
-times the named queries at sf0.1 vs 10× (warmed plans, noop sink) and
+times the named queries at sf0.1 vs N× (warmed plans, noop sink) and
 prints per-query scaling factors.
 
-Usage: python tools/scale10.py q1 q2 ...     [SPARK_GRAFT_SF_DIR to override base]
+Usage: python tools/scale10.py q1 q2 ...
+  SPARK_GRAFT_SF_DIR        override the base fixture dir (default sf0.1)
+  SPARK_GRAFT_SCALE_COPIES  replication factor (default 10; 100 for the
+                            deep sweep on the structural heavies)
+  SPARK_GRAFT_SCALE10_REUSE=1  reuse fixtures already on disk — only
+                            honored when the build marker matches the
+                            current generator/base/copies (a stale or
+                            foreign fixture is rebuilt, loudly)
 """
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 import sys
@@ -24,11 +32,16 @@ from flink_kakfa_spark.registry import all_queries
 from flink_kakfa_spark.session import get_spark
 
 BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-OUT = "/tmp/spark_graft_scale10"
-COPIES = 10
+COPIES = int(os.environ.get("SPARK_GRAFT_SCALE_COPIES", "10"))
+OUT = f"/tmp/spark_graft_scale{COPIES}"
+
+# bump when the replication scheme changes: a marker with an older
+# version invalidates on-disk fixtures even under REUSE=1
+_GENERATOR_VERSION = 2
+_MARKER = "_scale_fixture_marker.json"
 
 # per-table key columns to shift per replica (user_id deliberately NOT
-# shifted in events: 10× events per user stresses the per-user windows)
+# shifted in events: N× events per user stresses the per-user windows)
 SHIFT = {
     "documents": ["doc_id"],
     "events": ["event_id"],
@@ -39,10 +52,46 @@ SHIFT = {
 SMALL = ["region", "nation", "customer", "supplier", "part"]
 
 
+def _expected_marker(spark) -> dict:
+    rows = {
+        t: spark.read.parquet(f"{BASE}/{t}.parquet").count() * COPIES
+        for t in SHIFT
+    }
+    return {
+        "version": _GENERATOR_VERSION,
+        "base": BASE,
+        "copies": COPIES,
+        "rows": rows,
+    }
+
+
 def build(spark) -> None:
+    expected = _expected_marker(spark)
+    marker_path = os.path.join(OUT, _MARKER)
     if os.path.isdir(OUT):
         if os.environ.get("SPARK_GRAFT_SCALE10_REUSE") == "1":
-            return  # reuse the previously built 10x fixtures
+            try:
+                with open(marker_path) as f:
+                    found = json.load(f)
+            except (OSError, ValueError):
+                found = None
+            if found == expected:
+                mtime = time.strftime(
+                    "%Y-%m-%d %H:%M:%S",
+                    time.localtime(os.path.getmtime(marker_path)),
+                )
+                print(
+                    f"# reusing {COPIES}x fixtures built at {mtime} "
+                    f"(marker verified: {expected['rows']})",
+                    flush=True,
+                )
+                return
+            print(
+                "# REUSE requested but on-disk fixtures don't match the "
+                f"current generator (found={found}, expected={expected}); "
+                "rebuilding",
+                flush=True,
+            )
         shutil.rmtree(OUT)
     os.makedirs(OUT)
     for t in SMALL:
@@ -60,6 +109,8 @@ def build(spark) -> None:
         for p in parts[1:]:
             out = out.unionByName(p)
         out.write.mode("overwrite").parquet(f"{OUT}/{t}.parquet")
+    with open(marker_path, "w") as f:
+        json.dump(expected, f)
 
 
 def timed(fn, spark, sf_dir: str) -> float:
@@ -80,12 +131,12 @@ def main() -> None:
     spark = get_spark("scale10")
     qs = all_queries()
     build(spark)
-    print(f"| query | sf0.1 | 10x data | scaling |")
+    print(f"| query | sf0.1 | {COPIES}x data | scaling |")
     print(f"|---|---|---|---|")
     for name in names:
         t1 = timed(qs[name], spark, BASE)
-        t10 = timed(qs[name], spark, OUT)
-        print(f"| {name} | {t1:.2f} s | {t10:.2f} s | ~{t10 / t1:.1f}x |", flush=True)
+        tn = timed(qs[name], spark, OUT)
+        print(f"| {name} | {t1:.2f} s | {tn:.2f} s | ~{tn / t1:.1f}x |", flush=True)
 
 
 if __name__ == "__main__":
