@@ -123,7 +123,7 @@ def _ann_weight(j: int, i: int) -> int:
     return ((1103515245 * ((_ANN_SALT + j) * _ANN_DIMS + i) + 12345) % 1048576) - 524288
 
 
-_ANN_ORACLE = f"""
+_ANN_CTE = f"""
     WITH qv AS (
       SELECT vec_id,
              i,
@@ -145,6 +145,11 @@ _ANN_ORACLE = f"""
       FROM proj GROUP BY vec_id
     ),
     qb AS (SELECT bucket AS qbucket FROM buckets WHERE vec_id = 0)
+"""
+
+_ANN_ORACLE = (
+    _ANN_CTE
+    + """
     SELECT
       b.vec_id,
       b.bucket,
@@ -158,6 +163,31 @@ _ANN_ORACLE = f"""
     ORDER BY cos_sim DESC, b.vec_id ASC
     LIMIT 10
 """
+)
+
+_ANN_MP_ORACLE = (
+    _ANN_CTE
+    + f"""
+    , probes AS (
+      SELECT qbucket AS pb FROM qb
+      UNION ALL
+      SELECT CAST(xor(qbucket, 1 << j) AS INT) AS pb
+      FROM qb, UNNEST(generate_series(0, {_ANN_BITS - 1})) AS jj(j)
+    )
+    SELECT
+      b.vec_id,
+      b.bucket,
+      ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                   CAST(eq.embedding AS DOUBLE[])), 6) AS cos_sim
+    FROM buckets b
+    JOIN probes p ON b.bucket = p.pb
+    JOIN embeddings e ON e.vec_id = b.vec_id
+    JOIN embeddings eq ON eq.vec_id = 0
+    WHERE b.vec_id <> 0
+    ORDER BY cos_sim DESC, b.vec_id ASC
+    LIMIT 10
+"""
+)
 
 
 @query("sim_lsh_ann_topk", oracle=_ANN_ORACLE)
@@ -176,6 +206,26 @@ def q_sim_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic AND engine-portable: the DuckDB oracle recomputes
     the same buckets independently and matches value-exactly.
     """
+    bucketed = _lsh_bucketed(spark, sf_dir)
+    q = bucketed.filter(F.col("vec_id") == 0).select(
+        F.col("emb").alias("qvec"), F.col("bucket").alias("qbucket")
+    )
+    cands = bucketed.filter(F.col("vec_id") != 0).join(
+        F.broadcast(q), F.col("bucket") == F.col("qbucket")
+    )
+    return (
+        cands.select(
+            "vec_id",
+            "bucket",
+            F.round(cosine(F.col("emb"), F.col("qvec")), 6).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+        .limit(10)
+    )
+
+
+def _lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embeddings with their deterministic hyperplane-LSH bucket key."""
     e = parallelize(load_table(spark, "embeddings", sf_dir), spark).select(
         "vec_id", as_double("embedding").alias("emb")
     )
@@ -193,12 +243,48 @@ def q_sim_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         return F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0))
 
     bucket = sum([plane_sign(p) for p in range(_ANN_BITS)], F.lit(0))
-    bucketed = e.select("vec_id", "emb", bucket.cast("int").alias("bucket"))
+    return e.select("vec_id", "emb", bucket.cast("int").alias("bucket"))
+
+
+@query("sim_lsh_multiprobe_topk", oracle=_ANN_MP_ORACLE)
+def q_sim_lsh_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe hyperplane LSH: rescore candidates from the query's
+    bucket AND its Hamming-1 neighbor buckets (flip each of the 4 sign
+    bits once — 5 of 16 buckets probed).
+
+    Single-bucket LSH recall@10 measures 0.1–0.2 on the fixtures
+    (``sim_ann_recall_at_k``): a near neighbor landing on the wrong
+    side of ONE hyperplane is lost. Probing the 4 Hamming-1 buckets is
+    the classic multi-probe fix (Lv et al., VLDB 2007) — it recovers
+    exactly those one-bit misses for ~5/16 of the single-probe scan
+    cost at this bit width, and the recall audit measures the gain as
+    a first-class query. Buckets stay deterministic integer LCG
+    hyperplanes, so the probe set and result are value-exact across
+    engines.
+
+    Scale: the probe list is bits+1 broadcast rows regardless of
+    corpus size; at 100 TB with bucket-partitioned storage this reads
+    (bits+1)/2^bits of the data instead of 1/2^bits — recall/cost is
+    tuned by the probe count, never by rescanning.
+    """
+    bucketed = _lsh_bucketed(spark, sf_dir)
     q = bucketed.filter(F.col("vec_id") == 0).select(
         F.col("emb").alias("qvec"), F.col("bucket").alias("qbucket")
     )
+    probes = q.select(
+        "qvec",
+        F.explode(
+            F.array(
+                F.col("qbucket"),
+                *[
+                    F.col("qbucket").bitwiseXOR(F.lit(1 << j))
+                    for j in range(_ANN_BITS)
+                ],
+            )
+        ).alias("pb"),
+    )
     cands = bucketed.filter(F.col("vec_id") != 0).join(
-        F.broadcast(q), F.col("bucket") == F.col("qbucket")
+        F.broadcast(probes), F.col("bucket") == F.col("pb")
     )
     return (
         cands.select(

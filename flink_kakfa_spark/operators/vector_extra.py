@@ -324,6 +324,7 @@ _RECALL_METHODS = [
     # (method label, registered query whose top-10 is audited)
     ("ivf_portable", "sim_ivf_portable_topk"),
     ("lsh", "sim_lsh_ann_topk"),
+    ("lsh_multiprobe", "sim_lsh_multiprobe_topk"),
     ("pq_adc", "sim_pq_adc_topk"),
     ("sq8", "sim_sq8_rescore_topk"),
 ]
@@ -376,12 +377,14 @@ def q_sim_ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         q_sim_cosine_topk,
         q_sim_ivf_portable_topk,
         q_sim_lsh_ann_topk,
+        q_sim_lsh_multiprobe_topk,
         q_sim_sq8_rescore_topk,
     )
 
     fns = {
         "ivf_portable": q_sim_ivf_portable_topk,
         "lsh": q_sim_lsh_ann_topk,
+        "lsh_multiprobe": q_sim_lsh_multiprobe_topk,
         "pq_adc": q_sim_pq_adc_topk,
         "sq8": q_sim_sq8_rescore_topk,
     }

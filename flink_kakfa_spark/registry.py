@@ -164,6 +164,7 @@ _NEXT_WINDOW_PLAN = [
     "text_bpe_train_merges",
     "text_bpe_tokenize",
     "sim_ann_recall_at_k",
+    "sim_lsh_multiprobe_topk",
     # oldest (r1) driver evidence -- refresh so nothing stays stale
     "wordcount",
     "filter_returned_items",

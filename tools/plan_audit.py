@@ -97,6 +97,13 @@ ALLOWED_QUADRATIC = {
     # |sources| x top-V vocab grid built by crossing two tiny
     # broadcast relations (+1-row totals) — never the corpus
     "text_js_divergence_sources",
+    # composes sim_cosine_topk + the five ANN queries wholesale, so it
+    # inherits their declared 1-row query-vector/codebook broadcasts;
+    # the audit's own joins are 10-row x <=50-row broadcasts
+    "sim_ann_recall_at_k",
+    # same single-bucket LSH shape as sim_lsh_ann_topk, with a 5-row
+    # probe-bucket broadcast instead of a 1-row one
+    "sim_lsh_multiprobe_topk",
 }
 ALLOWED_PYTHON = {
     "mm_decode_frames", "mm_extract_features", "sim_cosine_topk_pandas",
@@ -117,6 +124,12 @@ ALLOWED_SMALL_SIDE_SHUFFLES = {
     # build side = supplier-subset keys: distinct + bit-position groupBy
     # + 1-row bitmap fold are all shuffles of <=O(|suppliers|) rows
     "join_bloom_filtered_revenue",
+    # recall audit: a UNION of five registered ANN plans plus the
+    # exact ranker — each contributes its own (already individually
+    # audited) small-side exchanges; post-union everything is <=50
+    # rows joined to the broadcast 10-row exact list and a 5-row
+    # groupBy. Composition, not a new shuffle pattern.
+    "sim_ann_recall_at_k",
     # two independent single-shuffle fact passes (daily sketch build;
     # exact user-day distinct for the tolerance contract) — everything
     # else shuffles the day-spine-sized sketch/count relations. At
