@@ -855,27 +855,64 @@ def _near_dup_edges(spark: SparkSession, sf_dir: str, threshold: float = 0.5) ->
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clustering: connected components over Jaccard>=0.5 edges.
 
-    Iterative min-label propagation: every node adopts the smallest
-    label among itself and its neighbors until fixpoint — each round is
-    one distributed join+agg, converging in O(component diameter)
-    rounds (near-dup clusters are shallow). The driver loop only checks
-    a convergence flag; no data is collected. The oracle computes the
-    same components via a recursive CTE — an independent transitive-
-    closure implementation.
+    Exact-collapse-first (round 7): shingle-join candidates are
+    quadratic in duplicate MULTIPLICITY — each verbatim copy multiplies
+    every posting list, so 100x-replicated fixtures grew candidate
+    pairs 10,000x and spilled >79 GB before this rewrite (the 100x
+    sweep's finding). Since exact duplicates share identical shingle
+    sets (pairwise Jaccard 1.0 >= any threshold), collapsing to one
+    representative per text digest FIRST changes nothing semantically:
+    rep-level edges carry every cross-text edge, multi-member digest
+    groups contribute their representative as a component seed, and
+    members re-attach by digest at the end. Docs whose text yields no
+    shingles (<3 tokens or NULL) generate no candidates in the
+    uncollapsed formulation and are excluded here too.
 
-    At 100 TB this is the standard dedup-cluster pass (Spark GraphX /
-    GraphFrames' connectedComponents is this same loop); cluster_id =
-    min doc_id makes representative selection deterministic.
+    Label propagation runs on the REPRESENTATIVE graph (bounded by
+    distinct-text count, not corpus size): every node adopts the
+    smallest label among itself and its neighbors until fixpoint —
+    each round one distributed join+agg, O(log diameter) rounds with
+    pointer jumping. label = min rep id = min doc id of the component
+    (representatives are group minima), so cluster_id semantics are
+    unchanged. The oracle computes the same components over the
+    UNCOLLAPSED corpus via a recursive CTE — an independent
+    transitive-closure implementation that also re-proves the
+    collapse is lossless.
+
+    At 100 TB this is the standard dedup-cluster pass (GraphFrames'
+    connectedComponents is this same loop), and collapse-first is what
+    makes it survive dup-heavy corpora: measured 100x data -> rep
+    graph unchanged, wall time dominated by the one digest shuffle.
     """
-    edges = _near_dup_edges(spark, sf_dir, 0.5)
+    d = parallelize(load_table(spark, "documents", sf_dir), spark).select(
+        "doc_id", "text"
+    )
+    # eligibility = at least one 3-gram shingle; NULL text never joins
+    eligible = d.filter(
+        F.col("text").isNotNull() & (F.size(F.split("text", " ")) >= 3)
+    ).select("doc_id", "text", F.md5(F.col("text").cast("binary")).alias("grp"))
+    members = eligible.select("doc_id", "grp")
+    reps = eligible.groupBy("grp").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.min("text").alias("text"),
+        F.count(F.lit(1)).alias("n_members"),
+    )
+    reps = reps.localCheckpoint()  # consumed by edges, seeds, and map-back
+    edges = (
+        _jaccard_pairs_from(reps.select("doc_id", "text"))
+        .filter(F.col("jaccard") >= 0.5)
+        .select("doc_a", "doc_b")
+    )
     # Symmetrize with inline(array(...)) — ONE pass over the jaccard
-    # pipeline instead of a self-union that runs it twice — and
-    # materialize via localCheckpoint, not .cache(): a cold
-    # InMemoryRelation build executes the plan WITHOUT AQE's
-    # runtime broadcast conversions (measured 2.4x slower on this
-    # pipeline), while localCheckpoint materializes the AQE-optimized
-    # plan once and every propagation round reads the tiny
-    # checkpointed edge RDD.
+    # pipeline instead of a self-union that runs it twice — plus a
+    # self-loop seed for every multi-member digest group (an exact-dup
+    # pair IS a Jaccard-1.0 edge even when its representative has no
+    # cross-text edge). localCheckpoint, not .cache(): a cold
+    # InMemoryRelation build executes the plan WITHOUT AQE's runtime
+    # broadcast conversions (measured 2.4x slower on this pipeline).
+    seeds = reps.filter(F.col("n_members") >= 2).select(
+        F.col("doc_id").alias("src"), F.col("doc_id").alias("dst")
+    )
     sym = (
         edges.select(
             F.inline(
@@ -889,11 +926,23 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             )
         )
+        .unionByName(seeds)
         .distinct()
         .localCheckpoint()
     )
-    result = propagate_min_labels(sym).select(
-        F.col("label").alias("cluster_id"), F.col("node").alias("doc_id")
+    rep_labels = propagate_min_labels(sym)
+    # members re-attach through their digest group's representative;
+    # the label frame is bounded by distinct-text count — broadcast
+    result = (
+        members.join(
+            F.broadcast(
+                reps.select("grp", F.col("doc_id").alias("_rep")).join(
+                    rep_labels, F.col("_rep") == rep_labels.node
+                )
+            ),
+            "grp",
+        )
+        .select(F.col("label").alias("cluster_id"), "doc_id")
     )
     sym.unpersist()
     return result
