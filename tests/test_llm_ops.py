@@ -396,3 +396,43 @@ def test_char_entropy_bounds_and_extremes(spark, sf_dir):
     counted = chars.groupBy("doc_id", "ch").count()
     got = {r["doc_id"]: r["count"] for r in counted.groupBy("doc_id").count().collect()}
     assert got == {1: 1, 2: 4}
+
+
+def test_dedup_clusters_invariant_under_verbatim_duplication(spark, sf_dir, tmp_path):
+    """The 100x-sweep regression pinned as a correctness property:
+    replicating every document verbatim (shifted ids) must (a) keep
+    every base component with its base cluster_id — copies only ever
+    ADD Jaccard-1.0 members, and min doc_id stays the base minimum —
+    and (b) turn every previously-edgeless eligible doc into a clique
+    of its own copies seeded at the base id. Exercises the
+    exact-collapse seeds and the member re-attach join directly."""
+    base = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    off = base.agg(F.max("doc_id")).collect()[0][0] + 1
+    copies = 3
+    rep = base
+    for i in range(1, copies):
+        rep = rep.unionByName(base.withColumn("doc_id", F.col("doc_id") + i * off))
+    rep.write.parquet(str(tmp_path / "documents.parquet"))
+
+    qs = all_queries()
+    base_out = {
+        r["doc_id"]: r["cluster_id"]
+        for r in qs["dedup_clusters"](spark, sf_dir).collect()
+    }
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in qs["dedup_clusters"](spark, str(tmp_path)).collect()
+    }
+
+    eligible = {
+        r["doc_id"]
+        for r in base.filter(
+            F.col("text").isNotNull() & (F.size(F.split("text", " ")) >= 3)
+        ).collect()
+    }
+    expected = {}
+    for d in eligible:
+        cluster = base_out.get(d, d)  # edgeless docs seed their own clique
+        for i in range(copies):
+            expected[d + i * off] = cluster
+    assert got == expected
