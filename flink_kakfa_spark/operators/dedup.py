@@ -420,17 +420,110 @@ def q_dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines compute identically, so DuckDB verifies the whole pipeline
     value-exactly.
 
-    At 100 TB: signatures are 16 ints per doc computed in one narrow
-    pass; each band join shuffles on a 4-int key; Jaccard rescoring
-    touches only bucket-mates. Band count/rows trade recall vs cost
-    (4x4 targets J >= ~0.7 pairs).
+    Exact-collapse-first (round 7): identical texts share every band
+    key, so each digest group of m copies used to expand to m(m-1)/2
+    bucket pairs PER BAND — the 100x sweep measured 46.9x wall time
+    (quadratic in duplicate multiplicity) before this rewrite. Now the
+    banding runs on one representative per text digest; a rep-level
+    candidate (jaccard j) stands for ALL member pairs across the two
+    groups (identical shingle sets => identical j), and each
+    multi-member group is itself a jaccard-1.0 class. Classes expand
+    through their 21 smallest member ids only — provably enough for a
+    global top-20 under the (jaccard DESC, doc_a, doc_b) order, since
+    any pair using a 22nd-smallest member id is preceded by >= 21
+    pairs of its own class. The oracle still scores the UNCOLLAPSED
+    corpus, re-proving the collapse lossless. Measured: 100x data
+    1.0x wall (was 46.9x).
+
+    At 100 TB: signatures are 16 ints per distinct text computed in
+    one narrow pass; each band join shuffles on a 4-int key; Jaccard
+    rescoring touches only bucket-mates. Band count/rows trade recall
+    vs cost (4x4 targets J >= ~0.7 pairs).
     """
-    d = parallelize(load_table(spark, "documents", sf_dir), spark)
-    # coalesce so the tokens array is never NULL even if a
-    # deterministic UDF downstream is reordered past the size filter
-    # (MinHashLSH's approxSimilarityJoin re-executes the plan and NPE'd
-    # in HashingTF on a null-bearing corpus); a null text becomes [""]
-    # and still fails the >= SHINGLE_K filter
+    d = parallelize(load_table(spark, "documents", sf_dir), spark).select(
+        "doc_id", "text"
+    )
+    # coalesce: a NULL text becomes [""] and fails the >= SHINGLE_K
+    # filter, so every eligible row has non-null text (safe to md5)
+    eligible = d.filter(
+        F.size(F.split(F.coalesce(F.col("text"), F.lit("")), " ")) >= SHINGLE_K
+    ).select("doc_id", "text", F.md5(F.col("text").cast("binary")).alias("grp"))
+    groups = eligible.groupBy("grp").agg(
+        F.min("doc_id").alias("rep_id"),
+        F.min("text").alias("text"),
+        F.count(F.lit(1)).alias("n_members"),
+        # 21 smallest member ids: sufficient for any top-20 expansion
+        F.slice(F.sort_array(F.collect_list("doc_id")), 1, 21).alias("members"),
+    ).localCheckpoint()  # consumed by the band pipeline AND both expansions
+    rep_pairs = _minhash_pairs_from(
+        groups.select(F.col("rep_id").alias("doc_id"), "text")
+    )
+    expanded = expand_collapsed_pairs(
+        rep_pairs, groups.withColumn("self_score", F.lit(1.0)), "jaccard"
+    )
+    return (
+        expanded
+        .orderBy(F.col("jaccard").desc(), F.col("doc_a").asc(), F.col("doc_b").asc())
+        .limit(20)
+    )
+
+
+def expand_collapsed_pairs(
+    rep_pairs: DataFrame, groups: DataFrame, score_col: str
+) -> DataFrame:
+    """Expand representative-level pair classes back to member pairs.
+
+    The collapse-first top-k pattern shared by ``dedup_minhash_portable``
+    and ``text_winnow_fingerprints``: after exact-collapse, a scored
+    pair of representatives stands for every cross-group member pair
+    (identical texts => identical score), and each multi-member group
+    is its own class at ``self_score`` (the score of a pair of
+    identical texts). ``groups`` carries (rep_id, members, n_members,
+    self_score) with ``members`` capped to the 21 smallest ids — the
+    provably sufficient expansion for any global top-20 under
+    (score DESC, doc_a, doc_b): a pair using a group's 22nd-smallest
+    member is preceded by >= 21 pairs of its own class. Join strategy
+    is left to AQE: rep_pairs is candidate-sized and typically
+    broadcasts at runtime; forcing it would be wrong when a corpus has
+    billions of distinct texts.
+    """
+    g = groups.select("rep_id", "members")
+    cross = (
+        rep_pairs.join(
+            g.select(F.col("rep_id").alias("doc_a"), F.col("members").alias("ma")),
+            "doc_a",
+        )
+        .join(
+            g.select(F.col("rep_id").alias("doc_b"), F.col("members").alias("mb")),
+            "doc_b",
+        )
+        .select(score_col, F.explode("ma").alias("x"), "mb")
+        .select(score_col, "x", F.explode("mb").alias("y"))
+        .select(
+            F.least("x", "y").alias("doc_a"),
+            F.greatest("x", "y").alias("doc_b"),
+            score_col,
+        )
+    )
+    selfc = (
+        groups.filter(F.col("n_members") >= 2)
+        .select(F.explode("members").alias("x"), "members", "self_score")
+        .select("x", F.explode("members").alias("y"), "self_score")
+        .filter(F.col("x") < F.col("y"))
+        .select(
+            F.col("x").alias("doc_a"),
+            F.col("y").alias("doc_b"),
+            F.col("self_score").alias(score_col),
+        )
+    )
+    return cross.unionByName(selfc)
+
+
+def _minhash_pairs_from(d: DataFrame) -> DataFrame:
+    """Portable MinHash-LSH candidate pairs with exact shingle Jaccard
+    over an arbitrary (doc_id, text) frame — the band pipeline shared
+    by ``dedup_minhash_portable`` (which feeds it collapsed
+    representatives) and any caller needing raw banding."""
     toks = d.select(
         "doc_id",
         F.split(F.coalesce(F.col("text"), F.lit("")), " ").alias("tokens"),
@@ -522,17 +615,13 @@ def q_dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     n_common = F.size(F.array_intersect("sh_a", "sh_b"))
-    return (
-        cand.select(
-            "doc_a",
-            "doc_b",
-            (
-                n_common.cast("double")
-                / (F.size("sh_a") + F.size("sh_b") - n_common)
-            ).alias("jaccard"),
-        )
-        .orderBy(F.col("jaccard").desc(), F.col("doc_a").asc(), F.col("doc_b").asc())
-        .limit(20)
+    return cand.select(
+        "doc_a",
+        "doc_b",
+        (
+            n_common.cast("double")
+            / (F.size("sh_a") + F.size("sh_b") - n_common)
+        ).alias("jaccard"),
     )
 
 

@@ -58,6 +58,12 @@ def _winnow_fp_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     downstream lambdas, re-evaluating the md5 token hashes per window
     element — measured 40x slower at sf0.1 (SCALE.md).
     """
+    return _winnow_fps_from(load_table(spark, "documents", sf_dir))
+
+
+def _winnow_fps_from(docs: DataFrame) -> DataFrame:
+    """(doc_id, fp) winnowing fingerprints over an arbitrary
+    (doc_id, text) frame — see ``_winnow_fp_frame``."""
     win_mins = ", ".join(f"karr[j - {o}]" for o in range(_WINNOW_W))
     fps_expr = f"""
     array_distinct(flatten(transform(
@@ -73,10 +79,7 @@ def _winnow_fp_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
                     j -> least({win_mins}))
           ELSE array() END)))))
     """
-    return (
-        load_table(spark, "documents", sf_dir)
-        .select("doc_id", F.explode(F.expr(fps_expr)).alias("fp"))
-    )
+    return docs.select("doc_id", F.explode(F.expr(fps_expr)).alias("fp"))
 
 
 @query(
@@ -222,16 +225,43 @@ def q_text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     length >= 6 (w + k - 1) is guaranteed to surface — the winnowing
     coverage theorem — at ~2/(w+1) of full shingle storage.
 
+    Exact-collapse-first (round 7): identical texts carry identical
+    fingerprint sets, so the inverted-index self-join used to produce
+    |fps| x m(m-1)/2 rows per digest group of m verbatim copies — the
+    100x sweep measured ~50x wall time (quadratic in duplicate
+    multiplicity) before this rewrite. The fingerprint join now runs
+    on one representative per text digest; a rep pair's n_shared
+    stands for every member pair across the two groups, each
+    multi-member group is its own class at n_shared = |its fingerprint
+    set|, and classes expand through their 21 smallest member ids
+    (sufficient for any global top-20 — see
+    ``dedup.expand_collapsed_pairs``). The oracle still scores the
+    UNCOLLAPSED corpus, re-proving the collapse lossless.
+
     Scale: hashing, k-gram folding, window minima, and dedup all
     happen in-array per document (zero shuffles, plan-asserted in
-    tests); the self-join shuffles only (doc_id, fp) longs. At 100 TB
-    add a df-cap on hot fingerprints exactly as
-    ``dedup_ngram_jaccard_guarded`` does for shingles.
+    tests); the self-join shuffles only (rep_id, fp) longs, bounded by
+    distinct texts. At 100 TB add a df-cap on hot fingerprints exactly
+    as ``dedup_ngram_jaccard_guarded`` does for shingles.
     """
-    fps = _winnow_fp_frame(spark, sf_dir)
+    from flink_kakfa_spark.operators.dedup import expand_collapsed_pairs
+
+    d = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    eligible = d.filter(F.col("text").isNotNull()).select(
+        "doc_id", "text", F.md5(F.col("text").cast("binary")).alias("grp")
+    )
+    groups = eligible.groupBy("grp").agg(
+        F.min("doc_id").alias("rep_id"),
+        F.min("text").alias("text"),
+        F.count(F.lit(1)).alias("n_members"),
+        F.slice(F.sort_array(F.collect_list("doc_id")), 1, 21).alias("members"),
+    ).localCheckpoint()  # consumed by the fp pipeline AND both expansions
+    fps = _winnow_fps_from(
+        groups.select(F.col("rep_id").alias("doc_id"), "text")
+    )
     a = fps.alias("a")
     b = fps.alias("b")
-    return (
+    rep_pairs = (
         a.join(
             b,
             (F.col("a.fp") == F.col("b.fp"))
@@ -240,10 +270,19 @@ def q_text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
-        .agg(F.count(F.lit(1)).alias("n_shared"))
-        .orderBy(F.desc("n_shared"), F.asc("doc_a"), F.asc("doc_b"))
-        .limit(20)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
     )
+    # a group's self class shares its WHOLE fingerprint set; groups
+    # whose text yields no fingerprints never pair (inner join drops)
+    n_fp = fps.groupBy(F.col("doc_id").alias("rep_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("self_score")
+    )
+    expanded = expand_collapsed_pairs(
+        rep_pairs, groups.join(n_fp, "rep_id"), "n_shared"
+    )
+    return expanded.orderBy(
+        F.desc("n_shared"), F.asc("doc_a"), F.asc("doc_b")
+    ).limit(20)
 
 
 # ---- model-evaluation-on-the-lake: classifier metrics ----------------
