@@ -106,3 +106,103 @@ def test_asof_plan_has_exactly_one_exchange(spark, sf_dir):
     exchanges = plan.count("Exchange ") + plan.count("Exchange(")
     reuses = plan.count("ReusedExchange")
     assert exchanges - reuses == 1, f"expected 1 shuffle, plan:\n{plan}"
+
+
+def test_forward_asof_semantics_and_ties(spark):
+    """The round-7 descending-sort rewrite (O(n) incremental frame
+    instead of the O(n^2) unbounded-following frame) must keep the
+    exact forward semantics: earliest right row at-or-after, equal
+    timestamps visible, and right-vs-right (key, time) ties resolving
+    to the SMALLEST value tuple."""
+    from flink_kakfa_spark.operators.asof import asof_join_forward
+
+    left = spark.createDataFrame(
+        [
+            Row(k=1, ts=_ts(5), tag="mid"),     # between rights
+            Row(k=1, ts=_ts(10), tag="equal"),  # exactly on a right ts
+            Row(k=1, ts=_ts(30), tag="after"),  # after every right
+            Row(k=2, ts=_ts(1), tag="otherkey"),
+        ]
+    ).select("k", F.col("ts").cast("timestamp").alias("ts"), "tag")
+    right = spark.createDataFrame(
+        [
+            Row(k=1, ts=_ts(3), v=99.0),
+            Row(k=1, ts=_ts(10), v=7.0),   # tie pair at :10 ...
+            Row(k=1, ts=_ts(10), v=4.0),   # ... smallest v must win
+            Row(k=2, ts=_ts(2), v=1.0),
+        ]
+    ).select("k", F.col("ts").cast("timestamp").alias("ts"), "v")
+    got = {
+        r["tag"]: (r["ts_next"], r["v_next"])
+        for r in asof_join_forward(left, right, "k", "ts", ["ts", "v"])
+        .withColumnRenamed("ts_next", "ts_next")
+        .collect()
+    }
+    assert got["mid"][1] == 4.0 and str(got["mid"][0]).endswith("00:00:10")
+    assert got["equal"][1] == 4.0  # equal-time right row IS visible
+    assert got["after"] == (None, None)  # nothing at-or-after
+    assert got["otherkey"][1] == 1.0  # keys never leak
+
+
+def test_expand_collapsed_pairs_matches_bruteforce_topk(spark):
+    """Property check for the 21-member expansion cap: on synthetic
+    digest groups (sizes 1..30, scored rep pairs straddling the top-20
+    boundary) the expanded top-20 must equal the top-20 of the FULL
+    brute-force member-pair expansion."""
+    from itertools import combinations, product
+
+    from flink_kakfa_spark.operators.dedup import expand_collapsed_pairs
+
+    # groups: ids chosen so classes interleave in the global order
+    raw_groups = {
+        "g1": list(range(0, 30)),          # 30 members: exceeds the cap
+        "g2": list(range(100, 102)),       # pair group
+        "g3": [200],                       # singleton
+        "g4": list(range(300, 325)),       # 25 members: exceeds the cap
+    }
+    self_scores = {"g1": 0.9, "g2": 0.95, "g3": 0.8, "g4": 0.9}
+    rep_pairs_py = [  # (grpA, grpB, score) between reps
+        ("g1", "g2", 0.95),
+        ("g1", "g4", 0.9),
+        ("g2", "g3", 0.6),
+    ]
+
+    # brute force over FULL membership
+    brute = []
+    for g, mem in raw_groups.items():
+        for x, y in combinations(sorted(mem), 2):
+            brute.append((x, y, self_scores[g]))
+    for ga, gb, s in rep_pairs_py:
+        for x, y in product(raw_groups[ga], raw_groups[gb]):
+            brute.append((min(x, y), max(x, y), s))
+    expected = sorted(brute, key=lambda t: (-t[2], t[0], t[1]))[:20]
+
+    groups = spark.createDataFrame(
+        [
+            Row(
+                rep_id=min(mem),
+                members=sorted(mem)[:21],
+                n_members=len(mem),
+                self_score=self_scores[g],
+            )
+            for g, mem in raw_groups.items()
+        ]
+    )
+    rep_pairs = spark.createDataFrame(
+        [
+            Row(
+                doc_a=min(min(raw_groups[ga]), min(raw_groups[gb])),
+                doc_b=max(min(raw_groups[ga]), min(raw_groups[gb])),
+                score=s,
+            )
+            for ga, gb, s in rep_pairs_py
+        ]
+    )
+    got = [
+        (r["doc_a"], r["doc_b"], r["score"])
+        for r in expand_collapsed_pairs(rep_pairs, groups, "score")
+        .orderBy(F.desc("score"), F.asc("doc_a"), F.asc("doc_b"))
+        .limit(20)
+        .collect()
+    ]
+    assert got == expected
