@@ -681,12 +681,32 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     within Hamming<=3 of a 4-band signature agrees on at least one
     whole band), and only bucket-mates are XOR/popcount-rescored. At
     100 TB each band join is an ordinary shuffled equi-join on a 1-byte
-    key + band id; no O(n^2) stage exists. The oracle recomputes the
-    same signatures and verifies by brute force.
+    key + band id; no O(n^2) stage exists IN DISTINCT TEXTS — and
+    since round 7, none in duplicate multiplicity either: identical
+    texts share every band byte, so the banding now runs on one
+    representative per text digest (the 100x sweep spilled >60 GB on
+    the uncollapsed form, the same disease as
+    ``dedup_minhash_portable``), each multi-member group is its own
+    Hamming-0 class, and classes expand through their 21 smallest
+    member ids (``expand_collapsed_pairs``). The oracle recomputes
+    signatures over the UNCOLLAPSED corpus and verifies by brute
+    force, re-proving the collapse lossless.
     """
-    d = parallelize(load_table(spark, "documents", sf_dir), spark)
-    tok = d.select(
-        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("word")
+    d = parallelize(load_table(spark, "documents", sf_dir), spark).select(
+        "doc_id", "text"
+    )
+    eligible = d.filter(F.col("text").isNotNull()).select(
+        "doc_id", "text", F.md5(F.col("text").cast("binary")).alias("grp")
+    )
+    groups = eligible.groupBy("grp").agg(
+        F.min("doc_id").alias("rep_id"),
+        F.min("text").alias("text"),
+        F.count(F.lit(1)).alias("n_members"),
+        F.slice(F.sort_array(F.collect_list("doc_id")), 1, 21).alias("members"),
+    ).localCheckpoint()  # consumed by the signature pipeline + expansions
+    tok = groups.select(
+        F.col("rep_id").alias("doc_id"),
+        F.explode(F.split(F.col("text"), " ")).alias("word"),
     ).filter(F.col("word") != "")
     # 32-bit token hash from the first 8 hex chars of md5 — portable
     # across engines (xxhash64 would be faster but is Spark-specific).
@@ -738,16 +758,21 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    return (
-        cand.select(
-            "doc_a",
-            "doc_b",
-            F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).alias("hamming"),
-        )
-        .filter(F.col("hamming") <= 3)
-        .orderBy(F.col("hamming").asc(), F.col("doc_a").asc(), F.col("doc_b").asc())
-        .limit(20)
-    )
+    rep_pairs = cand.select(
+        "doc_a",
+        "doc_b",
+        F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).alias("hamming"),
+    ).filter(F.col("hamming") <= 3)
+    # groups whose text yields no tokens have no signature row and can
+    # never pair (inner join with sigs drops them) — mirrors the
+    # uncollapsed pipeline, where such docs produce no vote row
+    with_sig = groups.join(
+        sigs.select(F.col("doc_id").alias("rep_id")), "rep_id"
+    ).withColumn("self_score", F.lit(0).cast("integer"))
+    expanded = expand_collapsed_pairs(rep_pairs, with_sig, "hamming")
+    return expanded.orderBy(
+        F.col("hamming").asc(), F.col("doc_a").asc(), F.col("doc_b").asc()
+    ).limit(20)
 
 
 # Deterministic integer hyperplane LSH, computed identically by both
@@ -830,7 +855,31 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = parallelize(load_table(spark, "embeddings", sf_dir), spark).select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("emb")
     )
-    qv = e.withColumn(
+    # Exact-collapse-first (round 7): identical vectors share every
+    # table signature, so duplicate embeddings (the normal product of
+    # duplicate documents) used to expand O(m^2) bucket pairs per
+    # group — the 100x sweep spilled >60 GB before this rewrite. The
+    # LSH runs on one representative per distinct vector (the array
+    # itself is the grouping key); each multi-member group is its own
+    # class scored by the SAME rounded-cosine expression on (rep, rep)
+    # — 1.0 for any nonzero vector, NULL for a zero vector, exactly as
+    # the uncollapsed pipeline scores identical pairs — and classes
+    # expand through their 21 smallest member ids
+    # (``expand_collapsed_pairs``). Oracle unchanged (uncollapsed).
+    self_dot = F.aggregate(
+        F.zip_with("emb", "emb", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda s, x: s + x,
+    )
+    self_norm = F.sqrt(F.aggregate("emb", F.lit(0.0), lambda s, x: s + x * x))
+    vgroups = e.groupBy("emb").agg(
+        F.min("vec_id").alias("rep_id"),
+        F.count(F.lit(1)).alias("n_members"),
+        F.slice(F.sort_array(F.collect_list("vec_id")), 1, 21).alias("members"),
+    ).withColumn(
+        "self_score", F.round(self_dot / (self_norm * self_norm), 6)
+    ).localCheckpoint()  # consumed by the LSH pipeline + expansions
+    qv = vgroups.select(F.col("rep_id").alias("vec_id"), "emb").withColumn(
         "q", F.transform("emb", lambda x: F.floor(x * 1000000).cast("long"))
     )
     # One signature per table: sign bits of integer hyperplane projections.
@@ -881,11 +930,22 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda s, x: s + x,
     )
     norm = lambda c: F.sqrt(F.aggregate(c, F.lit(0.0), lambda s, x: s + x * x))  # noqa: E731
+    rep_pairs = cand.select(
+        F.col("vec_a").alias("doc_a"),
+        F.col("vec_b").alias("doc_b"),
+        F.round(dot / (norm(F.col("emb_a")) * norm(F.col("emb_b"))), 6).alias(
+            "cos_sim"
+        ),
+    )
+    expanded = expand_collapsed_pairs(
+        rep_pairs, vgroups.select("rep_id", "members", "n_members", "self_score"),
+        "cos_sim",
+    )
     return (
-        cand.select(
-            "vec_a",
-            "vec_b",
-            F.round(dot / (norm(F.col("emb_a")) * norm(F.col("emb_b"))), 6).alias("cos_sim"),
+        expanded.select(
+            F.col("doc_a").alias("vec_a"),
+            F.col("doc_b").alias("vec_b"),
+            "cos_sim",
         )
         .orderBy(F.col("cos_sim").desc(), F.col("vec_a").asc(), F.col("vec_b").asc())
         .limit(20)
