@@ -124,6 +124,11 @@ ALLOWED_SMALL_SIDE_SHUFFLES = {
     # build side = supplier-subset keys: distinct + bit-position groupBy
     # + 1-row bitmap fold are all shuffles of <=O(|suppliers|) rows
     "join_bloom_filtered_revenue",
+    # collapse-first simhash (round 7): the digest collapse adds one
+    # text-keyed exchange + the checkpoint read; every exchange after
+    # the collapse moves distinct-text-sized relations (signatures,
+    # band bytes, <=20-row class expansions), never the corpus
+    "dedup_simhash",
     # recall audit: a UNION of five registered ANN plans plus the
     # exact ranker — each contributes its own (already individually
     # audited) small-side exchanges; post-union everything is <=50
