@@ -93,11 +93,19 @@ def _bpe_oracle_ctes(n_merges: int) -> str:
       ) WHERE pair_freq >= 2
     ),
     v{i + 1} AS (
+      -- LEFT JOIN ON TRUE, not an inner cross join: once a round's
+      -- best pair drops below freq 2, b{{i}} is empty and an inner
+      -- join would empty every later vocab CTE — the trainer instead
+      -- BREAKS and tokenizes with the merges learned so far. With the
+      -- left join, b.* is NULL, replace() is NULL, and COALESCE
+      -- carries the previous round's vocab through unchanged.
       SELECT w.word, w.freq,
-             replace(w.s,
-                     '{_SEP}' || b."left" || '{_SEP2}' || b."right" || '{_SEP}',
-                     '{_SEP}' || b."left" || b."right" || '{_SEP}') AS s
-      FROM v{i} w, b{i} b
+             COALESCE(
+               replace(w.s,
+                       '{_SEP}' || b."left" || '{_SEP2}' || b."right" || '{_SEP}',
+                       '{_SEP}' || b."left" || b."right" || '{_SEP}'),
+               w.s) AS s
+      FROM v{i} w LEFT JOIN b{i} b ON TRUE
     )"""
         )
     return "WITH" + ",".join(parts)

@@ -195,7 +195,7 @@ DSIR_TARGET_LANG = "en"
     SELECT
       tok.doc_id,
       CAST(COUNT(*) AS BIGINT) AS n_tokens,
-      ROUND(AVG(l.w_llr), 4) AS dsir_logratio
+      ROUND(AVG(l.w_llr), 4) + 0.0 AS dsir_logratio
     FROM tok JOIN llr l ON tok.word = l.word
     GROUP BY tok.doc_id
     """,
@@ -252,7 +252,12 @@ def q_corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
-            F.round(F.avg("w_llr"), 4).alias("dsir_logratio"),
+            # "+ 0.0" on BOTH sides normalizes IEEE negative zero: a tiny
+            # negative mean rounds to -0.0 in DuckDB (sign-preserving) but
+            # +0.0 in Spark (BigDecimal round has no -0), and value-hash
+            # comparators that render the sign see a mismatch even though
+            # the doubles compare ==. IEEE: -0.0 + 0.0 = +0.0 exactly.
+            (F.round(F.avg("w_llr"), 4) + F.lit(0.0)).alias("dsir_logratio"),
         )
     )
 
@@ -333,8 +338,10 @@ def q_quality_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     columns out of this query would only duplicate that one. Spark
     side is an Arrow-batched ``mapInPandas`` narrow map — zero
     shuffles, scales with input splits. The UDF is a closure (NOT a
-    module-level function) so the driver-by-path import pickles it
-    by value (see .claude/skills/verify: foreign-cwd gotcha).
+    module-level function) so that cloudpickle serializes it by value:
+    a driver that imports this module by file path from a foreign cwd
+    cannot resolve a pickled-by-reference module-level function on the
+    executor side, and the job dies with ModuleNotFoundError.
     """
     d = load_table(spark, "documents", sf_dir).select("doc_id", "text")
 

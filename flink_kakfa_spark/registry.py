@@ -73,84 +73,20 @@ _QUERY_MODULES = [
     "flink_kakfa_spark.operators.skyline",
 ]
 
-# ROUND-7 WINDOW ROTATION (executes the round-7 plan written here in
-# round 6): the driver verifies only the FIRST 50 registered names, so
+# ROUND-8 WINDOW ROTATION (executes the round-8 plan written here in
+# round 7): the driver verifies only the FIRST 50 registered names, so
 # these queries are pulled to the front of the registry regardless of
-# module order. After r6's 50/50-green run, 60 oracle-backed queries
-# still had zero driver CORRECTNESS evidence; this window takes the
-# FIRST 50 of that 60-name backlog (plan order), and
-# ``_NEXT_WINDOW_PLAN`` below leads with the remaining 10-name tail
-# for round 8. Everything pushed behind the window is green in
-# r1/r2/r4/r5/r6 driver history AND re-verified every round by
-# tools/diffcheck.py. Update tests/test_000_smoke.py::DRIVER_WINDOW
-# in the same commit as any change here.
+# module order. The window is the 19-name r7 plan verbatim (the last
+# 14 never-driver-checked oracle queries + the 5-name oldest-evidence
+# refresh), then ``corpus_dsir_weights`` (r7's one red row — the
+# signed-zero fix in operators/curation.py must be re-proven green),
+# then the 30 next-oldest-evidence names (all last checked r2).
+# Everything pushed behind the window is green in r1–r7 driver history
+# AND re-verified every round by tools/diffcheck.py. Update
+# tests/test_000_smoke.py::DRIVER_WINDOW in the same commit as any
+# change here.
 _WINDOW_FRONT = [
-    "dedup_survivor_selection",
-    "rag_bm25_multiquery_topk",
-    "text_keyphrase_rake",
-    "ts_cusum_changepoint",
-    "dedup_lsh_band_stats",
-    "graph_neighbor_jaccard_top20",
-    "text_js_divergence_sources",
-    "asof_next_purchase",
-    "merge_scd3_orders",
-    "pipeline_kfold_assignment",
-    "eval_retrieval_metrics",
-    "text_encoding_qa",
-    "sketch_theta_difference",
-    "lake_compaction_plan",
-    "privacy_l_diversity",
-    "text_ngram_coverage",
-    "quality_code_detector",
-    "emb_dim_variance_top",
-    "emb_jl_projection_quality",
-    "ab_test_proportions",
-    "sketch_kmv_set_overlap",
-    "imv_signed_delta_agg",
-    "pareto_frontier_parts",
-    "sketch_kmv_distinct_rollup",
-    "emb_hard_negatives",
-    "decontam_minhash",
-    "eval_langid_metrics",
-    "ts_rolling_1h_value",
-    "text_winnow_guarded",
-    "mm_image_resize_thumb",
-    "mm_audio_resample_stats",
-    "dedup_incremental_ingest",
-    "corpus_dsir_weights",
-    "text_tokenizer_fertility",
-    "graph_degree_stats",
-    "graph_triangle_count",
-    "graph_pagerank_top20",
-    "graph_adamic_adar_top20",
-    "dedup_substring_runs",
-    "agg_hist_quantile_rollup",
-    "decontam_embedding",
-    "emb_covariance_stats",
-    "emb_power_iteration_top",
-    "anomaly_mad_events",
-    "basket_association_rules",
-    "emb_kmeans_portable",
-    "ts_dow_seasonality",
-    "search_trigram_parts",
-    "sample_neyman_allocation",
-    "prep_winsorize_values",
-]
-
-# ROUND-8 ROTATION PLAN (write of record, same protocol as the
-# r6->r7 handoff this file just executed). The plan holds 15 names:
-# the 10-name TAIL of the zero-driver-evidence backlog (every other
-# oracle-backed query now has at least one driver-green round), then
-# 5 backfill rows whose driver evidence is oldest (round 1) so no
-# query's driver evidence goes more than ~6 rounds stale. Round-7
-# additions (e.g. sim_ann_recall_at_k) are appended to this list by
-# the commit that registers them; the round-8 window is this plan
-# followed by next-oldest-evidence backfill up to 50. This is a REAL
-# constant (not a comment) so tests can assert every name exists --
-# a typo here fails CI this round, not next round.
-# Update tests/test_000_smoke.py::DRIVER_WINDOW in the same commit.
-_NEXT_WINDOW_PLAN = [
-    "agg_mode_priority_by_nation",  # tail of the r6 backlog, never driver-checked
+    "agg_mode_priority_by_nation",
     "sql_star_except",
     "corpus_epoch_capped_budget",
     "reconcile_table_checksum",
@@ -160,17 +96,76 @@ _NEXT_WINDOW_PLAN = [
     "dedup_jaccard_prefix_filter",
     "rag_hybrid_rrf_topk",
     "join_interval_lookup_binned",
-    # round-7 oracle upgrades/additions -- first driver check in r8
     "text_bpe_train_merges",
     "text_bpe_tokenize",
     "sim_ann_recall_at_k",
     "sim_lsh_multiprobe_topk",
-    # oldest (r1) driver evidence -- refresh so nothing stays stale
     "wordcount",
     "filter_returned_items",
     "filter_in_like_null",
     "distinct_segments",
     "dedup_exact_keep_first",
+    "corpus_dsir_weights",
+    "window_topk_orders",
+    "window_rank_dense_rank",
+    "window_lag_lead",
+    "window_running_total",
+    "window_ntile_percentiles",
+    "window_range_frame",
+    "join_inner_revenue",
+    "join_left_order_counts",
+    "join_full_outer_nations",
+    "join_semi_active_customers",
+    "join_anti_inactive_customers",
+    "join_cross_region_nation",
+    "q5_regional_revenue",
+    "q3_shipping_priority",
+    "join_range_event_pairs",
+    "join_part_supplier_value",
+    "agg_pricing_summary",
+    "agg_count_distinct",
+    "agg_approx_count_distinct",
+    "agg_rollup",
+    "agg_cube",
+    "agg_conditional",
+    "agg_collect",
+    "agg_global",
+    "orderby_limit",
+    "union_all_counts",
+    "intersect_custkeys",
+    "except_custkeys",
+    "agg_percentiles",
+    "agg_variance_exact",
+]
+
+# ROUND-9 ROTATION PLAN (write of record, same protocol as the
+# r7->r8 handoff this file just executed). Every oracle-backed query
+# now has at least one driver-green round once CORRECTNESS_r08 lands,
+# so rotation is pure staleness refresh: the 8 remaining names whose
+# evidence is r2, then the 7 oldest r4 names. Round-8 additions (if
+# any) are appended by the commit that registers them; the round-9
+# window is this plan followed by next-oldest-evidence backfill up to
+# 50. This is a REAL constant (not a comment) so tests can assert
+# every name exists — a typo here fails CI this round, not next round.
+# Update tests/test_000_smoke.py::DRIVER_WINDOW in the same commit.
+_NEXT_WINDOW_PLAN = [
+    # last remaining r2-evidence names
+    "sample_seeded",
+    "agg_argmax",
+    "scalar_null_funcs",
+    "unpivot_price_measures",
+    "scalar_string_funcs",
+    "scalar_date_funcs",
+    "scalar_math_funcs",
+    "scalar_conditional_funcs",
+    # oldest r4-evidence names
+    "wordcount_topk",
+    "dedup_exact_stats",
+    "dedup_ngram_jaccard",
+    "dedup_ngram_jaccard_guarded",
+    "dedup_minhash_portable",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
 ]
 
 # Queries registered WITHOUT oracle SQL (rows-only driver check, by
@@ -197,7 +192,6 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     def deco(fn: QueryFn) -> QueryFn:
         if name in QUERIES:
             raise ValueError(f"duplicate query name: {name}")
-        _render_doc_constants(fn)
         QUERIES[name] = fn
         if oracle is not None:
             ORACLES[name] = oracle
@@ -213,9 +207,15 @@ def _render_doc_constants(fn: QueryFn) -> None:
     Docstrings cannot be f-strings (Python only binds plain string
     literals to ``__doc__``), so query docs that quote their tuning
     constants — "top-{_MQ_TOPK}", "l = {_L_DIVERSITY}" — would
-    otherwise render the placeholder literally in ``help()``. Only
-    tokens that name an existing module-level constant are replaced;
-    any other braces in the doc are left untouched.
+    otherwise render the placeholder literally in ``help()``.
+
+    Runs from ``load_all()`` AFTER every operator module has finished
+    importing — not at decoration time — so a docstring may reference a
+    constant defined later in its module. Every SCREAMING_SNAKE token
+    must resolve; a typo'd or missing constant raises here (fails CI
+    this round) instead of silently rendering a literal placeholder.
+    Example braces like ``{k: v}`` don't match the pattern and are
+    left untouched.
     """
     doc = fn.__doc__
     if not doc or "{" not in doc:
@@ -223,11 +223,13 @@ def _render_doc_constants(fn: QueryFn) -> None:
     mod_vars = vars(sys.modules.get(fn.__module__)) if fn.__module__ else {}
 
     def sub(m: re.Match[str]) -> str:
-        val = mod_vars.get(m.group(1))
-        return str(val) if val is not None else m.group(0)
+        if m.group(1) not in mod_vars:
+            raise NameError(
+                f"docstring of {fn.__module__}.{fn.__name__} references "
+                f"{{{m.group(1)}}} but no such module constant exists"
+            )
+        return str(mod_vars[m.group(1)])
 
-    # SCREAMING_SNAKE names only (optionally underscore-prefixed): the
-    # existence check keeps example braces like ``{k: v}`` untouched
     fn.__doc__ = re.sub(r"\{(_?[A-Z][A-Z0-9_]+)\}", sub, doc)
 
 
@@ -246,6 +248,8 @@ def load_all() -> None:
         return
     for mod in _QUERY_MODULES:
         importlib.import_module(mod)
+    for fn in QUERIES.values():  # after ALL imports: late constants resolve
+        _render_doc_constants(fn)
     front = {name: i for i, name in enumerate(_WINDOW_FRONT)}
     missing = set(front) - set(QUERIES)
     if missing:  # a rename/removal must update _WINDOW_FRONT too

@@ -35,56 +35,56 @@ PKG = REPO / "flink_kakfa_spark"
 # for round 8. Rotate DELIBERATELY (update this list +
 # registry._WINDOW_FRONT together); never by accident.
 DRIVER_WINDOW = [
-    "dedup_survivor_selection",
-    "rag_bm25_multiquery_topk",
-    "text_keyphrase_rake",
-    "ts_cusum_changepoint",
-    "dedup_lsh_band_stats",
-    "graph_neighbor_jaccard_top20",
-    "text_js_divergence_sources",
-    "asof_next_purchase",
-    "merge_scd3_orders",
-    "pipeline_kfold_assignment",
-    "eval_retrieval_metrics",
-    "text_encoding_qa",
-    "sketch_theta_difference",
-    "lake_compaction_plan",
-    "privacy_l_diversity",
-    "text_ngram_coverage",
-    "quality_code_detector",
-    "emb_dim_variance_top",
-    "emb_jl_projection_quality",
-    "ab_test_proportions",
-    "sketch_kmv_set_overlap",
-    "imv_signed_delta_agg",
-    "pareto_frontier_parts",
-    "sketch_kmv_distinct_rollup",
-    "emb_hard_negatives",
-    "decontam_minhash",
-    "eval_langid_metrics",
-    "ts_rolling_1h_value",
-    "text_winnow_guarded",
-    "mm_image_resize_thumb",
-    "mm_audio_resample_stats",
-    "dedup_incremental_ingest",
+    "agg_mode_priority_by_nation",
+    "sql_star_except",
+    "corpus_epoch_capped_budget",
+    "reconcile_table_checksum",
+    "reconcile_snapshot_diff",
+    "path_top_sequences",
+    "drift_psi_report",
+    "dedup_jaccard_prefix_filter",
+    "rag_hybrid_rrf_topk",
+    "join_interval_lookup_binned",
+    "text_bpe_train_merges",
+    "text_bpe_tokenize",
+    "sim_ann_recall_at_k",
+    "sim_lsh_multiprobe_topk",
+    "wordcount",
+    "filter_returned_items",
+    "filter_in_like_null",
+    "distinct_segments",
+    "dedup_exact_keep_first",
     "corpus_dsir_weights",
-    "text_tokenizer_fertility",
-    "graph_degree_stats",
-    "graph_triangle_count",
-    "graph_pagerank_top20",
-    "graph_adamic_adar_top20",
-    "dedup_substring_runs",
-    "agg_hist_quantile_rollup",
-    "decontam_embedding",
-    "emb_covariance_stats",
-    "emb_power_iteration_top",
-    "anomaly_mad_events",
-    "basket_association_rules",
-    "emb_kmeans_portable",
-    "ts_dow_seasonality",
-    "search_trigram_parts",
-    "sample_neyman_allocation",
-    "prep_winsorize_values",
+    "window_topk_orders",
+    "window_rank_dense_rank",
+    "window_lag_lead",
+    "window_running_total",
+    "window_ntile_percentiles",
+    "window_range_frame",
+    "join_inner_revenue",
+    "join_left_order_counts",
+    "join_full_outer_nations",
+    "join_semi_active_customers",
+    "join_anti_inactive_customers",
+    "join_cross_region_nation",
+    "q5_regional_revenue",
+    "q3_shipping_priority",
+    "join_range_event_pairs",
+    "join_part_supplier_value",
+    "agg_pricing_summary",
+    "agg_count_distinct",
+    "agg_approx_count_distinct",
+    "agg_rollup",
+    "agg_cube",
+    "agg_conditional",
+    "agg_collect",
+    "agg_global",
+    "orderby_limit",
+    "union_all_counts",
+    "intersect_custkeys",
+    "except_custkeys",
+    "agg_percentiles",
+    "agg_variance_exact",
 ]
 
 

@@ -8,8 +8,11 @@ No Spark needed.
 from __future__ import annotations
 
 import json
+from pathlib import Path
 
 import bench
+
+REPO = str(Path(__file__).resolve().parent.parent)
 
 
 def _write(dirpath, name, payload):
@@ -44,6 +47,6 @@ def test_records_filter_by_sf_and_tolerate_junk(tmp_path):
 
 
 def test_real_repo_records_exist_for_drift_sentinels():
-    recs = bench.quiet_host_records("/root/repo", "0.1")
+    recs = bench.quiet_host_records(REPO, "0.1")
     for q in bench.DRIFT_SENTINELS:
         assert recs.get(q, 0) > 0, f"no quiet-host record for sentinel {q}"

@@ -146,6 +146,66 @@ def test_oracle_replace_encoding_matches_fold():
         assert got == out, (syms, left, right, got, out)
 
 
+def _micro_documents(tmp_path, texts: list[str]) -> str:
+    """Write a minimal documents.parquet so registered queries (which
+    load by sf_dir) can run on a hand-built corpus."""
+    tmp_path.mkdir(parents=True, exist_ok=True)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    for i, t in enumerate(texts):
+        con.execute("INSERT INTO documents VALUES (?, ?)", [i, t])
+    out = str(tmp_path / "documents.parquet")
+    con.execute(f"COPY documents TO '{out}' (FORMAT PARQUET)")
+    return str(tmp_path)
+
+
+def test_bpe_early_stop_oracle_matches_engine(spark, tmp_path):
+    """Corpus that exhausts merges before N_MERGES rounds: the trainer
+    breaks and tokenizes with the merges learned so far, and the
+    unrolled-CTE oracle must do the same (v{i+1} falls back to v{i}
+    when round i learns nothing) instead of going empty — the latent
+    divergence ADVICE r7 flagged. Pins train AND tokenize, Spark vs
+    DuckDB oracle vs pure-Python, on two shapes: 2 learnable merges,
+    and 0 learnable merges."""
+    from flink_kakfa_spark.operators.bpe import _TOKENIZE_ORACLE, _TRAIN_ORACLE
+
+    for texts, freqs in [
+        (["ab ab"], {"ab": 2}),             # 2 merges then single-symbol words
+        (["q w e r t y"], None),             # all pairs freq 1: 0 merges
+    ]:
+        sf = _micro_documents(tmp_path / f"c{len(texts[0])}", texts)
+        if freqs is None:
+            freqs = Counter(texts[0].split())
+        expected_merges = _py_bpe(dict(freqs), 8)
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS"
+            f" SELECT * FROM read_parquet('{sf}/documents.parquet')"
+        )
+        oracle_merges = [tuple(r) for r in con.execute(_TRAIN_ORACLE).fetchall()]
+        assert oracle_merges == expected_merges
+        spark_merges = [
+            (r["step"], r["left"], r["right"], r["pair_freq"])
+            for r in all_queries()["text_bpe_train_merges"](spark, sf).collect()
+        ]
+        assert spark_merges == expected_merges
+        assert len(expected_merges) < 8  # the early stop actually fired
+
+        counts: Counter = Counter()
+        merge_pairs = [(l, r) for _, l, r, _ in expected_merges]
+        for w, f in freqs.items():
+            for tok in _py_apply(w, merge_pairs):
+                counts[tok] += f
+        expected_tokens = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+        oracle_tokens = [tuple(r) for r in con.execute(_TOKENIZE_ORACLE).fetchall()]
+        assert oracle_tokens == expected_tokens  # pre-fix: 0 rows here
+        spark_tokens = [
+            (r["token"], r["n_occurrences"])
+            for r in all_queries()["text_bpe_tokenize"](spark, sf).collect()
+        ]
+        assert spark_tokens == expected_tokens
+
+
 def test_bpe_tokenize_matches_python_on_fixture(spark, sf_dir):
     rows = duckdb.sql(
         f"""SELECT u.w AS word, COUNT(*) AS f

@@ -51,3 +51,25 @@ def test_query_matches_oracle(name, oracle_spark, duck):
 
     ok, msg = compare(name, oracle_spark, duck, ORACLE_SF_DIR)
     assert ok, f"{name}: {msg}"
+
+
+def test_comparator_is_hash_faithful_on_signed_zero():
+    """The driver's value-hash renders -0.0 and +0.0 differently even
+    though they compare == in IEEE; the local gate must therefore flag
+    a signed-zero divergence instead of reporting all-exact (the
+    corpus_dsir_weights r7 escape). Plain floats stay tolerant."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from tools.diffcheck import values_match
+
+    assert not values_match(-0.0, 0.0)
+    assert not values_match(0.0, -0.0)
+    assert values_match(0.0, 0.0)
+    assert values_match(-0.0, -0.0)
+    assert values_match(1.25, 1.25)
+    assert values_match(1.0, 1.0 + 1e-12)
+    assert not values_match(1.0, 1.1)
+    assert values_match("NaN", "NaN")
+    assert values_match(None, None)
+    assert not values_match(None, 0.0)

@@ -54,6 +54,11 @@ def values_match(a, b) -> bool:
             return a == b
         fa, fb = float(a), float(b)
         if fa == fb:
+            # Hash-faithful: the driver's value-hash renders -0.0 and 0.0
+            # differently even though they compare ==. Require matching
+            # signs on zero so this gate catches what the driver catches.
+            if fa == 0.0 and math.copysign(1.0, fa) != math.copysign(1.0, fb):
+                return False
             return True
         return abs(fa - fb) <= 1e-9 * max(1.0, abs(fa), abs(fb))
     return a == b
