@@ -3,9 +3,10 @@ measured recall floors for every ANN shortlist in the engine, against
 brute-force cosine ground truth (VERDICT r6 item 5).
 
 The floors are deliberately below the measured values (sf0.001:
-ivf 0.7 / lsh 0.2 / lsh_multiprobe 0.4 / pq_adc 0.9 / sq8 1.0) so a
-QUANTIZER regression trips them while fixture regeneration noise does
-not; the exact values are oracle-pinned by the driver differential.
+ivf 0.7 / lsh 0.2 / lsh_multiprobe 0.9 after the round-8 Hamming-2
+upgrade / pq_adc 0.9 / sq8 1.0) so a QUANTIZER regression trips them
+while fixture regeneration noise does not; the exact values are
+oracle-pinned by the driver differential.
 """
 
 from __future__ import annotations
@@ -34,9 +35,11 @@ def test_recall_audit_shape_and_bounds(spark, sf_dir):
 
 
 def test_multiprobe_dominates_single_probe(spark, sf_dir):
-    """Hamming-1 multi-probe candidates are a SUPERSET of the single
-    bucket's, so its recall can never be lower — and on the fixtures
-    the one-bit misses it recovers double recall."""
+    """Hamming-≤2 multi-probe candidates are a SUPERSET of the single
+    bucket's, so its recall can never be lower — and recovering the
+    one- and two-bit misses lifts recall to a usable index level
+    (measured 0.9 here; ≥0.7 is the regression floor, VERDICT r7
+    item 3) even on these worst-case near-uniform fixture vectors."""
     got = _recall(spark, sf_dir)
     assert got["lsh_multiprobe"]["recall"] >= got["lsh"]["recall"]
-    assert got["lsh_multiprobe"]["recall"] >= 0.3
+    assert got["lsh_multiprobe"]["recall"] >= 0.7
