@@ -187,6 +187,34 @@ def q_reconcile_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     shards.
     """
     o = load_table(spark, "orders", sf_dir)
+    return (
+        snapshot_diff_partial(o)
+        .select(
+            "change_type",
+            "n_rows",
+            "sum_key",
+            F.col("price_delta_sum")
+            .cast("decimal(18,2)")
+            .cast("double")
+            .alias("sum_price_delta"),
+        )
+        .orderBy("change_type")
+    )
+
+
+def snapshot_diff_partial(orders: DataFrame) -> DataFrame:
+    """Per-class (n_rows, sum_key, DECIMAL price-delta sum) snapshot
+    diff of an ``orders``-shaped relation — the mergeable unit.
+
+    Both snapshots (and hence both join sides for any key) derive
+    deterministically from the SAME physical orders row, so any
+    row-disjoint split of orders splits the diff into key-disjoint
+    pieces: partials combine by per-class SUM to the full-table diff
+    (the streaming monitor maintains exactly this). The price delta
+    stays DECIMAL here so folding partials is exact; callers cast to
+    double only at report time.
+    """
+    o = orders
     v1 = o.filter(F.col("o_orderkey") % 3 == 0).select(
         F.col("o_orderkey").alias("k"),
         F.col("o_orderstatus").alias("st"),
@@ -233,15 +261,8 @@ def q_reconcile_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("decimal(18,2)")
         .alias("price_delta"),
     )
-    return (
-        d.groupBy("change_type")
-        .agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            F.sum("k").cast("long").alias("sum_key"),
-            F.sum("price_delta")
-            .cast("decimal(18,2)")
-            .cast("double")
-            .alias("sum_price_delta"),
-        )
-        .orderBy("change_type")
+    return d.groupBy("change_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("k").cast("long").alias("sum_key"),
+        F.sum("price_delta").cast("decimal(28,2)").alias("price_delta_sum"),
     )

@@ -398,6 +398,58 @@ def streaming_kmv_monitor(events: DataFrame, path: str, checkpoint: str):
     )
 
 
+# --- streaming snapshot-diff monitor -------------------------------------
+# The snapshot diff (operators/reconcile.py::reconcile_snapshot_diff)
+# classifies every key as added/removed/changed/unchanged by comparing
+# two views that BOTH derive deterministically from the same physical
+# orders row, so a row-disjoint stream of orders splits the diff into
+# key-disjoint pieces: each micro-batch's per-class (COUNT, SUM key,
+# DECIMAL SUM price delta) partial under batch_id=N folds by plain SUM
+# to the exact full-table diff — the same exactly-once recipe as the
+# checksum/CUSUM/CMS/KMV monitors, closing the last drift/reconcile
+# operator without a streaming twin (VERDICT r7 item 6).
+
+from flink_kakfa_spark.operators.reconcile import snapshot_diff_partial
+
+
+def streaming_snapshot_diff_monitor(orders: DataFrame, path: str, checkpoint: str):
+    """Maintain the incremental snapshot diff over an orders stream;
+    returns the StreamingQuery. Crash replay overwrites the batch's
+    own partial subdirectory — idempotent."""
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            snapshot_diff_partial(batch_df)
+            .write.mode("overwrite")
+            .parquet(f"{path}/batch_id={batch_id}")
+        )
+
+    return (
+        orders.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_snapshot_diff(spark: SparkSession, path: str) -> DataFrame:
+    """Fold the per-batch per-class partials to the exact full-history
+    diff report (same columns as ``reconcile_snapshot_diff``)."""
+    return (
+        spark.read.parquet(f"{path}/batch_id=*")
+        .groupBy("change_type")
+        .agg(
+            F.sum("n_rows").cast("long").alias("n_rows"),
+            F.sum("sum_key").cast("long").alias("sum_key"),
+            F.sum("price_delta_sum")
+            .cast("decimal(18,2)")
+            .cast("double")
+            .alias("sum_price_delta"),
+        )
+        .orderBy("change_type")
+    )
+
+
 def read_kmv_estimates(spark: SparkSession, path: str) -> DataFrame:
     """Fold the per-batch k-min partials and read the classic
     ``(k-1) * |space| / kth_min`` estimate per event_type (degrading

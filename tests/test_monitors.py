@@ -343,6 +343,52 @@ def test_streaming_cms_matches_batch_estimates_after_restart(spark, tmp_path):
     assert got == batch
 
 
+def test_streaming_snapshot_diff_matches_batch_after_restart(spark, tmp_path):
+    """Kill/restart evidence for the snapshot-diff monitor: stream half
+    of orders, stop, land the other half, restart from the same
+    checkpoint, restart once more with nothing new — the folded
+    per-class diff (counts, key checksum, DECIMAL-exact price drift)
+    must equal the batch operator's report exactly, with no double
+    counting."""
+    from flink_kakfa_spark.streaming.monitors import (
+        read_snapshot_diff,
+        streaming_snapshot_diff_monitor,
+    )
+
+    full = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    first = full.filter(F.col("o_orderkey") % 2 == 0)
+    second = full.filter(F.col("o_orderkey") % 2 == 1)
+    src = tmp_path / "src"
+    first.repartition(2).write.parquet(str(src / "part0"))
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(full.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/*")
+        )
+        q = streaming_snapshot_diff_monitor(
+            stream, str(tmp_path / "diff"), str(tmp_path / "ckpt")
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    second.repartition(2).write.parquet(str(src / "part1"))
+    run_once()
+    run_once()  # nothing new: partials must not double-fold
+    batch = {
+        r["change_type"]: (r["n_rows"], r["sum_key"], r["sum_price_delta"])
+        for r in all_queries()["reconcile_snapshot_diff"](
+            spark, SF_DIR
+        ).collect()
+    }
+    got = {
+        r["change_type"]: (r["n_rows"], r["sum_key"], r["sum_price_delta"])
+        for r in read_snapshot_diff(spark, str(tmp_path / "diff")).collect()
+    }
+    assert got == batch
+
+
 def test_streaming_kmv_matches_batch_estimates_after_restart(spark, tmp_path):
     """Kill/restart evidence for the KMV monitor: stream half the
     event history, stop, land the rest, restart, restart again with
