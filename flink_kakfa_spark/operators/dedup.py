@@ -676,21 +676,21 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash both engines compute identically — so the whole pipeline is
     engine-portable and DuckDB can verify it value-exactly.
 
-    Candidate generation is BANDED, never all-pairs: the signature
-    splits into 4 bytes, docs equi-join per band (pigeonhole: any pair
-    within Hamming<=3 of a 4-band signature agrees on at least one
-    whole band), and only bucket-mates are XOR/popcount-rescored. At
-    100 TB each band join is an ordinary shuffled equi-join on a 1-byte
-    key + band id; no O(n^2) stage exists IN DISTINCT TEXTS — and
-    since round 7, none in duplicate multiplicity either: identical
-    texts share every band byte, so the banding now runs on one
-    representative per text digest (the 100x sweep spilled >60 GB on
-    the uncollapsed form, the same disease as
-    ``dedup_minhash_portable``), each multi-member group is its own
-    Hamming-0 class, and classes expand through their 21 smallest
-    member ids (``expand_collapsed_pairs``). The oracle recomputes
-    signatures over the UNCOLLAPSED corpus and verifies by brute
-    force, re-proving the collapse lossless.
+    Candidate generation is BANDED, never all-pairs: any pair within
+    Hamming<=3 of a 4-band signature agrees on at least one whole
+    byte band AND (round 8, second pigeonhole) on at least one 6-bit
+    sub-band of that band's complement 24 bits, so candidates
+    equi-join on (band, byte, sub, subv) and only bucket-mates are
+    XOR/popcount-rescored — in the join stage, before any exchange.
+    Collapse runs at TWO levels: identical texts share a digest
+    (round 7), and — since the mutated-duplicate 100x sweep, where
+    perturbed copies defeat the text collapse yet vocabulary-
+    correlated signature bits concentrated 26% of the corpus into one
+    byte bucket — identical SIGNATURES collapse too (hamming is a
+    function of the signature alone), each class expanding through
+    its 21 smallest member ids (``expand_collapsed_pairs``). The
+    oracle recomputes signatures over the UNCOLLAPSED corpus and
+    verifies by brute force, re-proving both collapses lossless.
     """
     d = parallelize(load_table(spark, "documents", sf_dir), spark).select(
         "doc_id", "text"
@@ -723,53 +723,95 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         bit = F.when(F.col(f"b{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
         sig = bit if sig is None else sig + bit
     sigs = votes.select("doc_id", sig.cast("long").alias("simhash"))
-    # Band the signature into 4 bytes; docs sharing any band are candidates.
-    bands = sigs.select(
-        "doc_id",
+    # SECOND collapse, on the SIGNATURE itself (round 8): hamming is a
+    # function of the signature alone, so docs sharing a simhash are a
+    # hamming-0 class and only DISTINCT signatures need to enter the
+    # band join. The mutated-duplicate 100x sweep (copies perturbed by
+    # one token, so the text-digest collapse can't fire) showed why:
+    # signature bits vote on shared vocabulary and correlate hard, so
+    # one band byte held 26% of a 500k-doc corpus and the bucket cross
+    # product filled the disk. Signature collapse cut that corpus
+    # 3.9x; the sub-banding below cuts the remaining bucket depth
+    # multiplicatively. Text-digest classes merge into signature
+    # classes (members = 21 smallest of the union — the same
+    # top-20-sufficiency argument, since every member shares the
+    # class signature). Groups whose text yields no tokens have no
+    # vote row and can never pair — the inner join with sigs drops
+    # them, mirroring the uncollapsed pipeline and the oracle.
+    sgroups = (
+        groups.join(sigs.withColumnRenamed("doc_id", "rep_id"), "rep_id")
+        .groupBy("simhash")
+        .agg(
+            F.min("rep_id").alias("rep_id"),
+            F.sum("n_members").alias("n_members"),
+            F.slice(
+                F.sort_array(F.flatten(F.collect_list("members"))), 1, 21
+            ).alias("members"),
+        )
+        .withColumn("self_score", F.lit(0).cast("integer"))
+        .localCheckpoint()  # consumed by the band pipeline + expansion
+    )
+    # DOUBLE pigeonhole (round 8): a hamming<=3 pair agrees on >= 1 of
+    # the 4 signature bytes (3 flips can't touch all 4 bands), AND —
+    # within that band's complement 24 bits, which also carry <= 3
+    # flips — on >= 1 of its four 6-bit sub-bands. Joining on
+    # (band, byte, sub, subv) is therefore still EXACT for hamming<=3
+    # while cutting bucket depth by the sub-band split; the residual
+    # hamming cut runs in the join stage, so no pre-filter cross
+    # product is ever materialized (the pre-round-8 form spilled
+    # ~2e9 rows into the pair-dedup exchange on the mutated corpus).
+    def _band_struct(band: int, sub: int) -> str:
+        lo_mask = (1 << (8 * band)) - 1
+        rem = (
+            f"(shiftleft(shiftright(simhash, {8 * (band + 1)}), {8 * band})"
+            f" | (simhash & {lo_mask}))"
+        )
+        return (
+            f"struct({band * 4 + sub} AS bk,"
+            f" cast(shiftright(simhash, {8 * band}) & 255 AS int) AS byte,"
+            f" cast(shiftright({rem}, {6 * sub}) & 63 AS int) AS subv)"
+        )
+
+    bands = sgroups.select(
+        F.col("rep_id").alias("doc_id"),
         "simhash",
         F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band"),
-                        F.shiftright("simhash", 8 * i)
-                        .bitwiseAND(F.lit(255))
-                        .alias("byte"),
-                    )
-                    for i in range(4)
-                ]
+            F.expr(
+                "array("
+                + ",".join(
+                    _band_struct(band, sub)
+                    for band in range(4)
+                    for sub in range(4)
+                )
+                + ")"
             )
         ).alias("bb"),
-    ).select("doc_id", "simhash", F.col("bb.band").alias("band"), F.col("bb.byte").alias("byte"))
+    ).select("doc_id", "simhash", "bb.*")
     a = bands.alias("a")
     b_ = bands.alias("b")
-    cand = (
+    rep_pairs = (
         a.join(
             b_,
-            (F.col("a.band") == F.col("b.band"))
+            (F.col("a.bk") == F.col("b.bk"))
             & (F.col("a.byte") == F.col("b.byte"))
+            & (F.col("a.subv") == F.col("b.subv"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.simhash").alias("sig_a"),
-            F.col("b.simhash").alias("sig_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
         )
+        .filter(F.col("hamming") <= 3)
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    rep_pairs = cand.select(
-        "doc_a",
-        "doc_b",
-        F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).alias("hamming"),
-    ).filter(F.col("hamming") <= 3)
-    # groups whose text yields no tokens have no signature row and can
-    # never pair (inner join with sigs drops them) — mirrors the
-    # uncollapsed pipeline, where such docs produce no vote row
-    with_sig = groups.join(
-        sigs.select(F.col("doc_id").alias("rep_id")), "rep_id"
-    ).withColumn("self_score", F.lit(0).cast("integer"))
-    expanded = expand_collapsed_pairs(rep_pairs, with_sig, "hamming")
+    expanded = expand_collapsed_pairs(
+        rep_pairs,
+        sgroups.select("rep_id", "members", "n_members", "self_score"),
+        "hamming",
+    )
     return expanded.orderBy(
         F.col("hamming").asc(), F.col("doc_a").asc(), F.col("doc_b").asc()
     ).limit(20)
@@ -879,9 +921,17 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn(
         "self_score", F.round(self_dot / (self_norm * self_norm), 6)
     ).localCheckpoint()  # consumed by the LSH pipeline + expansions
-    qv = vgroups.select(F.col("rep_id").alias("vec_id"), "emb").withColumn(
+    # Per-vector norm hoisted out of the pair loop, and folded with the
+    # SAME left-associative order as the r7 HOF expression (bit-exact
+    # doubles, oracle parity preserved).
+    sq_sum = "(" + " + ".join(
+        f"emb[{i}] * emb[{i}]" for i in range(_EMB_DIMS)
+    ) + ")"
+    qv = vgroups.select(
+        F.col("rep_id").alias("vec_id"), "emb", "members"
+    ).withColumn(
         "q", F.transform("emb", lambda x: F.floor(x * 1000000).cast("long"))
-    )
+    ).withColumn("nrm", F.expr(f"sqrt({sq_sum})"))
     # One signature per table: sign bits of integer hyperplane projections.
     def sig_for_table(t: int):
         # the whole signature is ONE parsed SQL expression: building it
@@ -900,16 +950,48 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"struct({t} as t, cast(" + " + ".join(bit_terms) + " as bigint) as sig)"
         )
 
+    # ZERO-MATERIALIZATION candidate path (round 8): under 8-bit
+    # tables a dup-mutated 200k-vector corpus genuinely defines
+    # ~6e8 bucket-mate pairs (LSH semantics say rescore them all), so
+    # ANY exchange carrying the candidate relation — a pair-dedup, a
+    # vector re-attach join — spills the disk dead (SCALE.md batch 7;
+    # both the r7 payload-through-join form and a narrow-ids-then-
+    # re-attach form died here). Instead the 64-double payload and
+    # the (<=21-id) member list ride the band join — corpus x tables
+    # rows, ~1 KB each, the CHEAP side when candidates >> corpus —
+    # and everything downstream is stage-local: cosine computed where
+    # the join streams, classes expanded by in-stage explode, straight
+    # into TakeOrdered. A pair surfaces once per shared table, so the
+    # top 20*_EMB_TABLES ordered rows provably contain the top-20
+    # distinct pairs (the k-th distinct pair's last copy has at most
+    # 8k predecessors); the dedup then runs on 160 rows, not 6e8.
+    # Residual cost is the streamed cosines themselves — linear in
+    # candidates, the irreducible LSH rescore work, bounded in
+    # production by scaling bits with log(n).
     banded = qv.select(
         "vec_id",
         "emb",
+        "nrm",
+        "members",
         F.explode(
             F.array(*[sig_for_table(t) for t in range(_EMB_TABLES)])
         ).alias("ts"),
-    ).select("vec_id", "emb", F.col("ts.t").alias("t"), F.col("ts.sig").alias("sig"))
+    ).select(
+        "vec_id", "emb", "nrm", "members",
+        F.col("ts.t").alias("t"), F.col("ts.sig").alias("sig"),
+    )
     a = banded.alias("a")
     b = banded.alias("b")
-    cand = (
+    # The per-pair rescore is ONE whole-stage-codegen expression: a
+    # 64-term unrolled dot (higher-order aggregate/zip_with lambdas
+    # run interpreted per element — ~100x slower on 1e8+ streamed
+    # candidates) over pre-hoisted norms. Term order matches the HOF
+    # fold left-associatively, so the doubles — and the oracle hash —
+    # are bit-identical.
+    dot = F.expr(
+        "(" + " + ".join(f"a.emb[{i}] * b.emb[{i}]" for i in range(_EMB_DIMS)) + ")"
+    )
+    cross = (
         a.join(
             b,
             (F.col("a.t") == F.col("b.t"))
@@ -917,37 +999,41 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
         .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            F.col("a.emb").alias("emb_a"),
-            F.col("b.emb").alias("emb_b"),
+            F.round(dot / (F.col("a.nrm") * F.col("b.nrm")), 6).alias("cos_sim"),
+            F.col("a.members").alias("ma"),
+            F.col("b.members").alias("mb"),
         )
-        .dropDuplicates(["vec_a", "vec_b"])
-    )
-    dot = F.aggregate(
-        F.zip_with("emb_a", "emb_b", lambda x, y: x * y),
-        F.lit(0.0),
-        lambda s, x: s + x,
-    )
-    norm = lambda c: F.sqrt(F.aggregate(c, F.lit(0.0), lambda s, x: s + x * x))  # noqa: E731
-    rep_pairs = cand.select(
-        F.col("vec_a").alias("doc_a"),
-        F.col("vec_b").alias("doc_b"),
-        F.round(dot / (norm(F.col("emb_a")) * norm(F.col("emb_b"))), 6).alias(
-            "cos_sim"
-        ),
-    )
-    expanded = expand_collapsed_pairs(
-        rep_pairs, vgroups.select("rep_id", "members", "n_members", "self_score"),
-        "cos_sim",
-    )
-    return (
-        expanded.select(
-            F.col("doc_a").alias("vec_a"),
-            F.col("doc_b").alias("vec_b"),
+        .select("cos_sim", F.explode("ma").alias("x"), "mb")
+        .select("cos_sim", "x", F.explode("mb").alias("y"))
+        .select(
+            F.least("x", "y").alias("vec_a"),
+            F.greatest("x", "y").alias("vec_b"),
             "cos_sim",
         )
-        .orderBy(F.col("cos_sim").desc(), F.col("vec_a").asc(), F.col("vec_b").asc())
+    )
+    selfc = (
+        vgroups.filter(F.col("n_members") >= 2)
+        .select(F.explode("members").alias("x"), "members", "self_score")
+        .select("x", F.explode("members").alias("y"), "self_score")
+        .filter(F.col("x") < F.col("y"))
+        .select(
+            F.col("x").alias("vec_a"),
+            F.col("y").alias("vec_b"),
+            F.col("self_score").alias("cos_sim"),
+        )
+    )
+    top = (
+        cross.unionByName(selfc)
+        .orderBy(
+            F.col("cos_sim").desc(), F.col("vec_a").asc(), F.col("vec_b").asc()
+        )
+        .limit(20 * _EMB_TABLES)
+    )
+    return (
+        top.dropDuplicates(["vec_a", "vec_b"])
+        .orderBy(
+            F.col("cos_sim").desc(), F.col("vec_a").asc(), F.col("vec_b").asc()
+        )
         .limit(20)
     )
 

@@ -10,6 +10,16 @@ Usage: python tools/scale10.py q1 q2 ...
   SPARK_GRAFT_SF_DIR        override the base fixture dir (default sf0.1)
   SPARK_GRAFT_SCALE_COPIES  replication factor (default 10; 100 for the
                             deep sweep on the structural heavies)
+  SPARK_GRAFT_SCALE_MUTATE=1  perturb each replica instead of copying
+                            verbatim: one text token per document copy
+                            and one vector component per embedding copy
+                            change deterministically per replica. The
+                            copies stay NEAR-duplicates (same band
+                            buckets, cosine ~1) but exact-collapse on
+                            the text/vector digest can no longer absorb
+                            them — the adversarial regime for the
+                            collapse-first pair listers (VERDICT r7
+                            item 4).
   SPARK_GRAFT_SCALE10_REUSE=1  reuse fixtures already on disk — only
                             honored when the build marker matches the
                             current generator/base/copies (a stale or
@@ -33,11 +43,12 @@ from flink_kakfa_spark.session import get_spark
 
 BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 COPIES = int(os.environ.get("SPARK_GRAFT_SCALE_COPIES", "10"))
-OUT = f"/tmp/spark_graft_scale{COPIES}"
+MUTATE = os.environ.get("SPARK_GRAFT_SCALE_MUTATE") == "1"
+OUT = f"/tmp/spark_graft_scale{COPIES}" + ("m" if MUTATE else "")
 
 # bump when the replication scheme changes: a marker with an older
 # version invalidates on-disk fixtures even under REUSE=1
-_GENERATOR_VERSION = 2
+_GENERATOR_VERSION = 3
 _MARKER = "_scale_fixture_marker.json"
 
 # per-table key columns to shift per replica (user_id deliberately NOT
@@ -61,6 +72,7 @@ def _expected_marker(spark) -> dict:
         "version": _GENERATOR_VERSION,
         "base": BASE,
         "copies": COPIES,
+        "mutate": MUTATE,
         "rows": rows,
     }
 
@@ -104,6 +116,32 @@ def build(spark) -> None:
             p = df
             for k, off in offs.items():
                 p = p.withColumn(k, F.col(k) + F.lit(i * off))
+            if MUTATE and i > 0 and t == "documents":
+                # overwrite the (doc_id + i) % n_tokens-th token with a
+                # replica-unique one: the digest changes, the vast
+                # majority of shingles/bands do not
+                p = p.withColumn(
+                    "text",
+                    F.expr(
+                        "array_join(transform(split(text, ' '), (w, j) ->"
+                        f" CASE WHEN j = CAST((doc_id + {i}) %"
+                        " size(split(text, ' ')) AS INT)"
+                        f" THEN 'mu{i}' ELSE w END), ' ')"
+                    ),
+                )
+            if MUTATE and i > 0 and t == "embeddings":
+                # nudge one component by a tiny replica-specific amount:
+                # cosine to the original stays ~1, but vector-digest
+                # collapse can no longer merge the copies
+                p = p.withColumn(
+                    "embedding",
+                    F.expr(
+                        "transform(embedding, (x, j) -> CASE WHEN j ="
+                        f" CAST((vec_id + {i}) % size(embedding) AS INT)"
+                        f" THEN CAST(x + {1e-4 * ((i % 7) + 1)} AS FLOAT)"
+                        " ELSE x END)"
+                    ),
+                )
             parts.append(p)
         out = parts[0]
         for p in parts[1:]:
@@ -113,10 +151,16 @@ def build(spark) -> None:
         json.dump(expected, f)
 
 
+# SPARK_GRAFT_SCALE_RUNS: timed repetitions after the warm run
+# (default 2, best-of). Set 1 for multi-minute structural heavies
+# where a second pass buys little and costs a lot of wall clock.
+RUNS = max(1, int(os.environ.get("SPARK_GRAFT_SCALE_RUNS", "2")))
+
+
 def timed(fn, spark, sf_dir: str) -> float:
     fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm
     best = float("inf")
-    for _ in range(2):
+    for _ in range(RUNS):
         t0 = time.time()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         best = min(best, time.time() - t0)
