@@ -824,18 +824,41 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # no float accumulation anywhere, so Spark and DuckDB produce
 # bit-identical buckets and the oracle is value-exact on the SAME
 # sub-quadratic algorithm (not on a brute-force stand-in).
+#
+# BIT DEPTH IS ADAPTIVE (round 8): bits = max(8, ceil_log2(n) - 4),
+# computed INTEGER-EXACTLY on both engines (Python int.bit_length vs
+# DuckDB LENGTH(FORMAT('{:b}', n-1)) — no float log2 whose last ulp
+# could diverge), so buckets stay ~16 vectors deep no matter the
+# corpus. The mutated-duplicate 100x sweep is why: 200k distinct
+# vectors under the fixture-tuned 8 fixed bits meant 780-deep buckets
+# and 2.15e9 candidate rescores (~20 min/run even fully codegen'd);
+# at the adaptive 14 bits the same corpus rescores ~1% of that. All
+# committed fixtures have n <= 4096, so the driver/diffcheck scales
+# still run at exactly 8 bits.
 _EMB_DIMS = 64
 _EMB_TABLES = 8
 _EMB_BITS = 8
 
 
-def _emb_lcg(t: int, j: int, i: int) -> int:
+def _emb_bits(n_vectors: int) -> int:
+    """Adaptive signature depth: ceil(log2(n)) - 4 (buckets ~16 deep),
+    floored at the fixture-scale {_EMB_BITS}."""
+    return max(_EMB_BITS, (max(n_vectors, 1) - 1).bit_length() - 4)
+
+
+def _emb_lcg(t: int, j: int, i: int, bits: int) -> int:
     """Hyperplane weight for (table t, bit j, 0-based dim i)."""
-    return ((1103515245 * ((t * _EMB_BITS + j) * _EMB_DIMS + i) + 12345) % 1048576) - 524288
+    return ((1103515245 * ((t * bits + j) * _EMB_DIMS + i) + 12345) % 1048576) - 524288
 
 
 _EMB_ORACLE = f"""
-    WITH qv AS (
+    WITH nb AS (
+      SELECT GREATEST({_EMB_BITS},
+                      LENGTH(FORMAT('{{:b}}', GREATEST(COUNT(*), 1) - 1)) - 4)
+             AS b
+      FROM embeddings
+    ),
+    qv AS (
       SELECT vec_id,
              i,
              CAST(FLOOR(list_extract(CAST(embedding AS DOUBLE[]), i) * 1000000)
@@ -844,12 +867,12 @@ _EMB_ORACLE = f"""
     ),
     proj AS (
       SELECT vec_id, t, j, SUM(q * (
-        ((1103515245 * ((t * {_EMB_BITS} + j) * {_EMB_DIMS} + (i - 1)) + 12345)
+        ((1103515245 * ((t * nb.b + j) * {_EMB_DIMS} + (i - 1)) + 12345)
           % 1048576) - 524288
       )) AS p
-      FROM qv,
+      FROM qv, nb,
            UNNEST(generate_series(0, {_EMB_TABLES - 1})) AS tt(t),
-           UNNEST(generate_series(0, {_EMB_BITS - 1})) AS jj(j)
+           UNNEST(generate_series(0, nb.b - 1)) AS jj(j)
       GROUP BY vec_id, t, j
     ),
     sigs AS (
@@ -879,24 +902,30 @@ _EMB_ORACLE = f"""
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup: top-20 LSH-candidate pairs by cosine similarity.
 
-    Candidate generation is hyperplane LSH (8 tables x 8 sign bits):
-    vectors equi-join on (table, signature), so
+    Candidate generation is hyperplane LSH (8 tables, adaptive sign-bit
+    depth — ``_emb_bits``): vectors equi-join on (table, signature), so
     only bucket-mates are compared — an ordinary shuffled join on a
     small integer key, never an O(n^2) stage. Candidates are then
-    exact-rescored with higher-order functions (JVM-side, no UDF) and
-    the global top-20 kept. The hyperplanes are integer LCG weights
-    over floor-quantized components, making the buckets deterministic
-    and engine-portable: the DuckDB oracle runs the SAME algorithm
+    exact-rescored (one whole-stage-codegen unrolled dot over hoisted
+    norms) and the global top-20 kept. The hyperplanes are integer LCG
+    weights over floor-quantized components, making the buckets
+    deterministic and engine-portable: the DuckDB oracle runs the SAME
+    algorithm — including the same integer-exact adaptive bit count —
     independently and matches value-exactly. Brute-force cosine remains
     as the recall yardstick in tests/test_llm_ops.py.
 
-    At 100 TB: bits scale with log(n) to keep buckets O(1); each table
-    is one shuffle on an 8-bit-to-32-bit key; skewed buckets (dense
-    regions) are AQE-split.
+    At 100 TB: bits scale with log(n) to keep buckets ~16 deep (this
+    is IMPLEMENTED, not aspirational — the fixture-pinned 8-bit floor
+    only applies below 4097 vectors); each table is one shuffle on a
+    small integer key; skewed buckets (dense regions) are AQE-split.
     """
     e = parallelize(load_table(spark, "embeddings", sf_dir), spark).select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("emb")
     )
+    # one cheap count action to size the index — the same "driver-side
+    # scalar picks the plan" pattern as the BPE trainer's per-round
+    # argmax; the oracle recomputes it from COUNT(*) identically
+    bits = _emb_bits(e.count())
     # Exact-collapse-first (round 7): identical vectors share every
     # table signature, so duplicate embeddings (the normal product of
     # duplicate documents) used to expand O(m^2) bucket pairs per
@@ -933,22 +962,31 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         "q", F.transform("emb", lambda x: F.floor(x * 1000000).cast("long"))
     ).withColumn("nrm", F.expr(f"sqrt({sq_sum})"))
     # One signature per table: sign bits of integer hyperplane projections.
-    def sig_for_table(t: int):
-        # the whole signature is ONE parsed SQL expression: building it
-        # from per-literal Column objects (4096 lit() py4j calls + 64
-        # Python lambda conversions) cost ~8s of plan-build time per
-        # invocation; a string parse is milliseconds
-        bit_terms = []
-        for j in range(_EMB_BITS):
-            weights = ",".join(f"{_emb_lcg(t, j, i)}L" for i in range(_EMB_DIMS))
-            proj = (
-                f"aggregate(zip_with(q, array({weights}), (x, w) -> x * w), "
-                "0L, (acc, x) -> acc + x)"
-            )
-            bit_terms.append(f"(case when {proj} > 0 then {1 << j} else 0 end)")
+    # The projections are UNROLLED 64-term integer sums, not
+    # higher-order folds — HOF lambdas evaluate interpreted, and at
+    # adaptive depth the signature pass alone is corpus x tables x
+    # bits x dims lambda steps (~1.4e9 on the mutated 100x corpus).
+    # Integer addition is exactly associative, so the unroll is
+    # bit-identical. Each (table, bit) projection is its OWN small
+    # column: a single tables*bits*dims-term expression exceeds
+    # Janino's method-size limit, fails to compile, and silently
+    # drops the whole stage to interpreted mode (observed: 7168-term
+    # struct array). 64-term columns codegen cleanly; a second select
+    # folds them into per-table signatures.
+    def proj_col(t: int, j: int):
         return F.expr(
-            f"struct({t} as t, cast(" + " + ".join(bit_terms) + " as bigint) as sig)"
+            " + ".join(
+                f"q[{i}] * {_emb_lcg(t, j, i, bits)}L"
+                for i in range(_EMB_DIMS)
+            )
+        ).alias(f"p_{t}_{j}")
+
+    def sig_for_table(t: int):
+        packed = " + ".join(
+            f"(case when p_{t}_{j} > 0 then {1 << j} else 0 end)"
+            for j in range(bits)
         )
+        return F.expr(f"struct({t} as t, cast({packed} as bigint) as sig)")
 
     # ZERO-MATERIALIZATION candidate path (round 8): under 8-bit
     # tables a dup-mutated 200k-vector corpus genuinely defines
@@ -968,7 +1006,20 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Residual cost is the streamed cosines themselves — linear in
     # candidates, the irreducible LSH rescore work, bounded in
     # production by scaling bits with log(n).
-    banded = qv.select(
+    # localCheckpoint is a CollapseProject barrier, not (only) a
+    # lineage cut: without it Catalyst folds this projection into the
+    # signature-struct select below, reconstituting the single
+    # tables*bits*dims-term expression that Janino cannot compile —
+    # and the whole stage silently drops to interpreted mode. The
+    # materialized frame is corpus-of-DISTINCT-vectors sized.
+    projs = qv.select(
+        "vec_id",
+        "emb",
+        "nrm",
+        "members",
+        *[proj_col(t, j) for t in range(_EMB_TABLES) for j in range(bits)],
+    ).localCheckpoint()
+    banded = projs.select(
         "vec_id",
         "emb",
         "nrm",

@@ -116,6 +116,46 @@ def test_embedding_lsh_dedup_finds_planted_pairs(spark, tmp_path):
     assert all(r["cos_sim"] > 0.99 for r in out[:5])
 
 
+def test_embedding_lsh_adaptive_bits_matches_oracle(spark, tmp_path):
+    """Above 4096 vectors the LSH bit depth leaves its fixture floor
+    (bits = ceil_log2(n) - 4); no committed fixture exercises that
+    branch, so this pins Spark == DuckDB on a 4200-vector deterministic
+    corpus where bits = 9 — the adaptive formula must produce the same
+    integer on both engines (int.bit_length vs FORMAT('{:b}')) or the
+    buckets diverge wholesale."""
+    import duckdb
+
+    from flink_kakfa_spark.operators.dedup import _EMB_ORACLE, _emb_bits
+    from flink_kakfa_spark.registry import all_queries
+
+    n = 4200
+    assert _emb_bits(n) == 9  # the test is pointless if it stays at the floor
+    con = duckdb.connect()
+    con.execute(
+        f"""
+        CREATE VIEW embeddings AS
+        SELECT i AS vec_id,
+               [CAST((((i * 64 + d) * 2654435761) % 2000) / 1000.0 - 1.0
+                     AS FLOAT) FOR d IN range(64)] AS embedding,
+               0 AS label
+        FROM range({n}) t(i)
+        """
+    )
+    con.execute(
+        f"COPY (SELECT * FROM embeddings) TO '{tmp_path}/embeddings.parquet'"
+        " (FORMAT PARQUET)"
+    )
+    expected = con.execute(_EMB_ORACLE).fetchall()
+    got = [
+        (r["vec_a"], r["vec_b"], r["cos_sim"])
+        for r in all_queries()["dedup_embedding_cosine"](
+            spark, str(tmp_path)
+        ).collect()
+    ]
+    assert got == [tuple(r) for r in expected]
+    assert len(got) > 0
+
+
 def test_banded_dedup_plans_have_no_quadratic_join(spark, sf_dir):
     """The round-3 rewrites must leave no cartesian/BNLJ stage."""
     for name in ("dedup_simhash", "dedup_embedding_cosine"):
