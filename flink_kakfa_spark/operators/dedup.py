@@ -918,6 +918,12 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     is IMPLEMENTED, not aspirational — the fixture-pinned 8-bit floor
     only applies below 4097 vectors); each table is one shuffle on a
     small integer key; skewed buckets (dense regions) are AQE-split.
+
+    NOTE (registry contract): this builder is NOT a pure lazy plan
+    constructor — it runs two small eager jobs at construction time
+    (the adaptive-bits COUNT below and the projection localCheckpoint),
+    the documented "driver-side scalar picks the plan" exception in
+    ``registry``'s module docstring. Inspect plans at sf0.001.
     """
     e = parallelize(load_table(spark, "embeddings", sf_dir), spark).select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("emb")

@@ -432,10 +432,11 @@ def q_sim_cosine_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = parallelize(load_table(spark, "embeddings", sf_dir), spark).select(
         "vec_id", as_double("embedding").alias("emb")
     )
-    # broadcast 1-row query vector instead of a driver-side .head():
-    # the vector stays inside the plan, so the query is lazily
-    # re-resolvable and runs no job at construction time
-    qv = F.broadcast(e.filter(F.col("vec_id") == 0).select(F.col("emb").alias("qemb")))
+    # 1-row query vector kept inside the plan instead of a driver-side
+    # .head(): the query stays lazily re-resolvable and runs no job at
+    # construction time (the broadcast hint is applied at the crossJoin
+    # call site below, matching every other 1-row crossJoin in the repo)
+    qv = e.filter(F.col("vec_id") == 0).select(F.col("emb").alias("qemb"))
 
     @pandas_udf("double")
     def cos_to_query(embs: pd.Series, qembs: pd.Series) -> pd.Series:
@@ -450,7 +451,7 @@ def q_sim_cosine_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return (
         e.filter(F.col("vec_id") != 0)
-        .crossJoin(qv)
+        .crossJoin(F.broadcast(qv))
         .select(
             "vec_id",
             F.round(cos_to_query(F.col("emb"), F.col("qemb")), 6).alias("cos_sim"),

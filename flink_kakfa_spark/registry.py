@@ -8,6 +8,13 @@ ANSI-SQL oracle string that DuckDB runs over the same Parquet fixtures.
 Invariant: the Spark result's column names must equal the oracle's
 (the driver sorts columns by name before value-hashing), so every
 computed column is aliased identically on both sides.
+
+Builders are ALMOST all pure lazy plan constructors, but the contract
+does not require it: a builder MAY run small eager sizing actions at
+construction time when a driver-side scalar picks the plan (documented
+per query — today ``dedup_embedding_cosine``'s adaptive-bits COUNT and
+projection checkpoint, and the BPE trainer's per-round merge loop).
+Tooling that only wants to inspect plans should build at sf0.001.
 """
 
 from __future__ import annotations
@@ -212,25 +219,36 @@ def _render_doc_constants(fn: QueryFn) -> None:
     Runs from ``load_all()`` AFTER every operator module has finished
     importing — not at decoration time — so a docstring may reference a
     constant defined later in its module. Every SCREAMING_SNAKE token
-    must resolve; a typo'd or missing constant raises here (fails CI
-    this round) instead of silently rendering a literal placeholder.
-    Example braces like ``{k: v}`` don't match the pattern and are
-    left untouched.
+    must resolve to a non-None value; unresolved tokens are COLLECTED
+    and reported in one NameError (fails CI this round) instead of
+    silently rendering a literal placeholder or dying on the first
+    offender. A None-valued constant is treated as unresolved by
+    policy: rendering the string 'None' into user-facing help() is
+    always a bug, never intent (ADVICE r8). Example braces like
+    ``{k: v}`` don't match the pattern and are left untouched.
     """
     doc = fn.__doc__
     if not doc or "{" not in doc:
         return
     mod_vars = vars(sys.modules.get(fn.__module__)) if fn.__module__ else {}
+    bad: list[str] = []
 
     def sub(m: re.Match[str]) -> str:
-        if m.group(1) not in mod_vars:
-            raise NameError(
-                f"docstring of {fn.__module__}.{fn.__name__} references "
-                f"{{{m.group(1)}}} but no such module constant exists"
+        tok = m.group(1)
+        if mod_vars.get(tok) is None:  # missing OR explicitly None
+            bad.append(
+                f"{{{tok}}} ({'None-valued' if tok in mod_vars else 'missing'})"
             )
-        return str(mod_vars[m.group(1)])
+            return m.group(0)
+        return str(mod_vars[tok])
 
-    fn.__doc__ = re.sub(r"\{(_?[A-Z][A-Z0-9_]+)\}", sub, doc)
+    rendered = re.sub(r"\{(_?[A-Z][A-Z0-9_]+)\}", sub, doc)
+    if bad:
+        raise NameError(
+            f"docstring of {fn.__module__}.{fn.__name__} references "
+            f"unresolvable module constants: {', '.join(bad)}"
+        )
+    fn.__doc__ = rendered
 
 
 def load_all() -> None:

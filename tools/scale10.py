@@ -48,7 +48,7 @@ OUT = f"/tmp/spark_graft_scale{COPIES}" + ("m" if MUTATE else "")
 
 # bump when the replication scheme changes: a marker with an older
 # version invalidates on-disk fixtures even under REUSE=1
-_GENERATOR_VERSION = 3
+_GENERATOR_VERSION = 4
 _MARKER = "_scale_fixture_marker.json"
 
 # per-table key columns to shift per replica (user_id deliberately NOT
@@ -119,14 +119,19 @@ def build(spark) -> None:
             if MUTATE and i > 0 and t == "documents":
                 # overwrite the (doc_id + i) % n_tokens-th token with a
                 # replica-unique one: the digest changes, the vast
-                # majority of shingles/bands do not
+                # majority of shingles/bands do not. A single-token doc
+                # gets the token APPENDED instead — replacing its only
+                # token would make the replica a full rewrite, not a
+                # near-duplicate (ADVICE r8)
                 p = p.withColumn(
                     "text",
                     F.expr(
-                        "array_join(transform(split(text, ' '), (w, j) ->"
+                        "CASE WHEN size(split(text, ' ')) <= 1"
+                        f" THEN concat(text, ' mu{i}')"
+                        " ELSE array_join(transform(split(text, ' '), (w, j) ->"
                         f" CASE WHEN j = CAST((doc_id + {i}) %"
                         " size(split(text, ' ')) AS INT)"
-                        f" THEN 'mu{i}' ELSE w END), ' ')"
+                        f" THEN 'mu{i}' ELSE w END), ' ') END"
                     ),
                 )
             if MUTATE and i > 0 and t == "embeddings":
