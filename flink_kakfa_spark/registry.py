@@ -13,7 +13,9 @@ Builders are ALMOST all pure lazy plan constructors, but the contract
 does not require it: a builder MAY run small eager sizing actions at
 construction time when a driver-side scalar picks the plan (documented
 per query — today ``dedup_embedding_cosine``'s adaptive-bits COUNT and
-projection checkpoint, and the BPE trainer's per-round merge loop).
+projection checkpoint, ``text_winnow_fingerprints``'s phase-1 seed
+collect (20 rows) bounding its phase-2 prefix length, and the BPE
+trainer's per-round merge loop).
 Tooling that only wants to inspect plans should build at sf0.001.
 """
 
@@ -80,83 +82,20 @@ _QUERY_MODULES = [
     "flink_kakfa_spark.operators.skyline",
 ]
 
-# ROUND-8 WINDOW ROTATION (executes the round-8 plan written here in
-# round 7): the driver verifies only the FIRST 50 registered names, so
+# ROUND-9 WINDOW ROTATION (executes the round-9 plan written here in
+# round 8): the driver verifies only the FIRST 50 registered names, so
 # these queries are pulled to the front of the registry regardless of
-# module order. The window is the 19-name r7 plan verbatim (the last
-# 14 never-driver-checked oracle queries + the 5-name oldest-evidence
-# refresh), then ``corpus_dsir_weights`` (r7's one red row — the
-# signed-zero fix in operators/curation.py must be re-proven green),
-# then the 30 next-oldest-evidence names (all last checked r2).
-# Everything pushed behind the window is green in r1–r7 driver history
-# AND re-verified every round by tools/diffcheck.py. Update
-# tests/test_000_smoke.py::DRIVER_WINDOW in the same commit as any
-# change here.
+# module order. With zero never-driver-checked oracle queries left
+# after r8, the window is pure oldest-evidence refresh: the 15-name r8
+# plan verbatim (the 8 last r2-evidence names + the 7 oldest r4 names,
+# including the mutated-regime pair listers hardened this round), then
+# ALL 35 remaining r4-evidence names — after this window the oldest
+# driver evidence anywhere is r5. Everything pushed behind the window
+# is green in r1–r8 driver history AND re-verified every round by
+# tools/diffcheck.py. Update tests/test_000_smoke.py::DRIVER_WINDOW in
+# the same commit as any change here.
 _WINDOW_FRONT = [
-    "agg_mode_priority_by_nation",
-    "sql_star_except",
-    "corpus_epoch_capped_budget",
-    "reconcile_table_checksum",
-    "reconcile_snapshot_diff",
-    "path_top_sequences",
-    "drift_psi_report",
-    "dedup_jaccard_prefix_filter",
-    "rag_hybrid_rrf_topk",
-    "join_interval_lookup_binned",
-    "text_bpe_train_merges",
-    "text_bpe_tokenize",
-    "sim_ann_recall_at_k",
-    "sim_lsh_multiprobe_topk",
-    "wordcount",
-    "filter_returned_items",
-    "filter_in_like_null",
-    "distinct_segments",
-    "dedup_exact_keep_first",
-    "corpus_dsir_weights",
-    "window_topk_orders",
-    "window_rank_dense_rank",
-    "window_lag_lead",
-    "window_running_total",
-    "window_ntile_percentiles",
-    "window_range_frame",
-    "join_inner_revenue",
-    "join_left_order_counts",
-    "join_full_outer_nations",
-    "join_semi_active_customers",
-    "join_anti_inactive_customers",
-    "join_cross_region_nation",
-    "q5_regional_revenue",
-    "q3_shipping_priority",
-    "join_range_event_pairs",
-    "join_part_supplier_value",
-    "agg_pricing_summary",
-    "agg_count_distinct",
-    "agg_approx_count_distinct",
-    "agg_rollup",
-    "agg_cube",
-    "agg_conditional",
-    "agg_collect",
-    "agg_global",
-    "orderby_limit",
-    "union_all_counts",
-    "intersect_custkeys",
-    "except_custkeys",
-    "agg_percentiles",
-    "agg_variance_exact",
-]
-
-# ROUND-9 ROTATION PLAN (write of record, same protocol as the
-# r7->r8 handoff this file just executed). Every oracle-backed query
-# now has at least one driver-green round once CORRECTNESS_r08 lands,
-# so rotation is pure staleness refresh: the 8 remaining names whose
-# evidence is r2, then the 7 oldest r4 names. Round-8 additions (if
-# any) are appended by the commit that registers them; the round-9
-# window is this plan followed by next-oldest-evidence backfill up to
-# 50. This is a REAL constant (not a comment) so tests can assert
-# every name exists — a typo here fails CI this round, not next round.
-# Update tests/test_000_smoke.py::DRIVER_WINDOW in the same commit.
-_NEXT_WINDOW_PLAN = [
-    # last remaining r2-evidence names
+    # r8 plan verbatim: r2-evidence scalar tail
     "sample_seeded",
     "agg_argmax",
     "scalar_null_funcs",
@@ -165,7 +104,8 @@ _NEXT_WINDOW_PLAN = [
     "scalar_date_funcs",
     "scalar_math_funcs",
     "scalar_conditional_funcs",
-    # oldest r4-evidence names
+    # r8 plan verbatim: oldest r4 names (the round-9 mutated-regime
+    # hardening targets re-prove value-exactness here)
     "wordcount_topk",
     "dedup_exact_stats",
     "dedup_ngram_jaccard",
@@ -173,6 +113,103 @@ _NEXT_WINDOW_PLAN = [
     "dedup_minhash_portable",
     "dedup_simhash",
     "dedup_embedding_cosine",
+    # remaining r4-evidence names (all of them; 2 rows-only back-pins
+    # excluded by policy)
+    "asof_last_purchase",
+    "dedup_clusters",
+    "dedup_fuzzy_partnames",
+    "dedup_near_unique",
+    "merge_scd1_orders",
+    "mm_binary_metadata",
+    "mm_decode_frames",
+    "pipeline_stratified_sample",
+    "sim_cosine_topk",
+    "sim_cosine_topk_pandas",
+    "sim_euclidean_topk",
+    "sim_ivf_cell_stats",
+    "sim_ivf_portable_topk",
+    "sim_lsh_ann_topk",
+    "sql_correlated_exists",
+    "sql_cte_top_nations",
+    "sql_grouping_sets",
+    "sql_having_scalar_subquery",
+    "sql_in_subquery_not_in",
+    "sql_lateral_posexplode",
+    "sql_pivot_status_by_priority",
+    "sql_ranked_subquery_filter",
+    "text_bigram_top20",
+    "text_fingerprint",
+    "text_fingerprint_rolling",
+    "text_lang_id",
+    "text_quality_score",
+    "text_tfidf_top20",
+    "text_token_count_estimate",
+    "text_token_stats",
+    "ts_gapfill_locf",
+    "ts_resample_gapfill",
+    "window_session_events",
+    "window_sliding_events",
+    "window_tumbling_events",
+]
+
+# ROUND-10 ROTATION PLAN (write of record, same protocol as the
+# r8->r9 handoff this file just executed). After the r9 window lands,
+# the oldest driver evidence anywhere is the r5 block — exactly 50
+# names, so the round-10 window IS this plan (no backfill needed).
+# This is a REAL constant (not a comment) so tests can assert every
+# name exists — a typo here fails CI this round, not next round.
+# Update tests/test_000_smoke.py::DRIVER_WINDOW in the same commit.
+_NEXT_WINDOW_PLAN = [
+    "agg_approx_percentile_bounds",
+    "agg_hll_mergeable_rollup",
+    "agg_salted_wordcount",
+    "anomaly_zscore_events",
+    "cep_error_then_purchase",
+    "corpus_domain_filter",
+    "corpus_mixture_weights",
+    "corpus_source_stats",
+    "corpus_temperature_sample",
+    "decontam_eval_overlap",
+    "dedup_paragraphs",
+    "emb_centroid_purity",
+    "emb_matryoshka_quality",
+    "emb_quality_stats",
+    "funnel_signup_click_purchase",
+    "mm_bmp_roundtrip_features",
+    "mm_extract_features",
+    "mm_wav_roundtrip_features",
+    "pii_redact",
+    "pii_scan_stats",
+    "pipeline_chunk_documents",
+    "pipeline_pack_sequences",
+    "pipeline_training_prep",
+    "quality_containment_score",
+    "quality_gopher_filter",
+    "reference_message_shape",
+    "sample_k_per_source",
+    "scalar_array_funcs",
+    "scalar_cast_funcs",
+    "scalar_date_funcs2",
+    "scalar_from_json_struct",
+    "scalar_json_extract",
+    "scalar_map_funcs",
+    "sim_sq8_rescore_topk",
+    "sql_recursive_month_spine",
+    "text_lang_distribution",
+    "text_length_histogram",
+    "text_oov_rate",
+    "text_repetition_ngrams",
+    "text_unigram_surprisal",
+    "tpch_q10_returned_revenue",
+    "tpch_q12_priority_by_linestatus",
+    "tpch_q14_promo_share",
+    "tpch_q16_supplier_relationship",
+    "tpch_q18_big_orders",
+    "tpch_q19_disjunctive_predicates",
+    "tpch_q2_min_unit_price",
+    "tpch_q4_late_shipments",
+    "tpch_q7_nation_volume",
+    "tpch_q8_market_share",
 ]
 
 # Queries registered WITHOUT oracle SQL (rows-only driver check, by

@@ -26,65 +26,68 @@ REPO = pathlib.Path(__file__).resolve().parent.parent
 PKG = REPO / "flink_kakfa_spark"
 
 # The curated driver-verification window (first 50 registered names).
-# Rounds 1-2 spent the window on the relational block (all green);
-# round 4 on the LLM-pipeline block; round 5 on the scalar tail;
-# round 6 on the first 50 of the zero-driver-evidence backlog (all
-# 50/50 green). Round 7 takes the NEXT 50 of that backlog (round-6
-# additions + graph/embedding/eval/dedup families); the 10-name tail
-# plus stale-evidence backfill is pinned as registry._NEXT_WINDOW_PLAN
-# for round 8. Rotate DELIBERATELY (update this list +
-# registry._WINDOW_FRONT together); never by accident.
+# Rounds 1-2 spent the window on the relational block; round 4 the
+# LLM-pipeline block; round 5 the scalar tail; rounds 6-7 the
+# zero-driver-evidence backlog; round 8 the last never-checked names +
+# corpus_dsir_weights re-proof + the r2-evidence refresh (50/50
+# green). Round 9 is pure oldest-evidence refresh: the 15-name r8 plan
+# (r2 scalar tail + the 7 oldest r4 names, including the
+# mutated-regime pair listers hardened this round) + all 35 remaining
+# r4-evidence names — after this window the oldest evidence anywhere
+# is r5, which is _NEXT_WINDOW_PLAN verbatim. Rotate DELIBERATELY
+# (update this list + registry._WINDOW_FRONT together); never by
+# accident.
 DRIVER_WINDOW = [
-    "agg_mode_priority_by_nation",
-    "sql_star_except",
-    "corpus_epoch_capped_budget",
-    "reconcile_table_checksum",
-    "reconcile_snapshot_diff",
-    "path_top_sequences",
-    "drift_psi_report",
-    "dedup_jaccard_prefix_filter",
-    "rag_hybrid_rrf_topk",
-    "join_interval_lookup_binned",
-    "text_bpe_train_merges",
-    "text_bpe_tokenize",
-    "sim_ann_recall_at_k",
-    "sim_lsh_multiprobe_topk",
-    "wordcount",
-    "filter_returned_items",
-    "filter_in_like_null",
-    "distinct_segments",
-    "dedup_exact_keep_first",
-    "corpus_dsir_weights",
-    "window_topk_orders",
-    "window_rank_dense_rank",
-    "window_lag_lead",
-    "window_running_total",
-    "window_ntile_percentiles",
-    "window_range_frame",
-    "join_inner_revenue",
-    "join_left_order_counts",
-    "join_full_outer_nations",
-    "join_semi_active_customers",
-    "join_anti_inactive_customers",
-    "join_cross_region_nation",
-    "q5_regional_revenue",
-    "q3_shipping_priority",
-    "join_range_event_pairs",
-    "join_part_supplier_value",
-    "agg_pricing_summary",
-    "agg_count_distinct",
-    "agg_approx_count_distinct",
-    "agg_rollup",
-    "agg_cube",
-    "agg_conditional",
-    "agg_collect",
-    "agg_global",
-    "orderby_limit",
-    "union_all_counts",
-    "intersect_custkeys",
-    "except_custkeys",
-    "agg_percentiles",
-    "agg_variance_exact",
+    "sample_seeded",
+    "agg_argmax",
+    "scalar_null_funcs",
+    "unpivot_price_measures",
+    "scalar_string_funcs",
+    "scalar_date_funcs",
+    "scalar_math_funcs",
+    "scalar_conditional_funcs",
+    "wordcount_topk",
+    "dedup_exact_stats",
+    "dedup_ngram_jaccard",
+    "dedup_ngram_jaccard_guarded",
+    "dedup_minhash_portable",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
+    "asof_last_purchase",
+    "dedup_clusters",
+    "dedup_fuzzy_partnames",
+    "dedup_near_unique",
+    "merge_scd1_orders",
+    "mm_binary_metadata",
+    "mm_decode_frames",
+    "pipeline_stratified_sample",
+    "sim_cosine_topk",
+    "sim_cosine_topk_pandas",
+    "sim_euclidean_topk",
+    "sim_ivf_cell_stats",
+    "sim_ivf_portable_topk",
+    "sim_lsh_ann_topk",
+    "sql_correlated_exists",
+    "sql_cte_top_nations",
+    "sql_grouping_sets",
+    "sql_having_scalar_subquery",
+    "sql_in_subquery_not_in",
+    "sql_lateral_posexplode",
+    "sql_pivot_status_by_priority",
+    "sql_ranked_subquery_filter",
+    "text_bigram_top20",
+    "text_fingerprint",
+    "text_fingerprint_rolling",
+    "text_lang_id",
+    "text_quality_score",
+    "text_tfidf_top20",
+    "text_token_count_estimate",
+    "text_token_stats",
+    "ts_gapfill_locf",
+    "ts_resample_gapfill",
+    "window_session_events",
+    "window_sliding_events",
+    "window_tumbling_events",
 ]
 
 
