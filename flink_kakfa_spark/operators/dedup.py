@@ -212,7 +212,26 @@ def _jaccard_pairs(
 def _jaccard_pairs_from(
     docs: DataFrame, max_shingle_df: int | None = None
 ) -> DataFrame:
-    """Shingle-join Jaccard pairs over an arbitrary (doc_id, text) frame."""
+    """Shingle-join Jaccard pairs over an arbitrary (doc_id, text) frame.
+
+    Classic inverted-index + pair aggregation. This form is the right
+    one for this helper's three callers — ``dedup_ngram_jaccard``
+    (documented unguarded yardstick), ``dedup_ngram_jaccard_guarded``
+    (the df-cap bounds every posting list, so the pair aggregation is
+    bounded by construction — mutated-100x measured ~linear), and
+    ``dedup_clusters`` (collapse-first). A round-9 experiment swapped
+    in the witness-minimal array-riding form here and REGRESSED the
+    guarded sweep ~12x: when buckets are already bounded, paying a
+    full-array intersect per joined row costs far more than the
+    bounded aggregation it replaced. The witness-minimal machinery
+    lives where it earns its keep — ``dedup_near_unique`` (fixed
+    threshold, unbounded buckets) and ``text_winnow_fingerprints``
+    (adaptive top-k) — not here.
+
+    ``max_shingle_df`` is the stop-shingle guard (SCALE.md): shingles
+    appearing in more than that many documents are dropped from
+    candidate generation AND the Jaccard denominators.
+    """
     sh = _shingles(docs)
     if max_shingle_df is not None:
         # document frequency via a window count: one shuffle of the
@@ -423,22 +442,39 @@ def q_dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exact-collapse-first (round 7): identical texts share every band
     key, so each digest group of m copies used to expand to m(m-1)/2
     bucket pairs PER BAND — the 100x sweep measured 46.9x wall time
-    (quadratic in duplicate multiplicity) before this rewrite. Now the
-    banding runs on one representative per text digest; a rep-level
-    candidate (jaccard j) stands for ALL member pairs across the two
-    groups (identical shingle sets => identical j), and each
-    multi-member group is itself a jaccard-1.0 class. Classes expand
-    through their 21 smallest member ids only — provably enough for a
-    global top-20 under the (jaccard DESC, doc_a, doc_b) order, since
-    any pair using a 22nd-smallest member id is preceded by >= 21
-    pairs of its own class. The oracle still scores the UNCOLLAPSED
-    corpus, re-proving the collapse lossless. Measured: 100x data
-    1.0x wall (was 46.9x).
+    (quadratic in duplicate multiplicity) before the collapse. Banding
+    runs on one representative per text digest; a rep-level candidate
+    (jaccard j) stands for ALL member pairs across the two groups
+    (identical shingle sets => identical j), and each multi-member
+    group is itself a jaccard-1.0 class expanding through its 21
+    smallest member ids (top-20-sufficient, see
+    ``expand_collapsed_pairs``).
+
+    ZERO-MATERIALIZATION candidate path (round 9): on the MUTATED 100x
+    corpus (each copy perturbed by one token) digests all differ while
+    band keys mostly agree, so bucket depth grows with multiplicity
+    and the candidate relation is genuinely quadratic in it — the
+    regime that disk-filled ``dedup_simhash`` pre-r8. Jaccard — unlike
+    hamming — is NOT a function of the signature, so no lossless
+    second collapse exists; the medicine is the
+    ``dedup_embedding_cosine`` r8 form instead: the shingle arrays and
+    (<=21-id) member lists RIDE the band join (corpus x 4 bands rows,
+    ~1 KB each — the cheap side when candidates >> corpus), the exact
+    Jaccard computes where the join streams (JVM ``array_intersect``),
+    classes expand by in-stage explode, and everything flows straight
+    into TakeOrdered. No pair-dedup or re-attach exchange ever carries
+    the candidate relation. A member pair surfaces at most once per
+    shared band and its copies are ADJACENT under the total
+    (jaccard DESC, doc_a, doc_b) order, so the top 20*4 ordered rows
+    provably contain the top-20 distinct pairs; the dedup then runs on
+    80 rows. The oracle still scores the UNCOLLAPSED corpus with a
+    global pair-dedup, re-proving the whole factorization lossless.
 
     At 100 TB: signatures are 16 ints per distinct text computed in
     one narrow pass; each band join shuffles on a 4-int key; Jaccard
-    rescoring touches only bucket-mates. Band count/rows trade recall
-    vs cost (4x4 targets J >= ~0.7 pairs).
+    rescoring touches only bucket-mates, linear in candidates — the
+    irreducible LSH rescore work. Band count/rows trade recall vs cost
+    (4x4 targets J >= ~0.7 pairs).
     """
     d = parallelize(load_table(spark, "documents", sf_dir), spark).select(
         "doc_id", "text"
@@ -454,15 +490,52 @@ def q_dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_members"),
         # 21 smallest member ids: sufficient for any top-20 expansion
         F.slice(F.sort_array(F.collect_list("doc_id")), 1, 21).alias("members"),
-    ).localCheckpoint()  # consumed by the band pipeline AND both expansions
-    rep_pairs = _minhash_pairs_from(
-        groups.select(F.col("rep_id").alias("doc_id"), "text")
+    ).localCheckpoint()  # consumed by the band pipeline AND the self classes
+    banded = _minhash_bands_from(
+        groups.select(F.col("rep_id").alias("doc_id"), "text", "members")
     )
-    expanded = expand_collapsed_pairs(
-        rep_pairs, groups.withColumn("self_score", F.lit(1.0)), "jaccard"
+    a = banded.alias("a")
+    b_ = banded.alias("b")
+    key_eq = F.col("a.band") == F.col("b.band")
+    for r in range(_MH_ROWS):
+        key_eq = key_eq & (F.col(f"a.k{r}") == F.col(f"b.k{r}"))
+    n_common = F.size(F.array_intersect("a.sharr", "b.sharr"))
+    cross = (
+        a.join(b_, key_eq & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            (
+                n_common.cast("double")
+                / (F.size("a.sharr") + F.size("b.sharr") - n_common)
+            ).alias("jaccard"),
+            F.col("a.members").alias("ma"),
+            F.col("b.members").alias("mb"),
+        )
+        .select("jaccard", F.explode("ma").alias("x"), "mb")
+        .select("jaccard", "x", F.explode("mb").alias("y"))
+        .select(
+            F.least("x", "y").alias("doc_a"),
+            F.greatest("x", "y").alias("doc_b"),
+            "jaccard",
+        )
+    )
+    selfc = (
+        groups.filter(F.col("n_members") >= 2)
+        .select(F.explode("members").alias("x"), "members")
+        .select("x", F.explode("members").alias("y"))
+        .filter(F.col("x") < F.col("y"))
+        .select(
+            F.col("x").alias("doc_a"),
+            F.col("y").alias("doc_b"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    top = (
+        cross.unionByName(selfc)
+        .orderBy(F.col("jaccard").desc(), F.col("doc_a").asc(), F.col("doc_b").asc())
+        .limit(20 * _MH_BANDS)
     )
     return (
-        expanded
+        top.dropDuplicates(["doc_a", "doc_b"])
         .orderBy(F.col("jaccard").desc(), F.col("doc_a").asc(), F.col("doc_b").asc())
         .limit(20)
     )
@@ -519,13 +592,17 @@ def expand_collapsed_pairs(
     return cross.unionByName(selfc)
 
 
-def _minhash_pairs_from(d: DataFrame) -> DataFrame:
-    """Portable MinHash-LSH candidate pairs with exact shingle Jaccard
-    over an arbitrary (doc_id, text) frame — the band pipeline shared
-    by ``dedup_minhash_portable`` (which feeds it collapsed
-    representatives) and any caller needing raw banding."""
+def _minhash_bands_from(d: DataFrame) -> DataFrame:
+    """Portable MinHash-LSH band frame over a (doc_id, text, members)
+    frame: one row per (doc, band) carrying the band key (k0..k3), the
+    distinct shingle array, and the member-id list — the payload-rides-
+    the-join layout ``q_dedup_minhash_portable`` self-joins so the
+    exact Jaccard rescore and the class expansion both run inside the
+    join stage (see its docstring for why nothing narrower survives
+    the mutated-duplicate regime)."""
     toks = d.select(
         "doc_id",
+        "members",
         F.split(F.coalesce(F.col("text"), F.lit("")), " ").alias("tokens"),
     ).filter(F.size("tokens") >= SHINGLE_K)
     # the WHEN guard makes the expression total: the filter above
@@ -534,6 +611,7 @@ def _minhash_pairs_from(d: DataFrame) -> DataFrame:
     # would index element_at out of bounds (ANSI error)
     sh = toks.select(
         "doc_id",
+        "members",
         F.when(
             F.size("tokens") >= SHINGLE_K,
             F.array_distinct(
@@ -560,15 +638,20 @@ def _minhash_pairs_from(d: DataFrame) -> DataFrame:
         return F.array_min(F.transform("hl", apply)).alias(f"s{p}")
 
     sig_cols = [perm_min(p) for p in range(_MH_PERMS)]
-    sigs = hashed.select("doc_id", "sharr", *sig_cols)
+    sigs = hashed.select("doc_id", "sharr", "members", *sig_cols)
     # band the signature: 4 bands of 4 ints; docs sharing any band pair
-    # up. The explode deliberately carries ONLY (doc_id, band keys) —
-    # replicating the shingle arrays band-count times through the LSH
-    # shuffle is the 100 TB payload mistake; candidates are a tiny
-    # subset, so their shingles re-attach via two doc_id hash joins
-    # afterwards instead.
-    bands = sigs.select(
+    # up. The explode carries the shingle array and member list WITH
+    # the band key (4 rows of ~1 KB per doc — the cheap side when
+    # candidates >> corpus, exactly the r8 embedding-cosine tradeoff):
+    # on a dup-mutated corpus the candidate relation is quadratic in
+    # duplicate multiplicity, so the narrow-pairs-then-re-attach form
+    # this replaced pushed the WHOLE candidate set through a
+    # pair-dedup exchange plus two doc_id re-attach joins — the
+    # exchanges that disk-filled the simhash lister pre-r8.
+    return sigs.select(
         "doc_id",
+        "sharr",
+        "members",
         F.explode(
             F.array(
                 *[
@@ -585,44 +668,7 @@ def _minhash_pairs_from(d: DataFrame) -> DataFrame:
                 ]
             )
         ).alias("bk"),
-    ).select("doc_id", "bk.*")
-    a_ = bands.alias("a")
-    b_ = bands.alias("b")
-    key_eq = (F.col("a.band") == F.col("b.band"))
-    for r in range(_MH_ROWS):
-        key_eq = key_eq & (F.col(f"a.k{r}") == F.col(f"b.k{r}"))
-    pairs = (
-        a_.join(b_, key_eq & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-        )
-        .dropDuplicates(["doc_a", "doc_b"])
-    )
-    sh_only = sigs.select("doc_id", "sharr")
-    cand = (
-        pairs.join(
-            sh_only.select(
-                F.col("doc_id").alias("doc_a"), F.col("sharr").alias("sh_a")
-            ),
-            "doc_a",
-        )
-        .join(
-            sh_only.select(
-                F.col("doc_id").alias("doc_b"), F.col("sharr").alias("sh_b")
-            ),
-            "doc_b",
-        )
-    )
-    n_common = F.size(F.array_intersect("sh_a", "sh_b"))
-    return cand.select(
-        "doc_a",
-        "doc_b",
-        (
-            n_common.cast("double")
-            / (F.size("sh_a") + F.size("sh_b") - n_common)
-        ).alias("jaccard"),
-    )
+    ).select("doc_id", "sharr", "members", "bk.*")
 
 
 # SimHash oracle: DuckDB recomputes the identical md5-derived 32-bit
@@ -1363,24 +1409,104 @@ def q_dedup_near_unique(spark: SparkSession, sf_dir: str) -> DataFrame:
     groupBy before any shingling, so duplicate groups contribute one
     node instead of a quadratic pair clique. Emits every remaining
     near-dup pair at Jaccard >= 0.5.
+
+    PREFIX-FILTERED witness-minimal join (round 9): unlike the top-20
+    listers this query HAS an a-priori threshold, so the AllPairs/
+    PPJoin machinery applies losslessly — shingles order rare-first
+    per doc under the global (document-frequency, shingle) total
+    order, only each doc's ``n - ceil(n/2) + 1`` rarest shingles are
+    indexed (any J >= 0.5 pair shares one of them in BOTH prefixes),
+    and the size filter (J >= 0.5 forces sizes within 2x) rides the
+    join condition. A joined row survives only when its join shingle
+    IS the pair's rarest shared PREFIX shingle (witness-minimal on
+    the prefix slices), so each pair surfaces exactly once and is
+    verified by one in-stage full-array intersect — NO exchange
+    anywhere carries a pair-level relation (a post-witness re-attach
+    was tried and reverted: witness survivors are candidate-pairs,
+    ~1.4e9 here, not answer-pairs, and shuffling them spilled >45 GB).
+    On the mutated 100x corpus (digests distinct, postings ~100-deep)
+    the prefix cuts the streamed volume ~3x vs the full inverted
+    index (4.09e9 witness-gated rows, DuckDB-measured), and
+    everything runs on DICTIONARY-ENCODED int ranks (an exact
+    bijection — see the inline note), not strings, because the join
+    copies both sides' riding payload into every streamed row. The
+    oracle still runs the full inverted-index string aggregation over
+    the SAME collapsed relation — re-proving prefix + size + witness
+    + encoding lossless.
     """
     d = parallelize(load_table(spark, "documents", sf_dir), spark)
     # explicit fan-out after the collapse: AQE coalesces the small
     # post-collapse shuffle to ~1 partition, which would single-thread
     # the 100x-multiplying shingle explode + self-join downstream
-    # (measured 9.5s -> 1.5s at sf0.1). The shingle relation is
-    # referenced multiple times but identical exchanges are deduped by
-    # ReusedExchange — no checkpoint needed (an earlier localCheckpoint
-    # here leaked cached blocks across invocations and produced wild
-    # run-to-run variance in long-lived sessions).
+    # (measured 9.5s -> 1.5s at sf0.1)
     uniq = (
         d.groupBy("text")
         .agg(F.min("doc_id").alias("doc_id"))
         .repartition(spark.sparkContext.defaultParallelism)
     )
+    sh = _shingles(uniq)
+    # global rare-first canonical order + DICTIONARY ENCODING: each
+    # distinct shingle maps to its exact global ROW_NUMBER under
+    # (document-frequency, shingle) — a bijection, so set sizes and
+    # intersections (hence Jaccard) are untouched, while the arrays
+    # riding the prefix explode shrink from ~20-byte strings to ints
+    # and every intersect runs on primitives (the string-array form
+    # spilled 19 GB of sort on the mutated 100x corpus just carrying
+    # the payload). Ascending rank IS the rare-first order, so a
+    # plain sort_array canonicalizes and element 1 of any
+    # array_intersect is the pair's rarest common shingle — the
+    # witness. The rank itself is the scale-safe two-pass
+    # ``global_row_number`` (no single-partition window).
+    from flink_kakfa_spark.operators.distributed_rank import global_row_number
+
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    rank = global_row_number(
+        freq, ["df", "shingle"], value_col="df", rn_name="rk"
+    ).select("shingle", F.col("rk").cast("int").alias("rk"))
+    per_doc = (
+        sh.join(rank, "shingle")
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("rk")).alias("ws"))
+        .select("doc_id", "ws", F.size("ws").cast("long").alias("n"))
+        # consumed by the prefix index AND the post-witness re-attach
+        .localCheckpoint()
+    )
+    # prefix len for t = 1/2: n - ceil(n/2) + 1, integer ceil; the
+    # prefix array is materialized ONCE per doc before the explode —
+    # slicing it per joined row instead costs two array allocations
+    # on every one of the ~4e9 streamed candidates. The join-row
+    # payload is the hot resource on a dup-heavy corpus (every joined
+    # row COPIES both sides' arrays — the 4.09e9-row mutated-100x
+    # stream at ~2.3 KB/row was ~9 TB of memcpy): only the prefix
+    # arrays and ONE side's full array ride the join; the other full
+    # array re-attaches AFTER the witness filter, when the relation is
+    # down to one row per candidate pair — an exchange proportional to
+    # the ANSWER (~25M pairs there), never to the streamed candidates.
+    plen = F.col("n") - F.floor((F.col("n") + 1) / 2).cast("long") + 1
+    pref = per_doc.select(
+        "doc_id", "ws", "n", F.slice("ws", F.lit(1), plen).alias("pa")
+    ).select("doc_id", "ws", "n", "pa", F.explode("pa").alias("w"))
+    inter_pref = F.array_intersect("a.pa", "b.pa")
+    n_common = F.size(F.array_intersect("a.ws", "b.ws")).cast("long")
     return (
-        _jaccard_pairs_from(uniq)
-        .select("doc_a", "doc_b", "jaccard")
+        pref.alias("a")
+        .join(
+            pref.alias("b"),
+            (F.col("a.w") == F.col("b.w"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            # size filter: J >= 1/2 forces 2*min(n_a, n_b) >= max
+            & (2 * F.col("a.n") >= F.col("b.n"))
+            & (2 * F.col("b.n") >= F.col("a.n")),
+        )
+        .filter(F.element_at(inter_pref, 1) == F.col("a.w"))  # witness-minimal
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            (
+                n_common.cast("double")
+                / (F.col("a.n") + F.col("b.n") - n_common)
+            ).alias("jaccard"),
+        )
         .filter(F.col("jaccard") >= 0.5)
     )
 
@@ -1649,6 +1775,12 @@ def q_dedup_substring_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # integer ratio so the match predicate is float-free.
 _PP_T_NUM, _PP_T_DEN = 9, 10  # Jaccard >= 0.9
 
+# candidate-join row count above which ppjoin_candidates switches from
+# the narrow dropDuplicates pipeline to the exchange-free
+# witness-minimal pipeline (~200M rows ≈ a 3-4 GB pair exchange —
+# comfortably under executor spill limits with headroom)
+_PP_WITNESS_THRESHOLD = 200_000_000
+
 
 def ppjoin_candidates(d: DataFrame) -> tuple[DataFrame, DataFrame]:
     """Candidate-generation stages of the prefix-filtered similarity
@@ -1658,16 +1790,48 @@ def ppjoin_candidates(d: DataFrame) -> tuple[DataFrame, DataFrame]:
     Returns ``(groups, cand)``: the exact-collapsed representative
     table (one row per distinct token set: rep id, group size g,
     sum of member ids, canonical rare-first token array, its size) and
-    the deduplicated candidate rep-id pairs that survive the prefix
-    filter + AllPairs size filter.
+    the candidate stream surviving the prefix filter + AllPairs size
+    filter — EXACTLY ONE row per rep pair, carrying both full token
+    arrays and group stats so verification and the census run where
+    the join streams.
+
+    STATS-DRIVEN PHYSICAL PLAN (round 9): one cheap eager aggregate
+    over the prefix index (sum of C(bucket_df, 2) — the exact number
+    of joined rows the candidate self-join will stream) picks between
+    two physically different but logically identical pipelines, the
+    same way a cost-based optimizer picks a join strategy from stats:
+
+    - BOUNDED volume (<= {_PP_WITNESS_THRESHOLD} rows): the classic
+      narrow path — (da, db) id pairs through a dropDuplicates
+      exchange, arrays + group stats re-attached to the DEDUPED
+      relation by two hash joins. When the candidate relation fits an
+      exchange this is much cheaper than paying per-row witness
+      intersects (measured: the witness form alone regressed the
+      31-word-vocabulary sf0.1 bench row 7.6 s -> 73.9 s).
+    - UNBOUNDED volume: the witness-minimal path — a joined row
+      survives only when its join token IS the pair's rarest shared
+      prefix token (``array_intersect`` of the two canonical
+      rare-first prefix slices, element 1 — both arrays share the
+      global (df, token) total order, so the minimal common element
+      is well-defined), every pair survives exactly once, and NO
+      exchange ever carries the candidate relation — the
+      mutated-duplicate corpora that disk-filled the narrow path
+      (SCALE.md: 7.5e10 streamed rows on the 31-word vocab at
+      mutated-100x) become compute-bound but memory-safe. Full
+      arrays ride the prefix explode, the
+      ``dedup_embedding_cosine``/``_minhash_bands_from`` tradeoff.
+
+    The eager stat is the registry's documented "driver-side scalar
+    picks the plan" exception (like the embedding-cosine COUNT);
+    both paths emit the same schema and the oracle covers whichever
+    runs.
     """
     tok = d.select(
         "doc_id",
         F.explode(F.array_distinct(F.split("text", " "))).alias("w"),
     )
     freq = tok.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
-    # canonical rare-first token order per doc; arrays kept ONLY on
-    # the per-doc relation, never through the candidate shuffle
+    # canonical rare-first token order per doc
     toks = (
         tok.join(freq, "w")
         .groupBy("doc_id")
@@ -1690,11 +1854,10 @@ def ppjoin_candidates(d: DataFrame) -> tuple[DataFrame, DataFrame]:
             F.first("ws").alias("ws"),
             F.first("n").alias("n"),
         )
-        # consumed 4x (within-census, prefix index, both verify
-        # sides); exchange reuse does not materialize across the
-        # duplicated pipelines (18-shuffle plan measured without
-        # this), so pin the collapsed representative table once —
-        # at lake scale this is a persisted intermediate table
+        # consumed 2x (within-census + prefix index); exchange reuse
+        # does not materialize across the duplicated pipelines, so pin
+        # the collapsed representative table once — at lake scale this
+        # is a persisted intermediate table
         .localCheckpoint()
     )
     # prefix len = n - ceil(t*n) + 1, integer ceil (a float ceil of
@@ -1708,23 +1871,92 @@ def ppjoin_candidates(d: DataFrame) -> tuple[DataFrame, DataFrame]:
         + 1
     )
     pref = groups.select(
-        "rep", "n", F.explode(F.slice("ws", 1, plen)).alias("w")
+        "rep",
+        "n",
+        "g",
+        "sum_ids",
+        "ws",
+        plen.alias("plen"),
+        F.explode(F.slice("ws", 1, plen)).alias("w"),
+    # explicit fan-out on the join key: the prefix index is INPUT-small
+    # (reps x ~3 rows) so AQE coalesces its exchange to a couple of
+    # partitions, but the self-join's OUTPUT is candidate-sized —
+    # orders of magnitude larger — and would stream near-single-
+    # threaded (measured ~7 of 32 cores on the mutated-10x sweep).
+    # An explicit repartition is exempt from AQE coalescing.
+    ).repartition(
+        d.sparkSession.sparkContext.defaultParallelism, "w"
     )
     # size filter (AllPairs/PPJoin): J >= t forces t·|y| <= |x|, so
     # pairs with >10% size difference never verify — measured 3.3x
     # candidate reduction on the dense-vocab fixture
+    size_ok = (
+        F.lit(_PP_T_DEN) * F.col("a.n") >= F.lit(_PP_T_NUM) * F.col("b.n")
+    ) & (F.lit(_PP_T_DEN) * F.col("b.n") >= F.lit(_PP_T_NUM) * F.col("a.n"))
+    # the eager stat: exact joined-row count of the candidate
+    # self-join, from the prefix-bucket depth histogram (a map-side
+    # aggregate over the reps x ~plen prefix index — tiny)
+    volume = (
+        pref.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("bdf"))
+        .agg(F.sum(F.col("bdf") * (F.col("bdf") - 1) / 2).alias("v"))
+        .collect()[0]["v"]
+        or 0
+    )
+    sides = groups.select("rep", "ws", "n", "g", "sum_ids")
+    if volume <= _PP_WITNESS_THRESHOLD:
+        cand_ids = (
+            pref.select("rep", "n", "w")
+            .alias("a")
+            .join(pref.select("rep", "n", "w").alias("b"), "w")
+            .filter((F.col("a.rep") < F.col("b.rep")) & size_ok)
+            .select(F.col("a.rep").alias("da"), F.col("b.rep").alias("db"))
+            .dropDuplicates(["da", "db"])
+        )
+        cand = cand_ids.join(
+            sides.select(
+                F.col("rep").alias("da"),
+                F.col("ws").alias("wa"),
+                F.col("n").alias("na"),
+                F.col("g").alias("ga"),
+                F.col("sum_ids").alias("sa"),
+            ),
+            "da",
+        ).join(
+            sides.select(
+                F.col("rep").alias("db"),
+                F.col("ws").alias("wb"),
+                F.col("n").alias("nb"),
+                F.col("g").alias("gb"),
+                F.col("sum_ids").alias("sb"),
+            ),
+            "db",
+        )
+        return groups, cand
+    inter_pref = F.array_intersect(
+        F.slice("a.ws", F.lit(1), F.col("a.plen")),
+        F.slice("b.ws", F.lit(1), F.col("b.plen")),
+    )
     cand = (
         pref.alias("a")
         .join(pref.alias("b"), "w")
-        .filter(
-            (F.col("a.rep") < F.col("b.rep"))
-            & (F.lit(_PP_T_DEN) * F.col("a.n")
-               >= F.lit(_PP_T_NUM) * F.col("b.n"))
-            & (F.lit(_PP_T_DEN) * F.col("b.n")
-               >= F.lit(_PP_T_NUM) * F.col("a.n"))
+        .filter((F.col("a.rep") < F.col("b.rep")) & size_ok)
+        .select(
+            F.col("a.rep").alias("da"),
+            F.col("b.rep").alias("db"),
+            inter_pref.alias("_ip"),
+            F.col("a.w").alias("_w"),
+            F.col("a.ws").alias("wa"),
+            F.col("b.ws").alias("wb"),
+            F.col("a.n").alias("na"),
+            F.col("b.n").alias("nb"),
+            F.col("a.g").alias("ga"),
+            F.col("b.g").alias("gb"),
+            F.col("a.sum_ids").alias("sa"),
+            F.col("b.sum_ids").alias("sb"),
         )
-        .select(F.col("a.rep").alias("da"), F.col("b.rep").alias("db"))
-        .dropDuplicates(["da", "db"])
+        .filter(F.element_at("_ip", 1) == F.col("_w"))  # witness-minimal
+        .drop("_ip", "_w")
     )
     return groups, cand
 
@@ -1787,9 +2019,10 @@ def q_dedup_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame
     ``dedup_near_unique`` linear on the 10× dup-heavy corpus.  Among
     representatives, prefix tokens are by construction each doc's
     RAREST tokens, so the candidate join's buckets stay small even
-    under hot vocabulary; candidate pairs carry only the two
-    representative ids, and full arrays join back per-group for
-    verification.
+    under hot vocabulary; the full arrays ride the prefix join and
+    every pair survives it exactly once (witness-minimal — see
+    ``ppjoin_candidates``), so verification and the census both run
+    where the join streams with no pair-level exchange.
     """
     groups, cand = ppjoin_candidates(
         parallelize(load_table(spark, "documents", sf_dir), spark)
@@ -1799,29 +2032,13 @@ def q_dedup_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame
         F.expr("(g * (g - 1)) DIV 2").alias("n_pairs"),
         ((F.col("g") - 1) * F.col("sum_ids")).cast("long").alias("sum_keys"),
     )
-    sides = groups.select("rep", "ws", "n", "g", "sum_ids")
+    # cand already carries both full arrays and group stats (exactly
+    # one row per rep pair — witness-minimal), so verification is a
+    # streamed in-stage intersect and the census partial-aggregates in
+    # the same stage; no re-attach joins, no pair exchange (round 9;
+    # the per-bucket census output is ~41 rows)
     verified = (
-        cand.join(
-            sides.select(
-                F.col("rep").alias("da"),
-                F.col("ws").alias("wa"),
-                F.col("n").alias("na"),
-                F.col("g").alias("ga"),
-                F.col("sum_ids").alias("sa"),
-            ),
-            "da",
-        )
-        .join(
-            sides.select(
-                F.col("rep").alias("db"),
-                F.col("ws").alias("wb"),
-                F.col("n").alias("nb"),
-                F.col("g").alias("gb"),
-                F.col("sum_ids").alias("sb"),
-            ),
-            "db",
-        )
-        .select(
+        cand.select(
             F.size(F.array_intersect("wa", "wb")).alias("c"),
             "na",
             "nb",

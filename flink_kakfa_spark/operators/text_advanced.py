@@ -40,6 +40,10 @@ _LAMBDA = 0.75  # Jelinek-Mercer interpolation weight on the bigram term
 
 _WINNOW_W = 4   # window: one fingerprint per 4 consecutive k-gram hashes
 
+# phase-1 mini-prefix of the adaptive top-k pair join: fingerprints
+# indexed per doc while seeding the 20th-best-score lower bound
+_WINNOW_SEED_PREFIX = 3
+
 # portable word hash (same 32-bit md5 prefix as text.py), Spark SQL form
 _H_SPARK = "cast(conv(substring(md5(w), 1, 8), 16, 10) as bigint)"
 
@@ -61,12 +65,15 @@ def _winnow_fp_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _winnow_fps_from(load_table(spark, "documents", sf_dir))
 
 
-def _winnow_fps_from(docs: DataFrame) -> DataFrame:
-    """(doc_id, fp) winnowing fingerprints over an arbitrary
-    (doc_id, text) frame — see ``_winnow_fp_frame``."""
+def _winnow_fparr_from(docs: DataFrame) -> DataFrame:
+    """(doc_id, fparr) — each document's winnowing fingerprint set as a
+    SORTED distinct array (ascending, so the first element of an
+    ``array_intersect`` between two of them is the pair's minimal
+    shared fingerprint — the witness the zero-materialization pair
+    join keys on). See ``_winnow_fp_frame``."""
     win_mins = ", ".join(f"karr[j - {o}]" for o in range(_WINNOW_W))
     fps_expr = f"""
-    array_distinct(flatten(transform(
+    array_sort(array_distinct(flatten(transform(
       array(transform(split(text, ' '), w -> {_H_SPARK})), hsv ->
       flatten(transform(
         array(CASE WHEN size(hsv) >= 3 THEN
@@ -77,9 +84,17 @@ def _winnow_fps_from(docs: DataFrame) -> DataFrame:
         CASE WHEN size(karr) >= {_WINNOW_W} THEN
           transform(sequence({_WINNOW_W - 1}, size(karr) - 1),
                     j -> least({win_mins}))
-          ELSE array() END)))))
+          ELSE array() END))))))
     """
-    return docs.select("doc_id", F.explode(F.expr(fps_expr)).alias("fp"))
+    return docs.select("doc_id", F.expr(fps_expr).alias("fparr"))
+
+
+def _winnow_fps_from(docs: DataFrame) -> DataFrame:
+    """(doc_id, fp) winnowing fingerprints over an arbitrary
+    (doc_id, text) frame — see ``_winnow_fp_frame``."""
+    return _winnow_fparr_from(docs).select(
+        "doc_id", F.explode("fparr").alias("fp")
+    )
 
 
 @query(
@@ -229,23 +244,66 @@ def q_text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprint sets, so the inverted-index self-join used to produce
     |fps| x m(m-1)/2 rows per digest group of m verbatim copies — the
     100x sweep measured ~50x wall time (quadratic in duplicate
-    multiplicity) before this rewrite. The fingerprint join now runs
-    on one representative per text digest; a rep pair's n_shared
-    stands for every member pair across the two groups, each
-    multi-member group is its own class at n_shared = |its fingerprint
-    set|, and classes expand through their 21 smallest member ids
-    (sufficient for any global top-20 — see
-    ``dedup.expand_collapsed_pairs``). The oracle still scores the
-    UNCOLLAPSED corpus, re-proving the collapse lossless.
+    multiplicity) before the collapse. The fingerprint join runs on
+    one representative per text digest; a rep pair's n_shared stands
+    for every member pair across the two groups, each multi-member
+    group is its own class at n_shared = |its fingerprint set|, and
+    classes expand through their 21 smallest member ids
+    (top-20-sufficient — see ``dedup.expand_collapsed_pairs``).
+
+    ADAPTIVE TWO-PHASE PREFIX top-k join (round 9): on the
+    MUTATED-duplicate 100x corpus (each copy perturbed by one token)
+    digests all differ while fingerprint sets stay near-identical, so
+    posting lists deepen ~100x and the old groupBy(pair) aggregation
+    genuinely defines ~3.5e9 pre-aggregation rows whose partial rows
+    fan out across fingerprint-hash partitions — the pair exchange
+    spilled >24 GB and was killed at 18 min; even exchange-free, a
+    full inverted index streams all ~3.5e9 candidate rows (killed at
+    45 min). The classic top-k set-similarity answer bounds the
+    *candidate generation itself*:
+
+    - Phase 1 (seed): index only each doc's {_WINNOW_SEED_PREFIX}
+      RAREST fingerprints (global (document-frequency, fp) order —
+      rare-first, so a corpus-hot boilerplate fp never lands in a
+      prefix and every indexed bucket is bounded by true near-dup
+      multiplicity). Any pair whose mini-prefixes share a
+      fingerprint gets its TRUE score (full-array intersect); with
+      the self classes these 20 best seed scores give t_lb <= the
+      true 20th-best score. A ~({_WINNOW_SEED_PREFIX}/|fps|)^2
+      fraction of the full volume, collected eagerly (20 rows) at
+      plan-construction time — the registry's documented "driver-side
+      scalar picks the plan" exception, like
+      ``dedup_embedding_cosine``'s COUNT.
+    - Phase 2 (complete): index each doc's ``|fparr| - t_lb + 1``
+      rarest fingerprints. For any pair with overlap >= t_lb, its
+      RAREST shared fingerprint provably sits in BOTH prefixes (if
+      it were outside A's prefix, A would hold >= t_lb common
+      elements at-or-after it in the global order — more than the
+      t_lb - 1 slots remaining), so
+      indexing only prefixes loses no pair that can reach the top-20,
+      and that rarest shared fingerprint doubles as the
+      WITNESS: a joined row survives only when its join fingerprint
+      equals element 1 of the prefix-slice intersection, so every
+      pair survives EXACTLY ONCE and the full-array intersect that
+      scores it runs only on witness rows. On the mutated corpus the
+      seed phase finds near-complete fingerprint sharing (t_lb ~ 24
+      of ~25), so phase-2 prefixes are 1-2 fingerprints and the
+      quadratic candidate mass never materializes ANYWHERE — no pair
+      aggregation, no pair-dedup, class expansion explodes in-stage
+      straight into TakeOrdered(20).
+
+    The oracle still scores the UNCOLLAPSED corpus with the full
+    inverted-index aggregation, re-proving collapse + seed-bound +
+    prefix + witness lossless end to end.
 
     Scale: hashing, k-gram folding, window minima, and dedup all
     happen in-array per document (zero shuffles, plan-asserted in
-    tests); the self-join shuffles only (rep_id, fp) longs, bounded by
-    distinct texts. At 100 TB add a df-cap on hot fingerprints exactly
-    as ``dedup_ngram_jaccard_guarded`` does for shingles.
+    tests); both phases shuffle (rep_id, fparr ~25 longs, members) —
+    linear in distinct texts; candidate work is quadratic only in
+    per-bucket depth of the PREFIX index, which t_lb keeps ~equal to
+    the true near-dup density. At 100 TB the df-cap twin
+    (``text_winnow_guarded``) remains the unconditional-guard form.
     """
-    from flink_kakfa_spark.operators.dedup import expand_collapsed_pairs
-
     d = load_table(spark, "documents", sf_dir).select("doc_id", "text")
     eligible = d.filter(F.col("text").isNotNull()).select(
         "doc_id", "text", F.md5(F.col("text").cast("binary")).alias("grp")
@@ -255,34 +313,112 @@ def q_text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("text").alias("text"),
         F.count(F.lit(1)).alias("n_members"),
         F.slice(F.sort_array(F.collect_list("doc_id")), 1, 21).alias("members"),
-    ).localCheckpoint()  # consumed by the fp pipeline AND both expansions
-    fps = _winnow_fps_from(
-        groups.select(F.col("rep_id").alias("doc_id"), "text")
+    ).localCheckpoint()  # consumed by the fp pipeline AND the self classes
+    # re-order each doc's fingerprint set RARE-FIRST under the global
+    # (document-frequency, fp) total order — the prefix theorem holds
+    # for ANY fixed global order, but only a rare-first order keeps
+    # prefix buckets bounded by duplicate multiplicity: numerically
+    # small fps can be corpus-hot boilerplate, and indexing one hot fp
+    # costs C(df, 2) joined rows. Same canonicalization as
+    # ``dedup.ppjoin_candidates`` / ``dedup_near_unique``; the df
+    # window shares the fp key the (tiny) phase joins shuffle on.
+    from pyspark.sql import Window as W
+
+    fpdf = (
+        _winnow_fparr_from(groups.select(F.col("rep_id").alias("doc_id"), "text"))
+        .select("doc_id", F.explode("fparr").alias("fp"))
+        .withColumn("df", F.count(F.lit(1)).over(W.partitionBy("fp")))
     )
-    a = fps.alias("a")
-    b = fps.alias("b")
-    rep_pairs = (
-        a.join(
-            b,
-            (F.col("a.fp") == F.col("b.fp"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    repfps = (
+        fpdf.groupBy("doc_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("df", "fp"))),
+                lambda x: x["fp"],
+            ).alias("fparr")
         )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        .join(
+            groups.select(F.col("rep_id").alias("doc_id"), "members"), "doc_id"
         )
-        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .localCheckpoint()  # consumed by both phases + the self classes
     )
+
+    def pair_stream(plen_col) -> DataFrame:
+        """Witness-minimal expanded pair stream over the docs' first
+        ``plen_col`` fingerprints (see docstring for the proof)."""
+        plen_col = F.greatest(plen_col, F.lit(0))  # slice() rejects <0
+        pref = repfps.select(
+            "doc_id",
+            "fparr",
+            "members",
+            plen_col.alias("plen"),
+            F.explode(F.slice("fparr", F.lit(1), plen_col)).alias("fp"),
+        )
+        a = pref.alias("a")
+        b = pref.alias("b")
+        inter_pref = F.array_intersect(
+            F.slice("a.fparr", F.lit(1), F.col("a.plen")),
+            F.slice("b.fparr", F.lit(1), F.col("b.plen")),
+        )
+        n_shared = F.size(F.array_intersect("a.fparr", "b.fparr")).cast("long")
+        return (
+            a.join(
+                b,
+                (F.col("a.fp") == F.col("b.fp"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            # witness-minimal: cheap prefix-slice intersect gates the
+            # full-array intersect, which runs only on witness rows
+            .filter(F.element_at(inter_pref, 1) == F.col("a.fp"))
+            .select(
+                n_shared.alias("n_shared"),
+                F.col("a.members").alias("ma"),
+                F.col("b.members").alias("mb"),
+            )
+            .select("n_shared", F.explode("ma").alias("x"), "mb")
+            .select("n_shared", "x", F.explode("mb").alias("y"))
+            .select(
+                F.least("x", "y").alias("doc_a"),
+                F.greatest("x", "y").alias("doc_b"),
+                "n_shared",
+            )
+        )
+
     # a group's self class shares its WHOLE fingerprint set; groups
-    # whose text yields no fingerprints never pair (inner join drops)
-    n_fp = fps.groupBy(F.col("doc_id").alias("rep_id")).agg(
-        F.count(F.lit(1)).cast("long").alias("self_score")
+    # whose text yields no fingerprints never pair (repfps filter)
+    selfc = (
+        repfps.join(
+            groups.filter(F.col("n_members") >= 2).select(
+                F.col("rep_id").alias("doc_id")
+            ),
+            "doc_id",
+        )
+        .select(F.size("fparr").cast("long").alias("n_shared"), "members")
+        .select("n_shared", F.explode("members").alias("x"), "members")
+        .select("n_shared", "x", F.explode("members").alias("y"))
+        .filter(F.col("x") < F.col("y"))
+        .select(
+            F.col("x").alias("doc_a"), F.col("y").alias("doc_b"), "n_shared"
+        )
     )
-    expanded = expand_collapsed_pairs(
-        rep_pairs, groups.join(n_fp, "rep_id"), "n_shared"
+    # phase 1: true scores from the mini-prefix seed + self classes —
+    # a small eager job whose 20th-best score bounds phase 2
+    seed = (
+        pair_stream(F.least(F.size("fparr"), F.lit(_WINNOW_SEED_PREFIX)))
+        .unionByName(selfc)
+        .orderBy(F.desc("n_shared"), F.asc("doc_a"), F.asc("doc_b"))
+        .limit(20)
+        .collect()
     )
-    return expanded.orderBy(
-        F.desc("n_shared"), F.asc("doc_a"), F.asc("doc_b")
-    ).limit(20)
+    t_lb = int(seed[-1]["n_shared"]) if len(seed) == 20 else 1
+    # phase 2: complete under the seed bound (slice length <= 0 for
+    # docs with |fparr| < t_lb — they cannot reach overlap t_lb)
+    return (
+        pair_stream(F.size("fparr") - F.lit(t_lb) + 1)
+        .unionByName(selfc)
+        .orderBy(F.desc("n_shared"), F.asc("doc_a"), F.asc("doc_b"))
+        .limit(20)
+    )
 
 
 # ---- model-evaluation-on-the-lake: classifier metrics ----------------

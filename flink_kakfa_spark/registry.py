@@ -14,7 +14,9 @@ does not require it: a builder MAY run small eager sizing actions at
 construction time when a driver-side scalar picks the plan (documented
 per query — today ``dedup_embedding_cosine``'s adaptive-bits COUNT and
 projection checkpoint, ``text_winnow_fingerprints``'s phase-1 seed
-collect (20 rows) bounding its phase-2 prefix length, and the BPE
+collect (20 rows) bounding its phase-2 prefix length,
+``dedup_jaccard_prefix_filter``'s prefix-bucket volume stat picking
+the narrow vs witness-minimal candidate pipeline, and the BPE
 trainer's per-round merge loop).
 Tooling that only wants to inspect plans should build at sf0.001.
 """

@@ -156,6 +156,63 @@ def test_embedding_lsh_adaptive_bits_matches_oracle(spark, tmp_path):
     assert len(got) > 0
 
 
+@pytest.fixture(scope="module")
+def mutated_dup_corpus(spark, tmp_path_factory):
+    """Deterministic MUTATED-duplicate corpus (the tools/scale10.py
+    SPARK_GRAFT_SCALE_MUTATE regime at pytest scale): 25 base docs x 12
+    copies, each copy perturbed by ONE token, so every text digest
+    differs while shingle sets / signatures stay near-identical — the
+    exact-collapse cannot fire and band buckets genuinely deepen with
+    multiplicity. Three groups also carry one VERBATIM duplicate so
+    both collapse levels (text digest AND signature/stream form) are
+    exercised in the same corpus."""
+    rows = []
+    did = 0
+    for b in range(25):
+        toks = [f"base{b}tok{j}" for j in range(16)]
+        # shared vocabulary across groups: simhash signature bits vote
+        # on vocabulary and must correlate for the deep-bucket regime
+        toks[0], toks[1], toks[7] = "the", "common", "pipeline"
+        for i in range(12):
+            t = list(toks)
+            if i > 0:
+                t[(did + i) % len(t)] = f"mu{i}"
+            rows.append(Row(doc_id=did, text=" ".join(t)))
+            did += 1
+        if b < 3:  # verbatim duplicate of the group's unmutated original
+            rows.append(Row(doc_id=did, text=" ".join(toks)))
+            did += 1
+    path = str(tmp_path_factory.mktemp("mutdup"))
+    spark.createDataFrame(rows).write.mode("overwrite").parquet(
+        f"{path}/documents.parquet"
+    )
+    return path
+
+
+@pytest.mark.parametrize("name", ["dedup_simhash", "dedup_minhash_portable"])
+def test_mutated_dup_corpus_matches_oracle(spark, mutated_dup_corpus, name):
+    """Spark == DuckDB on the mutated-duplicate corpus for the two
+    collapse-first pair listers rewritten for that regime (simhash's
+    r8 signature collapse + double pigeonhole, minhash's r9
+    zero-materialization band join): pins the collapse-losslessness
+    and bounded-top-k-stream arguments as a permanent gate instead of
+    a one-off 100x sweep (VERDICT r8 task 5)."""
+    import duckdb
+
+    from flink_kakfa_spark.registry import ORACLES
+
+    qs = all_queries()  # triggers load_all(), populating ORACLES
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{mutated_dup_corpus}/documents.parquet/*.parquet')"
+    )
+    expected = [tuple(r) for r in con.execute(ORACLES[name]).fetchall()]
+    got = [tuple(r) for r in qs[name](spark, mutated_dup_corpus).collect()]
+    assert len(got) == 20  # the corpus must saturate the top-20
+    assert got == expected
+
+
 def test_banded_dedup_plans_have_no_quadratic_join(spark, sf_dir):
     """The round-3 rewrites must leave no cartesian/BNLJ stage."""
     for name in ("dedup_simhash", "dedup_embedding_cosine"):

@@ -159,11 +159,16 @@ def build(spark) -> None:
 # SPARK_GRAFT_SCALE_RUNS: timed repetitions after the warm run
 # (default 2, best-of). Set 1 for multi-minute structural heavies
 # where a second pass buys little and costs a lot of wall clock.
+# SPARK_GRAFT_SCALE_WARM=0 skips the untimed warm pass too (the warm
+# pass only stabilizes 1-2 s rows against JIT/page-cache noise; on a
+# 10-minute structural row it doubles the sweep for nothing).
 RUNS = max(1, int(os.environ.get("SPARK_GRAFT_SCALE_RUNS", "2")))
+WARM = os.environ.get("SPARK_GRAFT_SCALE_WARM", "1") != "0"
 
 
 def timed(fn, spark, sf_dir: str) -> float:
-    fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm
+    if WARM:
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
     best = float("inf")
     for _ in range(RUNS):
         t0 = time.time()
