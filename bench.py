@@ -100,6 +100,14 @@ HEADLINE = [
 #     rows — plans untouched for rounds, so any drift is host load.
 #     A loaded-host run is thereby self-labeling in the artifact.
 RETRY_THRESHOLD = 3.0
+# Sub-2s rows suffer host contention SUPER-linearly relative to their
+# record (fixed scheduling/stall overheads dominate tiny runtimes), so
+# the r9 run left sketch_kmv_set_overlap at 2.70x its 1.75 s record
+# with zero retries — under the 3x gate yet clearly poisoned (VERDICT
+# r9 task 1). Rows whose quiet-host record is < SMALL_ROW_CUTOFF
+# seconds retry at the tighter 2x threshold instead.
+SMALL_ROW_CUTOFF = 2.0
+SMALL_ROW_RETRY_THRESHOLD = 2.0
 MAX_RETRIES = 3
 DRIFT_SENTINELS = ["wordcount", "scalar_json_extract", "text_quality_score"]
 
@@ -167,7 +175,10 @@ def main() -> None:
         if not rec:
             continue
         tries = 0
-        while timings[name] > RETRY_THRESHOLD * rec and tries < MAX_RETRIES:
+        threshold = (
+            SMALL_ROW_RETRY_THRESHOLD if rec < SMALL_ROW_CUTOFF else RETRY_THRESHOLD
+        )
+        while timings[name] > threshold * rec and tries < MAX_RETRIES:
             tries += 1
             # brief pause lets a transient host stall pass before re-sampling
             time.sleep(2.0 * tries)

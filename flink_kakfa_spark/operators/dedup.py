@@ -1427,7 +1427,7 @@ def q_dedup_near_unique(spark: SparkSession, sf_dir: str) -> DataFrame:
     On the mutated 100x corpus (digests distinct, postings ~100-deep)
     the prefix cuts the streamed volume ~3x vs the full inverted
     index (4.09e9 witness-gated rows, DuckDB-measured), and
-    everything runs on DICTIONARY-ENCODED int ranks (an exact
+    everything runs on DICTIONARY-ENCODED long ranks (an exact
     bijection — see the inline note), not strings, because the join
     copies both sides' riding payload into every streamed row. The
     oracle still runs the full inverted-index string aggregation over
@@ -1449,8 +1449,9 @@ def q_dedup_near_unique(spark: SparkSession, sf_dir: str) -> DataFrame:
     # distinct shingle maps to its exact global ROW_NUMBER under
     # (document-frequency, shingle) — a bijection, so set sizes and
     # intersections (hence Jaccard) are untouched, while the arrays
-    # riding the prefix explode shrink from ~20-byte strings to ints
-    # and every intersect runs on primitives (the string-array form
+    # riding the prefix explode shrink from ~20-byte strings to
+    # fixed-width ranks and every intersect runs on primitives (the
+    # string-array form
     # spilled 19 GB of sort on the mutated 100x corpus just carrying
     # the payload). Ascending rank IS the rare-first order, so a
     # plain sort_array canonicalizes and element 1 of any
@@ -1462,26 +1463,33 @@ def q_dedup_near_unique(spark: SparkSession, sf_dir: str) -> DataFrame:
     freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     rank = global_row_number(
         freq, ["df", "shingle"], value_col="df", rn_name="rk"
-    ).select("shingle", F.col("rk").cast("int").alias("rk"))
+    # rank stays LONG: a 32-bit cast silently wraps past ~2.1e9
+    # distinct shingles, and rank collisions would corrupt the
+    # dictionary-encoding bijection (hence Jaccard) in exactly the
+    # 100 TB regime this rewrite targets — the memcpy win over the
+    # string form comes from dropping ~20-byte strings, not from
+    # int-vs-long width (ADVICE r9).
+    ).select("shingle", F.col("rk").cast("long").alias("rk"))
     per_doc = (
         sh.join(rank, "shingle")
         .groupBy("doc_id")
         .agg(F.sort_array(F.collect_list("rk")).alias("ws"))
         .select("doc_id", "ws", F.size("ws").cast("long").alias("n"))
-        # consumed by the prefix index AND the post-witness re-attach
+        # cut the shingle-scan lineage once before the self-join fans out
         .localCheckpoint()
     )
     # prefix len for t = 1/2: n - ceil(n/2) + 1, integer ceil; the
     # prefix array is materialized ONCE per doc before the explode —
     # slicing it per joined row instead costs two array allocations
-    # on every one of the ~4e9 streamed candidates. The join-row
-    # payload is the hot resource on a dup-heavy corpus (every joined
-    # row COPIES both sides' arrays — the 4.09e9-row mutated-100x
-    # stream at ~2.3 KB/row was ~9 TB of memcpy): only the prefix
-    # arrays and ONE side's full array ride the join; the other full
-    # array re-attaches AFTER the witness filter, when the relation is
-    # down to one row per candidate pair — an exchange proportional to
-    # the ANSWER (~25M pairs there), never to the streamed candidates.
+    # on every one of the ~4e9 streamed candidates. BOTH sides' full
+    # rank arrays ride the join here: a post-witness re-attach variant
+    # (only one full array through the join, the other re-joined after
+    # the witness filter) was tried and REVERTED — witness survivors
+    # are candidate pairs (~1.4e9 on the mutated-100x fixture), NOT
+    # answer pairs, so shuffling them for the re-attach spilled >45 GB
+    # (SCALE.md). The dictionary encoding is what makes carrying both
+    # affordable: the same stream at ~2.3 KB/row of strings was ~9 TB
+    # of memcpy; as primitive arrays it is a fraction of that.
     plen = F.col("n") - F.floor((F.col("n") + 1) / 2).cast("long") + 1
     pref = per_doc.select(
         "doc_id", "ws", "n", F.slice("ws", F.lit(1), plen).alias("pa")
@@ -1796,8 +1804,11 @@ def ppjoin_candidates(d: DataFrame) -> tuple[DataFrame, DataFrame]:
     the join streams.
 
     STATS-DRIVEN PHYSICAL PLAN (round 9): one cheap eager aggregate
-    over the prefix index (sum of C(bucket_df, 2) — the exact number
-    of joined rows the candidate self-join will stream) picks between
+    over the prefix index (sum of C(bucket_df, 2) — the exact count
+    of ORDERED candidate pairs surviving the a.rep < b.rep filter;
+    the equi-join itself streams ~2x that, bucket_df^2 rows per
+    bucket, before the filter — the fixed 2x does not change which
+    side of the threshold a workload lands on) picks between
     two physically different but logically identical pipelines, the
     same way a cost-based optimizer picks a join strategy from stats:
 
@@ -1893,9 +1904,10 @@ def ppjoin_candidates(d: DataFrame) -> tuple[DataFrame, DataFrame]:
     size_ok = (
         F.lit(_PP_T_DEN) * F.col("a.n") >= F.lit(_PP_T_NUM) * F.col("b.n")
     ) & (F.lit(_PP_T_DEN) * F.col("b.n") >= F.lit(_PP_T_NUM) * F.col("a.n"))
-    # the eager stat: exact joined-row count of the candidate
-    # self-join, from the prefix-bucket depth histogram (a map-side
-    # aggregate over the reps x ~plen prefix index — tiny)
+    # the eager stat: exact count of ordered candidate pairs (the
+    # rows surviving a.rep < b.rep; the equi-join streams ~2x this
+    # before the filter), from the prefix-bucket depth histogram (a
+    # map-side aggregate over the reps x ~plen prefix index — tiny)
     volume = (
         pref.groupBy("w")
         .agg(F.count(F.lit(1)).alias("bdf"))

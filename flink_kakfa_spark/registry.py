@@ -84,84 +84,17 @@ _QUERY_MODULES = [
     "flink_kakfa_spark.operators.skyline",
 ]
 
-# ROUND-9 WINDOW ROTATION (executes the round-9 plan written here in
-# round 8): the driver verifies only the FIRST 50 registered names, so
-# these queries are pulled to the front of the registry regardless of
-# module order. With zero never-driver-checked oracle queries left
-# after r8, the window is pure oldest-evidence refresh: the 15-name r8
-# plan verbatim (the 8 last r2-evidence names + the 7 oldest r4 names,
-# including the mutated-regime pair listers hardened this round), then
-# ALL 35 remaining r4-evidence names — after this window the oldest
-# driver evidence anywhere is r5. Everything pushed behind the window
-# is green in r1–r8 driver history AND re-verified every round by
+# ROUND-10 WINDOW ROTATION (executes the round-10 plan written here
+# in round 9): the driver verifies only the FIRST 50 registered names,
+# so these queries are pulled to the front of the registry regardless
+# of module order. Pure oldest-evidence refresh: the r5-evidence block
+# verbatim (exactly 50 names, the _NEXT_WINDOW_PLAN constant round 9
+# pinned — no backfill needed) — after this window the oldest driver
+# evidence anywhere is r6. Everything pushed behind the window is
+# green in r1-r9 driver history AND re-verified every round by
 # tools/diffcheck.py. Update tests/test_000_smoke.py::DRIVER_WINDOW in
 # the same commit as any change here.
 _WINDOW_FRONT = [
-    # r8 plan verbatim: r2-evidence scalar tail
-    "sample_seeded",
-    "agg_argmax",
-    "scalar_null_funcs",
-    "unpivot_price_measures",
-    "scalar_string_funcs",
-    "scalar_date_funcs",
-    "scalar_math_funcs",
-    "scalar_conditional_funcs",
-    # r8 plan verbatim: oldest r4 names (the round-9 mutated-regime
-    # hardening targets re-prove value-exactness here)
-    "wordcount_topk",
-    "dedup_exact_stats",
-    "dedup_ngram_jaccard",
-    "dedup_ngram_jaccard_guarded",
-    "dedup_minhash_portable",
-    "dedup_simhash",
-    "dedup_embedding_cosine",
-    # remaining r4-evidence names (all of them; 2 rows-only back-pins
-    # excluded by policy)
-    "asof_last_purchase",
-    "dedup_clusters",
-    "dedup_fuzzy_partnames",
-    "dedup_near_unique",
-    "merge_scd1_orders",
-    "mm_binary_metadata",
-    "mm_decode_frames",
-    "pipeline_stratified_sample",
-    "sim_cosine_topk",
-    "sim_cosine_topk_pandas",
-    "sim_euclidean_topk",
-    "sim_ivf_cell_stats",
-    "sim_ivf_portable_topk",
-    "sim_lsh_ann_topk",
-    "sql_correlated_exists",
-    "sql_cte_top_nations",
-    "sql_grouping_sets",
-    "sql_having_scalar_subquery",
-    "sql_in_subquery_not_in",
-    "sql_lateral_posexplode",
-    "sql_pivot_status_by_priority",
-    "sql_ranked_subquery_filter",
-    "text_bigram_top20",
-    "text_fingerprint",
-    "text_fingerprint_rolling",
-    "text_lang_id",
-    "text_quality_score",
-    "text_tfidf_top20",
-    "text_token_count_estimate",
-    "text_token_stats",
-    "ts_gapfill_locf",
-    "ts_resample_gapfill",
-    "window_session_events",
-    "window_sliding_events",
-    "window_tumbling_events",
-]
-
-# ROUND-10 ROTATION PLAN (write of record, same protocol as the
-# r8->r9 handoff this file just executed). After the r9 window lands,
-# the oldest driver evidence anywhere is the r5 block — exactly 50
-# names, so the round-10 window IS this plan (no backfill needed).
-# This is a REAL constant (not a comment) so tests can assert every
-# name exists — a typo here fails CI this round, not next round.
-# Update tests/test_000_smoke.py::DRIVER_WINDOW in the same commit.
-_NEXT_WINDOW_PLAN = [
     "agg_approx_percentile_bounds",
     "agg_hll_mergeable_rollup",
     "agg_salted_wordcount",
@@ -212,6 +145,67 @@ _NEXT_WINDOW_PLAN = [
     "tpch_q4_late_shipments",
     "tpch_q7_nation_volume",
     "tpch_q8_market_share",
+]
+
+# ROUND-11 ROTATION PLAN (write of record, same protocol as the
+# r9->r10 handoff this file just executed). After the r10 window
+# lands, the oldest driver evidence anywhere is the r6 block — exactly
+# 50 names (the CORRECTNESS_r06.json key set), so the round-11 window
+# IS this plan (no backfill needed). This is a REAL constant (not a
+# comment) so tests can assert every name exists — a typo here fails
+# CI this round, not next round. Update
+# tests/test_000_smoke.py::DRIVER_WINDOW in the same commit.
+_NEXT_WINDOW_PLAN = [
+    "agg_corr_covar",
+    "attribution_last_touch",
+    "cdc_apply_changelog",
+    "cohort_weekly_retention",
+    "constraint_check_summary",
+    "corpus_dataset_card",
+    "dedup_semdedup",
+    "feature_target_encode",
+    "growth_mom_revenue",
+    "join_bloom_filtered_revenue",
+    "join_null_safe_props",
+    "join_salted_skew_revenue",
+    "lake_zorder_layout",
+    "markov_event_transitions",
+    "merge_scd2_orders",
+    "mm_audio_vad_features",
+    "mm_image_ahash_groups",
+    "pipeline_curriculum_order",
+    "pipeline_shuffle_shards",
+    "pipeline_train_split",
+    "privacy_k_anonymity",
+    "profile_equidepth_price",
+    "profile_join_key_skew",
+    "profile_orders_columns",
+    "rag_bm25_topk",
+    "rolling_wau_7d",
+    "rolling_wau_hll",
+    "sample_weighted_topk",
+    "setop_all_variants",
+    "sim_pq_adc_topk",
+    "sketch_cms_heavy_hitters",
+    "sql_explode_outer_keep_empty",
+    "streak_longest_purchase_days",
+    "text_bigram_perplexity",
+    "text_bpe_merge_pairs",
+    "text_char_entropy",
+    "text_hashing_trick",
+    "text_winnow_fingerprints",
+    "tpch_q11_important_stock",
+    "tpch_q13_customer_distribution",
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q20_potential_promotion",
+    "tpch_q21_waiting_suppliers",
+    "tpch_q22_global_sales_opportunity",
+    "tpch_q6_forecast_revenue",
+    "tpch_q9_product_type_profit",
+    "trend_slope_per_type",
+    "ts_ewma_event_value",
+    "window_first_last_nth",
 ]
 
 # Queries registered WITHOUT oracle SQL (rows-only driver check, by

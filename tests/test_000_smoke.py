@@ -28,66 +28,64 @@ PKG = REPO / "flink_kakfa_spark"
 # The curated driver-verification window (first 50 registered names).
 # Rounds 1-2 spent the window on the relational block; round 4 the
 # LLM-pipeline block; round 5 the scalar tail; rounds 6-7 the
-# zero-driver-evidence backlog; round 8 the last never-checked names +
-# corpus_dsir_weights re-proof + the r2-evidence refresh (50/50
-# green). Round 9 is pure oldest-evidence refresh: the 15-name r8 plan
-# (r2 scalar tail + the 7 oldest r4 names, including the
-# mutated-regime pair listers hardened this round) + all 35 remaining
-# r4-evidence names — after this window the oldest evidence anywhere
-# is r5, which is _NEXT_WINDOW_PLAN verbatim. Rotate DELIBERATELY
-# (update this list + registry._WINDOW_FRONT together); never by
-# accident.
+# zero-driver-evidence backlog; round 8 the last never-checked names;
+# round 9 the r2/r4-evidence refresh (50/50 green). Round 10 is pure
+# oldest-evidence refresh: the r5-evidence block verbatim (round 9's
+# _NEXT_WINDOW_PLAN, exactly 50 names) — after this window the oldest
+# evidence anywhere is r6, which is _NEXT_WINDOW_PLAN verbatim.
+# Rotate DELIBERATELY (update this list + registry._WINDOW_FRONT
+# together); never by accident.
 DRIVER_WINDOW = [
-    "sample_seeded",
-    "agg_argmax",
-    "scalar_null_funcs",
-    "unpivot_price_measures",
-    "scalar_string_funcs",
-    "scalar_date_funcs",
-    "scalar_math_funcs",
-    "scalar_conditional_funcs",
-    "wordcount_topk",
-    "dedup_exact_stats",
-    "dedup_ngram_jaccard",
-    "dedup_ngram_jaccard_guarded",
-    "dedup_minhash_portable",
-    "dedup_simhash",
-    "dedup_embedding_cosine",
-    "asof_last_purchase",
-    "dedup_clusters",
-    "dedup_fuzzy_partnames",
-    "dedup_near_unique",
-    "merge_scd1_orders",
-    "mm_binary_metadata",
-    "mm_decode_frames",
-    "pipeline_stratified_sample",
-    "sim_cosine_topk",
-    "sim_cosine_topk_pandas",
-    "sim_euclidean_topk",
-    "sim_ivf_cell_stats",
-    "sim_ivf_portable_topk",
-    "sim_lsh_ann_topk",
-    "sql_correlated_exists",
-    "sql_cte_top_nations",
-    "sql_grouping_sets",
-    "sql_having_scalar_subquery",
-    "sql_in_subquery_not_in",
-    "sql_lateral_posexplode",
-    "sql_pivot_status_by_priority",
-    "sql_ranked_subquery_filter",
-    "text_bigram_top20",
-    "text_fingerprint",
-    "text_fingerprint_rolling",
-    "text_lang_id",
-    "text_quality_score",
-    "text_tfidf_top20",
-    "text_token_count_estimate",
-    "text_token_stats",
-    "ts_gapfill_locf",
-    "ts_resample_gapfill",
-    "window_session_events",
-    "window_sliding_events",
-    "window_tumbling_events",
+    "agg_approx_percentile_bounds",
+    "agg_hll_mergeable_rollup",
+    "agg_salted_wordcount",
+    "anomaly_zscore_events",
+    "cep_error_then_purchase",
+    "corpus_domain_filter",
+    "corpus_mixture_weights",
+    "corpus_source_stats",
+    "corpus_temperature_sample",
+    "decontam_eval_overlap",
+    "dedup_paragraphs",
+    "emb_centroid_purity",
+    "emb_matryoshka_quality",
+    "emb_quality_stats",
+    "funnel_signup_click_purchase",
+    "mm_bmp_roundtrip_features",
+    "mm_extract_features",
+    "mm_wav_roundtrip_features",
+    "pii_redact",
+    "pii_scan_stats",
+    "pipeline_chunk_documents",
+    "pipeline_pack_sequences",
+    "pipeline_training_prep",
+    "quality_containment_score",
+    "quality_gopher_filter",
+    "reference_message_shape",
+    "sample_k_per_source",
+    "scalar_array_funcs",
+    "scalar_cast_funcs",
+    "scalar_date_funcs2",
+    "scalar_from_json_struct",
+    "scalar_json_extract",
+    "scalar_map_funcs",
+    "sim_sq8_rescore_topk",
+    "sql_recursive_month_spine",
+    "text_lang_distribution",
+    "text_length_histogram",
+    "text_oov_rate",
+    "text_repetition_ngrams",
+    "text_unigram_surprisal",
+    "tpch_q10_returned_revenue",
+    "tpch_q12_priority_by_linestatus",
+    "tpch_q14_promo_share",
+    "tpch_q16_supplier_relationship",
+    "tpch_q18_big_orders",
+    "tpch_q19_disjunctive_predicates",
+    "tpch_q2_min_unit_price",
+    "tpch_q4_late_shipments",
+    "tpch_q7_nation_volume",
+    "tpch_q8_market_share",
 ]
 
 
