@@ -14,6 +14,7 @@ from __future__ import annotations
 import socketserver
 import struct
 import threading
+import time
 
 import pytest
 
@@ -459,7 +460,23 @@ def test_cli_producer_consumer_via_stdlib_data_plane(
         )
     )
     assert rc == 0
-    n = list_offset(broker.addr, "cli-words", 0, LATEST)
+    # quiescence poll (reference's deadline loop,
+    # go/integration/integration_test.go:122-140): cmd_producer's
+    # stop() interrupts the final micro-batch, but produce RPCs its
+    # executor tasks already opened can still be queued in the fake
+    # broker's accept loop — sampling LATEST immediately undercounts
+    # what eventually lands (observed 80-sampled vs 140-landed on a
+    # contended host). Wait for the offset to hold still before
+    # pinning the expected count.
+    n, stable_since = 0, time.time()
+    deadline = time.time() + 30
+    while time.time() < deadline:
+        cur = list_offset(broker.addr, "cli-words", 0, LATEST)
+        if cur != n:
+            n, stable_since = cur, time.time()
+        elif n > 0 and time.time() - stable_since >= 2.0:
+            break
+        time.sleep(0.25)
     assert n > 0, "producer wrote nothing through the stdlib sink"
 
     rc = cmd_consumer(

@@ -129,6 +129,16 @@ ALLOWED_SMALL_SIDE_SHUFFLES = {
     # the collapse moves distinct-text-sized relations (signatures,
     # band bytes, <=20-row class expansions), never the corpus
     "dedup_simhash",
+    # witness-minimal PPJoin census (round 9 rewrite, allowance added
+    # round 10 when the EXPLICIT repartition on the prefix join key —
+    # the fix for AQE coalescing the input-small/output-huge prefix
+    # index to ~2 partitions — tipped the count to 5): token-df
+    # groupBy (vocab-sized), per-doc canonical-array groupBy and
+    # digest collapse (doc/distinct-text-sized), the deliberate
+    # prefix-index repartition (reps x ~plen rows), and the
+    # few-bucket census agg. The candidate stream itself NEVER
+    # exchanges — that is the point of the witness-minimal form.
+    "dedup_jaccard_prefix_filter",
     # recall audit: a UNION of five registered ANN plans plus the
     # exact ranker — each contributes its own (already individually
     # audited) small-side exchanges; post-union everything is <=50
