@@ -110,6 +110,14 @@ SMALL_ROW_CUTOFF = 2.0
 SMALL_ROW_RETRY_THRESHOLD = 2.0
 MAX_RETRIES = 3
 DRIFT_SENTINELS = ["wordcount", "scalar_json_extract", "text_quality_score"]
+# Shuffle-heavy rows suffer burst contention SUPER-linearly relative
+# to the trivial sentinels above (r9: every heavy row read 1.5-1.9x
+# normalized while trivial sentinels said 1.8x raw), so a loaded run
+# can't be normalized for them with one factor. A second geomean over
+# heavy rows whose plans have been stable for rounds gives readers
+# the heavy-class correction; the original drift_factor keeps its
+# cross-round meaning unchanged.
+DRIFT_SENTINELS_HEAVY = ["join_salted_skew_revenue", "graph_pagerank_top20"]
 
 
 def quiet_host_records(repo_dir: str, sf: str) -> dict[str, float]:
@@ -186,16 +194,18 @@ def main() -> None:
         if tries:
             retried[name] = tries
 
-    drift_ratios = [
-        timings[q] / records[q]
-        for q in DRIFT_SENTINELS
-        if q in timings and records.get(q)
-    ]
-    drift_factor = (
-        round(math.exp(sum(math.log(r) for r in drift_ratios) / len(drift_ratios)), 3)
-        if drift_ratios
-        else None
-    )
+    def geomean_vs_records(sentinels: list[str]) -> float | None:
+        ratios = [
+            timings[q] / records[q]
+            for q in sentinels
+            if q in timings and records.get(q)
+        ]
+        if not ratios:
+            return None
+        return round(math.exp(sum(math.log(r) for r in ratios) / len(ratios)), 3)
+
+    drift_factor = geomean_vs_records(DRIFT_SENTINELS)
+    drift_factor_heavy = geomean_vs_records(DRIFT_SENTINELS_HEAVY)
 
     total = round(sum(timings.values()), 3)
     out = {
@@ -204,9 +214,13 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf_val,
-        # host-load self-label: ~1.0 on a quiet host; >1.3 means every
-        # number in this run is inflated by external load, not plans
+        # host-load self-labels: ~1.0 on a quiet host; >1.3 means every
+        # number in this run is inflated by external load, not plans.
+        # drift_factor = trivial narrow rows; drift_factor_heavy =
+        # shuffle-heavy stable rows, which bursts inflate more — use it
+        # to normalize the expensive rows.
         "drift_factor": drift_factor,
+        "drift_factor_heavy": drift_factor_heavy,
     }
     if retried:
         # rows that stayed >3x their quiet-host record and were re-run
