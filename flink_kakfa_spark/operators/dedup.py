@@ -1447,22 +1447,39 @@ def q_dedup_near_unique(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = _shingles(uniq)
     # global rare-first canonical order + DICTIONARY ENCODING: each
     # distinct shingle maps to its exact global ROW_NUMBER under
-    # (document-frequency, shingle) — a bijection, so set sizes and
-    # intersections (hence Jaccard) are untouched, while the arrays
-    # riding the prefix explode shrink from ~20-byte strings to
-    # fixed-width ranks and every intersect runs on primitives (the
-    # string-array form
-    # spilled 19 GB of sort on the mutated 100x corpus just carrying
-    # the payload). Ascending rank IS the rare-first order, so a
-    # plain sort_array canonicalizes and element 1 of any
-    # array_intersect is the pair's rarest common shingle — the
-    # witness. The rank itself is the scale-safe two-pass
-    # ``global_row_number`` (no single-partition window).
+    # (document-frequency, hash-fraction, shingle) — a bijection, so
+    # set sizes and intersections (hence Jaccard) are untouched, while
+    # the arrays riding the prefix explode shrink from ~20-byte
+    # strings to fixed-width ranks and every intersect runs on
+    # primitives (the string-array form spilled 19 GB of sort on the
+    # mutated 100x corpus just carrying the payload). Ascending rank
+    # IS the rare-first order, so a plain sort_array canonicalizes and
+    # element 1 of any array_intersect is the pair's rarest common
+    # shingle — the witness (the prefix/witness theorems hold for ANY
+    # fixed total order; only rare-FIRST matters for bucket bounds).
+    # The rank itself is the scale-safe two-pass ``global_row_number``
+    # (no single-partition window).
     from flink_kakfa_spark.operators.distributed_rank import global_row_number
 
     freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    # TIE-DISPERSED binning value (round 10): global_row_number bins by
+    # percentile boundaries of its value column, and rows EQUAL on the
+    # value always share a bin — on a real Zipf dictionary df=1 is the
+    # majority of types, so binning on raw df funnels most of the
+    # dictionary through ONE local-rank task (the single-partition
+    # sort this module exists to avoid, resurrected through tie skew;
+    # the synthetic fixtures dodge it only because their small vocab
+    # spreads df). Packing a 20-bit hash fraction into the double
+    # disperses equal-df ties uniformly across bins while the integer
+    # part keeps the order df-ascending = rare-first. Exact while
+    # df < 2^31 (31 + 20 = 51 of the 52 mantissa bits) — the same
+    # precondition horizon as the dictionary size itself.
+    disp = F.col("df").cast("double") + F.pmod(
+        F.xxhash64("shingle"), F.lit(1 << 20)
+    ).cast("double") / F.lit(float(1 << 20))
     rank = global_row_number(
-        freq, ["df", "shingle"], value_col="df", rn_name="rk"
+        freq.withColumn("_v", disp), ["_v", "shingle"], value_col="_v",
+        rn_name="rk",
     # rank stays LONG: a 32-bit cast silently wraps past ~2.1e9
     # distinct shingles, and rank collisions would corrupt the
     # dictionary-encoding bijection (hence Jaccard) in exactly the

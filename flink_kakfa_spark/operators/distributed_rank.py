@@ -60,6 +60,22 @@ def global_row_number(
     (defaults to ``order_cols[0]``); rows equal on ``value_col`` always
     land in the same bin, so heavy duplicates reduce balance but never
     correctness.
+
+    TIE-SKEW CAVEAT (round 10): "reduce balance" can mean "destroy
+    parallelism" when one value dominates — measured on a Zipf-shaped
+    4M-row dictionary where 85% of rows shared value 1, raw binning
+    put 85% of the input through ONE local-rank sort task (the
+    single-partition window this module exists to avoid, resurrected
+    through ties); at crawl scale that task simply fails. When the
+    caller's ordering semantics tolerate an arbitrary-but-fixed
+    tiebreak WITHIN equal values, pack a hash fraction into the
+    binning value before calling:
+    ``v = value.cast('double') + pmod(xxhash64(key), 2^20)/2^20``
+    (exact while value < 2^31: 31 + 20 = 51 of double's 52 mantissa
+    bits) and order by ``[v, key]`` — same measurement rebalanced to a
+    3.1% max bin. ``dedup_near_unique`` does exactly this; the
+    equi-depth profile and curriculum consumers bin on continuous
+    columns where ties are naturally rare.
     """
     ranked, _ = _ranked_with_counts(df, order_cols, value_col, n_bins, rn_name)
     return ranked
