@@ -1269,14 +1269,17 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
     rep_labels = propagate_min_labels(sym)
-    # members re-attach through their digest group's representative;
-    # the label frame is bounded by distinct-text count — broadcast
+    # members re-attach through their digest group's representative.
+    # No broadcast hint (round 10): the label frame is bounded by
+    # distinct-text count, which still GROWS with the corpus — at
+    # crawl scale forcing it broadcast is an OOM. AQE converts this
+    # join to broadcast from runtime exchange stats whenever the
+    # labels actually fit (they do at every fixture scale); otherwise
+    # it degrades to a partitioned digest-keyed shuffle.
     result = (
         members.join(
-            F.broadcast(
-                reps.select("grp", F.col("doc_id").alias("_rep")).join(
-                    rep_labels, F.col("_rep") == rep_labels.node
-                )
+            reps.select("grp", F.col("doc_id").alias("_rep")).join(
+                rep_labels, F.col("_rep") == rep_labels.node
             ),
             "grp",
         )

@@ -101,9 +101,14 @@ def q_pipeline_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_text_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc average negative log-probability under the corpus unigram LM.
 
-    The vocabulary aggregate (one shuffle over words) is broadcast back
-    onto the exploded corpus; the per-doc average is the second and
-    final exchange.
+    The vocabulary aggregate (one shuffle over words) joins back onto
+    the exploded corpus WITHOUT a broadcast hint (round 10): the
+    vocabulary grows with the corpus (Heaps' law, 1e8-1e9 types at
+    crawl scale), so forcing it broadcast is an OOM at exactly the
+    scale that matters — AQE converts to broadcast from runtime stats
+    whenever it actually fits, and otherwise the join degrades to a
+    partitioned word-keyed shuffle. The per-doc average is the final
+    exchange.
     """
     d = load_table(spark, "documents", sf_dir)
     w = d.select(
@@ -117,7 +122,7 @@ def q_text_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         "word", (F.col("c").cast("double") / F.col("tot")).alias("p")
     )
     return (
-        w.join(F.broadcast(vocab), "word")
+        w.join(vocab, "word")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),

@@ -308,9 +308,18 @@ def q_text_tfidf_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF: the 20 most document-distinctive (doc, word) pairs.
 
     Three aggregations sharing one tokenization: term frequency per
-    (doc, word), document frequency per word (broadcast — vocabulary is
-    tiny next to the corpus), corpus size as a literal. ln() rounded to
-    6 dp (libm ulp drift between engines).
+    (doc, word), document frequency per word, corpus size as a lazy
+    1-row frame. ln() rounded to 6 dp (libm ulp drift between
+    engines).
+
+    The df join carries NO broadcast hint (round 10): the vocabulary
+    is small next to the corpus but it GROWS with it (Heaps' law puts
+    a crawl-scale vocabulary at 1e8-1e9 types), and a forced broadcast
+    of an unbounded relation is a job-killer at exactly the scale this
+    engine targets. AQE converts the join to broadcast from runtime
+    exchange stats whenever df actually fits, so small corpora keep
+    the broadcast plan and huge ones degrade to a partitioned
+    word-keyed shuffle instead of an OOM.
     """
     d = load_table(spark, "documents", sf_dir)
     tok = d.select(
@@ -322,7 +331,7 @@ def q_text_tfidf_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     # plan-build time) — the same shape as the oracle's CROSS JOIN n
     n = d.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
     return (
-        tf.join(F.broadcast(dfreq), "word")
+        tf.join(dfreq, "word")
         .crossJoin(F.broadcast(n))
         .select(
             "doc_id",
