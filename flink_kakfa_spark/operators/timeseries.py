@@ -156,24 +156,98 @@ def q_ts_rolling_1h_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     The frame is defined on microsecond epoch values, so tie handling
     and the inclusive 1-hour bound are identical integer semantics in
     both engines; the summed measure routes through DECIMAL so the
-    varying per-frame summation order cannot produce float drift.
+    varying per-frame summation order cannot produce float drift
+    (decimal addition is exactly associative, which is also what makes
+    the decomposition below value-identical).
 
-    Scale: one range-window pass partitioned by type — no global
-    sort; each partition sorts locally. The classic sliding-aggregate
-    shape streaming systems implement with OVER RANGE windows.
+    TWO-BUCKET DECOMPOSITION (round 10): the naive form —
+    ``partitionBy(event_type).orderBy(ts).rangeBetween(-1h, 0)`` —
+    funnels each type's ENTIRE history through one window task
+    (event_type has ~10 values, so at crawl scale that is a serial
+    sort of terabytes; the fixtures hide it because one task fits).
+    Instead, bucket events into 1-hour-aligned epochs: the trailing
+    [t-1h, t] frame spans exactly its own bucket b = t div 1h and the
+    previous one (t-1h lands in b-1 for every t, and nothing older
+    than b-1 can reach t-1h), so
+
+      rolling(t) = prefix(own bucket, ts' <= t)
+                 + [bucket b-1 total - prefix(bucket b-1, ts' < t-1h)]
+
+    Each event also emits a PROBE row pinned at (type, b-1, t-1h);
+    one window pass over the real+probe union partitioned by
+    (type, bucket) — thousands of independent partitions instead of
+    ~10 — yields the inclusive prefix for real rows and the
+    strict-prefix + partition total for probes (RANGE upper bound -1
+    on integer microseconds = strictly-less, so ties at exactly t-1h
+    stay INSIDE the frame, matching the oracle's inclusive bound;
+    probes carry NULL values so they never pollute a sum). Probes
+    join back by event_id. Two high-cardinality exchanges replace the
+    one ~10-partition exchange.
     """
-    w = (
-        Window.partitionBy("event_type")
-        .orderBy(F.unix_micros(F.col("ts")))
-        .rangeBetween(-3_600_000_000, 0)
-    )
-    e = load_table(spark, "events", sf_dir)
-    return e.select(
+    hour = 3_600_000_000
+    e = load_table(spark, "events", sf_dir).select(
         "event_id",
         "event_type",
-        F.sum(F.col("value").cast("decimal(18,4)")).over(w)
-        .cast("double")
-        .alias("rolling_1h"),
+        F.unix_micros(F.col("ts")).alias("tu"),
+        F.col("value").cast("decimal(18,4)").alias("v"),
+    )
+    reals = e.select(
+        "event_id", "event_type", "tu",
+        F.floor(F.col("tu") / hour).cast("long").alias("b"),
+        "v", F.lit(False).alias("is_probe"),
+    )
+    probes = e.select(
+        "event_id", "event_type",
+        (F.col("tu") - hour).alias("tu"),
+        (F.floor(F.col("tu") / hour).cast("long") - 1).alias("b"),
+        F.lit(None).cast("decimal(18,4)").alias("v"),
+        F.lit(True).alias("is_probe"),
+    )
+    un = reals.unionByName(probes)
+    part = Window.partitionBy("event_type", "b")
+    incl = F.sum("v").over(
+        part.orderBy("tu").rangeBetween(Window.unboundedPreceding, 0)
+    )
+    strict = F.sum("v").over(
+        part.orderBy("tu").rangeBetween(Window.unboundedPreceding, -1)
+    )
+    total = F.sum("v").over(part)
+    # n_s = how many NON-NULL prev-bucket values sit inside the frame:
+    # distinguishes "suffix sums to NULL because nothing is there"
+    # from "suffix genuinely sums values" so the all-NULL-frame corner
+    # returns NULL exactly like the oracle's SUM
+    n_s = F.count("v").over(part) - F.count("v").over(
+        part.orderBy("tu").rangeBetween(Window.unboundedPreceding, -1)
+    )
+    scored = un.select(
+        "event_id", "is_probe",
+        incl.alias("p"),
+        (total - F.coalesce(strict, F.lit(0).cast("decimal(18,4)"))).alias("s"),
+        n_s.alias("ns"),
+    )
+    own = scored.filter(~F.col("is_probe")).select("event_id", "p")
+    prev = scored.filter(F.col("is_probe")).select("event_id", "s", "ns")
+    return (
+        own.join(prev, "event_id")
+        .join(e.select("event_id", "event_type"), "event_id")
+        .select(
+            "event_id",
+            "event_type",
+            # NULL only when the whole frame is NULL-valued (both
+            # halves empty of non-null values) — the oracle's SUM rule
+            F.when(
+                F.col("p").isNull() & (F.col("ns") == 0), F.lit(None)
+            )
+            .otherwise(
+                F.coalesce(F.col("p"), F.lit(0).cast("decimal(18,4)"))
+                + F.coalesce(
+                    F.when(F.col("ns") > 0, F.col("s")),
+                    F.lit(0).cast("decimal(18,4)"),
+                )
+            )
+            .cast("double")
+            .alias("rolling_1h"),
+        )
     )
 
 
