@@ -484,12 +484,13 @@ def q_dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     eligible = d.filter(
         F.size(F.split(F.coalesce(F.col("text"), F.lit("")), " ")) >= SHINGLE_K
     ).select("doc_id", "text", F.md5(F.col("text").cast("binary")).alias("grp"))
-    groups = eligible.groupBy("grp").agg(
+    groups = with_member_rank(eligible, "grp", "doc_id").groupBy("grp").agg(
         F.min("doc_id").alias("rep_id"),
         F.min("text").alias("text"),
         F.count(F.lit(1)).alias("n_members"),
-        # 21 smallest member ids: sufficient for any top-20 expansion
-        F.slice(F.sort_array(F.collect_list("doc_id")), 1, 21).alias("members"),
+        # 21 smallest member ids (bounded buffer — see with_member_rank):
+        # sufficient for any top-20 expansion
+        members_capped("doc_id"),
     ).localCheckpoint()  # consumed by the band pipeline AND the self classes
     banded = _minhash_bands_from(
         groups.select(F.col("rep_id").alias("doc_id"), "text", "members")
@@ -539,6 +540,39 @@ def q_dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("jaccard").desc(), F.col("doc_a").asc(), F.col("doc_b").asc())
         .limit(20)
     )
+
+
+_MEMBER_CAP = 21  # 21 smallest ids per class: top-20-sufficient
+
+
+def with_member_rank(df: DataFrame, key_col: str, id_col: str) -> DataFrame:
+    """Add ``_mr`` = 1-based rank of ``id_col`` within its ``key_col``
+    group, so a bounded members list can be collected as
+    ``collect_list(when(_mr <= cap, id))`` instead of
+    ``slice(sort_array(collect_list(id)), 1, cap)``.
+
+    The slice form is correct but materializes the ENTIRE duplicate
+    group in one aggregation buffer before slicing — a viral
+    boilerplate page duplicated 1e8 times in a crawl puts an
+    800 MB array in a single buffer (collect_list's partial
+    aggregation merges buffers, it doesn't bound them). The window
+    rank instead rides the same ``key_col`` hash exchange the groupBy
+    needs anyway (no extra shuffle; the per-group sort is Spark's
+    disk-backed streaming sort), ``when`` returns NULL past the cap,
+    and ``collect_list`` skips NULLs — so every aggregation buffer
+    holds at most ``cap`` elements regardless of group size (round
+    10; the fixtures never exposed this because their duplicate
+    groups are small).
+    """
+    w = Window.partitionBy(key_col).orderBy(id_col)
+    return df.withColumn("_mr", F.row_number().over(w))
+
+
+def members_capped(id_col: str):
+    """Bounded-members aggregate over a ``with_member_rank`` frame."""
+    return F.sort_array(
+        F.collect_list(F.when(F.col("_mr") <= _MEMBER_CAP, F.col(id_col)))
+    ).alias("members")
 
 
 def expand_collapsed_pairs(
@@ -744,11 +778,11 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     eligible = d.filter(F.col("text").isNotNull()).select(
         "doc_id", "text", F.md5(F.col("text").cast("binary")).alias("grp")
     )
-    groups = eligible.groupBy("grp").agg(
+    groups = with_member_rank(eligible, "grp", "doc_id").groupBy("grp").agg(
         F.min("doc_id").alias("rep_id"),
         F.min("text").alias("text"),
         F.count(F.lit(1)).alias("n_members"),
-        F.slice(F.sort_array(F.collect_list("doc_id")), 1, 21).alias("members"),
+        members_capped("doc_id"),  # bounded buffer — see with_member_rank
     ).localCheckpoint()  # consumed by the signature pipeline + expansions
     tok = groups.select(
         F.col("rep_id").alias("doc_id"),
@@ -786,12 +820,36 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # them, mirroring the uncollapsed pipeline and the oracle.
     sgroups = (
         groups.join(sigs.withColumnRenamed("doc_id", "rep_id"), "rep_id")
+        # bounded union-of-members: the 21 smallest of the class union
+        # all live in text groups whose own MINIMUM is among the 21
+        # smallest minima (each union element x has its group min <= x),
+        # so ranking the group rows by members[1] (their min — members
+        # arrays are sorted) and flattening only the 21 best-ranked
+        # groups loses nothing while capping the aggregation buffer at
+        # 21 x 21 ids — a viral signature class of millions of text
+        # groups would otherwise flatten into one unbounded array
+        .withColumn(
+            "_mr",
+            F.row_number().over(
+                Window.partitionBy("simhash").orderBy(
+                    F.element_at("members", 1), "rep_id"
+                )
+            ),
+        )
         .groupBy("simhash")
         .agg(
             F.min("rep_id").alias("rep_id"),
             F.sum("n_members").alias("n_members"),
             F.slice(
-                F.sort_array(F.flatten(F.collect_list("members"))), 1, 21
+                F.sort_array(
+                    F.flatten(
+                        F.collect_list(
+                            F.when(F.col("_mr") <= _MEMBER_CAP, F.col("members"))
+                        )
+                    )
+                ),
+                1,
+                _MEMBER_CAP,
             ).alias("members"),
         )
         .withColumn("self_score", F.lit(0).cast("integer"))
@@ -995,10 +1053,10 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda s, x: s + x,
     )
     self_norm = F.sqrt(F.aggregate("emb", F.lit(0.0), lambda s, x: s + x * x))
-    vgroups = e.groupBy("emb").agg(
+    vgroups = with_member_rank(e, "emb", "vec_id").groupBy("emb").agg(
         F.min("vec_id").alias("rep_id"),
         F.count(F.lit(1)).alias("n_members"),
-        F.slice(F.sort_array(F.collect_list("vec_id")), 1, 21).alias("members"),
+        members_capped("vec_id"),  # bounded buffer — see with_member_rank
     ).withColumn(
         "self_score", F.round(self_dot / (self_norm * self_norm), 6)
     ).localCheckpoint()  # consumed by the LSH pipeline + expansions

@@ -308,11 +308,13 @@ def q_text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     eligible = d.filter(F.col("text").isNotNull()).select(
         "doc_id", "text", F.md5(F.col("text").cast("binary")).alias("grp")
     )
-    groups = eligible.groupBy("grp").agg(
+    from flink_kakfa_spark.operators.dedup import members_capped, with_member_rank
+
+    groups = with_member_rank(eligible, "grp", "doc_id").groupBy("grp").agg(
         F.min("doc_id").alias("rep_id"),
         F.min("text").alias("text"),
         F.count(F.lit(1)).alias("n_members"),
-        F.slice(F.sort_array(F.collect_list("doc_id")), 1, 21).alias("members"),
+        members_capped("doc_id"),  # bounded buffer — see with_member_rank
     ).localCheckpoint()  # consumed by the fp pipeline AND the self classes
     # re-order each doc's fingerprint set RARE-FIRST under the global
     # (document-frequency, fp) total order — the prefix theorem holds
