@@ -82,78 +82,17 @@ _QUERY_MODULES = [
     "flink_kakfa_spark.operators.skyline",
 ]
 
-# ROUND-10 WINDOW ROTATION (executes the round-10 plan written here
-# in round 9): the driver verifies only the FIRST 50 registered names,
+# ROUND-11 WINDOW ROTATION (executes the round-11 plan written here
+# in round 10): the driver verifies only the FIRST 50 registered names,
 # so these queries are pulled to the front of the registry regardless
-# of module order. Pure oldest-evidence refresh: the r5-evidence block
-# verbatim (exactly 50 names, the _NEXT_WINDOW_PLAN constant round 9
+# of module order. Pure oldest-evidence refresh: the r6-evidence block
+# verbatim (exactly 50 names, the _NEXT_WINDOW_PLAN constant round 10
 # pinned — no backfill needed) — after this window the oldest driver
-# evidence anywhere is r6. Everything pushed behind the window is
-# green in r1-r9 driver history AND re-verified every round by
+# evidence anywhere is r7. Everything pushed behind the window is
+# green in r1-r10 driver history AND re-verified every round by
 # tools/diffcheck.py. Update tests/test_000_smoke.py::DRIVER_WINDOW in
 # the same commit as any change here.
 _WINDOW_FRONT = [
-    "agg_approx_percentile_bounds",
-    "agg_hll_mergeable_rollup",
-    "agg_salted_wordcount",
-    "anomaly_zscore_events",
-    "cep_error_then_purchase",
-    "corpus_domain_filter",
-    "corpus_mixture_weights",
-    "corpus_source_stats",
-    "corpus_temperature_sample",
-    "decontam_eval_overlap",
-    "dedup_paragraphs",
-    "emb_centroid_purity",
-    "emb_matryoshka_quality",
-    "emb_quality_stats",
-    "funnel_signup_click_purchase",
-    "mm_bmp_roundtrip_features",
-    "mm_extract_features",
-    "mm_wav_roundtrip_features",
-    "pii_redact",
-    "pii_scan_stats",
-    "pipeline_chunk_documents",
-    "pipeline_pack_sequences",
-    "pipeline_training_prep",
-    "quality_containment_score",
-    "quality_gopher_filter",
-    "reference_message_shape",
-    "sample_k_per_source",
-    "scalar_array_funcs",
-    "scalar_cast_funcs",
-    "scalar_date_funcs2",
-    "scalar_from_json_struct",
-    "scalar_json_extract",
-    "scalar_map_funcs",
-    "sim_sq8_rescore_topk",
-    "sql_recursive_month_spine",
-    "text_lang_distribution",
-    "text_length_histogram",
-    "text_oov_rate",
-    "text_repetition_ngrams",
-    "text_unigram_surprisal",
-    "tpch_q10_returned_revenue",
-    "tpch_q12_priority_by_linestatus",
-    "tpch_q14_promo_share",
-    "tpch_q16_supplier_relationship",
-    "tpch_q18_big_orders",
-    "tpch_q19_disjunctive_predicates",
-    "tpch_q2_min_unit_price",
-    "tpch_q4_late_shipments",
-    "tpch_q7_nation_volume",
-    "tpch_q8_market_share",
-]
-
-# ROUND-11 ROTATION PLAN (write of record, same protocol as the
-# r9->r10 handoff this file just executed). After the r10 window
-# lands, the oldest driver evidence anywhere is the r6 block — exactly
-# 50 names (the CORRECTNESS_r06.json key set), so the round-11 window
-# IS this plan (no backfill needed). This is a REAL constant (not a
-# comment) so tests can assert every name exists — a typo here fails
-# CI this round, not next round. Update
-# tests/test_000_smoke.py::DRIVER_WINDOW in the same commit.
-_NEXT_WINDOW_PLAN = [
     "agg_corr_covar",
     "attribution_last_touch",
     "cdc_apply_changelog",
@@ -204,6 +143,68 @@ _NEXT_WINDOW_PLAN = [
     "trend_slope_per_type",
     "ts_ewma_event_value",
     "window_first_last_nth",
+]
+
+# ROUND-12 ROTATION PLAN (write of record, same protocol as the
+# r10->r11 handoff this file just executed). After the r11 window
+# lands, the oldest driver evidence anywhere is the r7 block — exactly
+# 50 names (the CORRECTNESS_r07.json key set; its one r7 hash miss,
+# corpus_dsir_weights, was fixed and driver-green in r8), so the
+# round-12 window IS this plan (no backfill needed). This is a REAL
+# constant (not a comment) so tests can assert every name exists — a
+# typo here fails CI this round, not next round. Update
+# tests/test_000_smoke.py::DRIVER_WINDOW in the same commit.
+_NEXT_WINDOW_PLAN = [
+    "ab_test_proportions",
+    "agg_hist_quantile_rollup",
+    "anomaly_mad_events",
+    "asof_next_purchase",
+    "basket_association_rules",
+    "corpus_dsir_weights",
+    "decontam_embedding",
+    "decontam_minhash",
+    "dedup_incremental_ingest",
+    "dedup_lsh_band_stats",
+    "dedup_substring_runs",
+    "dedup_survivor_selection",
+    "emb_covariance_stats",
+    "emb_dim_variance_top",
+    "emb_hard_negatives",
+    "emb_jl_projection_quality",
+    "emb_kmeans_portable",
+    "emb_power_iteration_top",
+    "eval_langid_metrics",
+    "eval_retrieval_metrics",
+    "graph_adamic_adar_top20",
+    "graph_degree_stats",
+    "graph_neighbor_jaccard_top20",
+    "graph_pagerank_top20",
+    "graph_triangle_count",
+    "imv_signed_delta_agg",
+    "lake_compaction_plan",
+    "merge_scd3_orders",
+    "mm_audio_resample_stats",
+    "mm_image_resize_thumb",
+    "pareto_frontier_parts",
+    "pipeline_kfold_assignment",
+    "prep_winsorize_values",
+    "privacy_l_diversity",
+    "quality_code_detector",
+    "rag_bm25_multiquery_topk",
+    "sample_neyman_allocation",
+    "search_trigram_parts",
+    "sketch_kmv_distinct_rollup",
+    "sketch_kmv_set_overlap",
+    "sketch_theta_difference",
+    "text_encoding_qa",
+    "text_js_divergence_sources",
+    "text_keyphrase_rake",
+    "text_ngram_coverage",
+    "text_tokenizer_fertility",
+    "text_winnow_guarded",
+    "ts_cusum_changepoint",
+    "ts_dow_seasonality",
+    "ts_rolling_1h_value",
 ]
 
 # The CLOSED set of builders that run a driver-side eager action

@@ -29,63 +29,63 @@ PKG = REPO / "flink_kakfa_spark"
 # Rounds 1-2 spent the window on the relational block; round 4 the
 # LLM-pipeline block; round 5 the scalar tail; rounds 6-7 the
 # zero-driver-evidence backlog; round 8 the last never-checked names;
-# round 9 the r2/r4-evidence refresh (50/50 green). Round 10 is pure
-# oldest-evidence refresh: the r5-evidence block verbatim (round 9's
-# _NEXT_WINDOW_PLAN, exactly 50 names) — after this window the oldest
-# evidence anywhere is r6, which is _NEXT_WINDOW_PLAN verbatim.
+# rounds 9-11 the rolling oldest-evidence refresh (r2/r4, then r5,
+# now the r6 block — round 10's _NEXT_WINDOW_PLAN verbatim, exactly
+# 50 names). After this window the oldest evidence anywhere is r7,
+# which is the new _NEXT_WINDOW_PLAN verbatim.
 # Rotate DELIBERATELY (update this list + registry._WINDOW_FRONT
 # together); never by accident.
 DRIVER_WINDOW = [
-    "agg_approx_percentile_bounds",
-    "agg_hll_mergeable_rollup",
-    "agg_salted_wordcount",
-    "anomaly_zscore_events",
-    "cep_error_then_purchase",
-    "corpus_domain_filter",
-    "corpus_mixture_weights",
-    "corpus_source_stats",
-    "corpus_temperature_sample",
-    "decontam_eval_overlap",
-    "dedup_paragraphs",
-    "emb_centroid_purity",
-    "emb_matryoshka_quality",
-    "emb_quality_stats",
-    "funnel_signup_click_purchase",
-    "mm_bmp_roundtrip_features",
-    "mm_extract_features",
-    "mm_wav_roundtrip_features",
-    "pii_redact",
-    "pii_scan_stats",
-    "pipeline_chunk_documents",
-    "pipeline_pack_sequences",
-    "pipeline_training_prep",
-    "quality_containment_score",
-    "quality_gopher_filter",
-    "reference_message_shape",
-    "sample_k_per_source",
-    "scalar_array_funcs",
-    "scalar_cast_funcs",
-    "scalar_date_funcs2",
-    "scalar_from_json_struct",
-    "scalar_json_extract",
-    "scalar_map_funcs",
-    "sim_sq8_rescore_topk",
-    "sql_recursive_month_spine",
-    "text_lang_distribution",
-    "text_length_histogram",
-    "text_oov_rate",
-    "text_repetition_ngrams",
-    "text_unigram_surprisal",
-    "tpch_q10_returned_revenue",
-    "tpch_q12_priority_by_linestatus",
-    "tpch_q14_promo_share",
-    "tpch_q16_supplier_relationship",
-    "tpch_q18_big_orders",
-    "tpch_q19_disjunctive_predicates",
-    "tpch_q2_min_unit_price",
-    "tpch_q4_late_shipments",
-    "tpch_q7_nation_volume",
-    "tpch_q8_market_share",
+    "agg_corr_covar",
+    "attribution_last_touch",
+    "cdc_apply_changelog",
+    "cohort_weekly_retention",
+    "constraint_check_summary",
+    "corpus_dataset_card",
+    "dedup_semdedup",
+    "feature_target_encode",
+    "growth_mom_revenue",
+    "join_bloom_filtered_revenue",
+    "join_null_safe_props",
+    "join_salted_skew_revenue",
+    "lake_zorder_layout",
+    "markov_event_transitions",
+    "merge_scd2_orders",
+    "mm_audio_vad_features",
+    "mm_image_ahash_groups",
+    "pipeline_curriculum_order",
+    "pipeline_shuffle_shards",
+    "pipeline_train_split",
+    "privacy_k_anonymity",
+    "profile_equidepth_price",
+    "profile_join_key_skew",
+    "profile_orders_columns",
+    "rag_bm25_topk",
+    "rolling_wau_7d",
+    "rolling_wau_hll",
+    "sample_weighted_topk",
+    "setop_all_variants",
+    "sim_pq_adc_topk",
+    "sketch_cms_heavy_hitters",
+    "sql_explode_outer_keep_empty",
+    "streak_longest_purchase_days",
+    "text_bigram_perplexity",
+    "text_bpe_merge_pairs",
+    "text_char_entropy",
+    "text_hashing_trick",
+    "text_winnow_fingerprints",
+    "tpch_q11_important_stock",
+    "tpch_q13_customer_distribution",
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q20_potential_promotion",
+    "tpch_q21_waiting_suppliers",
+    "tpch_q22_global_sales_opportunity",
+    "tpch_q6_forecast_revenue",
+    "tpch_q9_product_type_profit",
+    "trend_slope_per_type",
+    "ts_ewma_event_value",
+    "window_first_last_nth",
 ]
 
 
