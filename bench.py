@@ -223,7 +223,8 @@ def main() -> None:
         "drift_factor_heavy": drift_factor_heavy,
     }
     if retried:
-        # rows that stayed >3x their quiet-host record and were re-run
+        # rows that exceeded their retry threshold (3x their quiet-host
+        # record, or 2x for sub-2s rows) and were re-run
         out["retried"] = retried
     print(json.dumps(out))
     spark.stop()

@@ -191,15 +191,22 @@ def q_ts_rolling_1h_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros(F.col("ts")).alias("tu"),
         F.col("value").cast("decimal(18,4)").alias("v"),
     )
+    # Pure-integer floor bucketing: tu - pmod(tu, hour) is an exact
+    # multiple of hour (pmod floors on negatives, unlike div), so the
+    # div is exact at any epoch. The previous floor(tu / hour) was
+    # DOUBLE division — exact only while the quotient stays under
+    # ~1.25e6 (ulp > 1/hour past that, epoch ~year 2112), beyond which
+    # boundary-adjacent events mis-bucket and break the decomposition.
+    bucket = F.expr(f"(tu - pmod(tu, {hour})) div {hour}")
     reals = e.select(
         "event_id", "event_type", "tu",
-        F.floor(F.col("tu") / hour).cast("long").alias("b"),
+        bucket.alias("b"),
         "v", F.lit(False).alias("is_probe"),
     )
     probes = e.select(
         "event_id", "event_type",
         (F.col("tu") - hour).alias("tu"),
-        (F.floor(F.col("tu") / hour).cast("long") - 1).alias("b"),
+        (bucket - 1).alias("b"),
         F.lit(None).cast("decimal(18,4)").alias("v"),
         F.lit(True).alias("is_probe"),
     )

@@ -22,16 +22,42 @@ base class recorded an empty set against 6 true positives).
 from __future__ import annotations
 
 from pyspark.sql.classic.dataframe import DataFrame as ClassicDataFrame
+from pyspark.sql.readwriter import DataFrameWriter
 
 from flink_kakfa_spark.registry import EAGER_BUILD_QUERIES, QUERIES, load_all
+
+# Every ClassicDataFrame method that triggers job execution. take/
+# first/head route through collect and are covered transitively, but
+# toPandas / toLocalIterator / show / foreach do NOT — a builder
+# regressing via one of those must not escape the gate (ADVICE r10).
+_DF_ACTIONS = [
+    "collect",
+    "count",
+    "toPandas",
+    "toLocalIterator",
+    "show",
+    "foreach",
+    "foreachPartition",
+    "tail",
+]
+# Writer entry points (save + the format shortcuts, which call the JVM
+# writer directly rather than routing through save).
+_WRITER_ACTIONS = [
+    "save",
+    "saveAsTable",
+    "insertInto",
+    "parquet",
+    "orc",
+    "json",
+    "csv",
+    "text",
+]
 
 
 def test_eager_build_action_set_is_closed(spark, sf_dir):
     load_all()
     current: list[str | None] = [None]
     observed: dict[str, set[str]] = {}
-    orig_collect = ClassicDataFrame.collect
-    orig_count = ClassicDataFrame.count
 
     def instrumented(kind, orig):
         def patched(self, *args, **kwargs):
@@ -41,8 +67,12 @@ def test_eager_build_action_set_is_closed(spark, sf_dir):
 
         return patched
 
-    ClassicDataFrame.collect = instrumented("collect", orig_collect)
-    ClassicDataFrame.count = instrumented("count", orig_count)
+    originals: list[tuple[type, str, object]] = []
+    for cls, methods in ((ClassicDataFrame, _DF_ACTIONS), (DataFrameWriter, _WRITER_ACTIONS)):
+        for m in methods:
+            orig = getattr(cls, m)
+            originals.append((cls, m, orig))
+            setattr(cls, m, instrumented(f"{cls.__name__}.{m}", orig))
     errors: dict[str, str] = {}
     try:
         for name, fn in QUERIES.items():
@@ -53,8 +83,8 @@ def test_eager_build_action_set_is_closed(spark, sf_dir):
                 errors[name] = repr(exc)[:120]
             current[0] = None
     finally:
-        ClassicDataFrame.collect = orig_collect
-        ClassicDataFrame.count = orig_count
+        for cls, m, orig in originals:
+            setattr(cls, m, orig)
     assert not errors, f"builders failed at sf0.001: {errors}"
     assert set(observed) == EAGER_BUILD_QUERIES, (
         "eager-at-build set drifted. "
