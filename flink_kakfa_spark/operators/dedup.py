@@ -1520,7 +1520,10 @@ def q_dedup_near_unique(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fixed total order; only rare-FIRST matters for bucket bounds).
     # The rank itself is the scale-safe two-pass ``global_row_number``
     # (no single-partition window).
-    from flink_kakfa_spark.operators.distributed_rank import global_row_number
+    from flink_kakfa_spark.operators.distributed_rank import (
+        global_row_number,
+        tie_dispersed,
+    )
 
     freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     # TIE-DISPERSED binning value (round 10): global_row_number bins by
@@ -1530,14 +1533,13 @@ def q_dedup_near_unique(spark: SparkSession, sf_dir: str) -> DataFrame:
     # dictionary through ONE local-rank task (the single-partition
     # sort this module exists to avoid, resurrected through tie skew;
     # the synthetic fixtures dodge it only because their small vocab
-    # spreads df). Packing a 20-bit hash fraction into the double
-    # disperses equal-df ties uniformly across bins while the integer
-    # part keeps the order df-ascending = rare-first. Exact while
-    # df < 2^31 (31 + 20 = 51 of the 52 mantissa bits) — the same
-    # precondition horizon as the dictionary size itself.
-    disp = F.col("df").cast("double") + F.pmod(
-        F.xxhash64("shingle"), F.lit(1 << 20)
-    ).cast("double") / F.lit(float(1 << 20))
+    # spreads df). tie_dispersed packs a 20-bit hash fraction into the
+    # double so equal-df ties spread uniformly across bins while the
+    # integer part keeps the order df-ascending = rare-first. Exact
+    # while df < 2^31 — the same precondition horizon as the
+    # dictionary size itself. The balance property is CI-gated in
+    # tests/test_distributed_rank.py (r10 VERDICT item 4).
+    disp = tie_dispersed(F.col("df"), F.col("shingle"))
     rank = global_row_number(
         freq.withColumn("_v", disp), ["_v", "shingle"], value_col="_v",
         rn_name="rk",

@@ -42,7 +42,34 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["global_row_number", "ntile_from_row_number", "with_global_ntile"]
+__all__ = [
+    "global_row_number",
+    "ntile_from_row_number",
+    "tie_dispersed",
+    "with_global_ntile",
+]
+
+
+def tie_dispersed(value: Column, key: Column) -> Column:
+    """Binning value for :func:`global_row_number` that spreads rows
+    EQUAL on ``value`` uniformly across bins: ``value`` plus a 20-bit
+    hash fraction of ``key`` (exact while value < 2^31 — 31 + 20 = 51
+    of double's 52 mantissa bits; the integer part keeps the coarse
+    order, so rank under ``[tie_dispersed, key]`` is still
+    value-ascending).
+
+    Use when one value dominates the column (round 10: a Zipf-shaped
+    shingle dictionary is mostly df=1, and equal values always share a
+    bin, so raw binning funneled 85% of 4M rows through ONE local-rank
+    sort task — the single-partition window this module exists to
+    avoid, resurrected through ties). Requires that the caller's
+    ordering semantics tolerate an arbitrary-but-fixed tiebreak within
+    equal values. Balance is gated by
+    tests/test_distributed_rank.py::test_tie_dispersal_rebalances_df_heavy_column.
+    """
+    return value.cast("double") + F.pmod(
+        F.xxhash64(key), F.lit(1 << 20)
+    ).cast("double") / F.lit(float(1 << 20))
 
 
 def global_row_number(
