@@ -194,9 +194,15 @@ def q_ts_rolling_1h_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Pure-integer floor bucketing: tu - pmod(tu, hour) is an exact
     # multiple of hour (pmod floors on negatives, unlike div), so the
     # div is exact at any epoch. The previous floor(tu / hour) was
-    # DOUBLE division — exact only while the quotient stays under
-    # ~1.25e6 (ulp > 1/hour past that, epoch ~year 2112), beyond which
-    # boundary-adjacent events mis-bucket and break the decomposition.
+    # DOUBLE division, which drifts off the true hour grid once the
+    # long->double cast of tu loses microseconds (epoch 2^53 us, year
+    # ~2255; measured — round-to-nearest absorbs the error below
+    # that). Those drifts are upward-only/monotone/<=+1, which this
+    # decomposition happens to tolerate (every consumer applies the
+    # SAME bucket function), but exactness resting on a rounding-
+    # consistency argument instead of integer arithmetic is exactly
+    # the kind of latent dependency a refactor silently breaks —
+    # tests/test_round5_ops.py pins the far-epoch boundary behavior.
     bucket = F.expr(f"(tu - pmod(tu, {hour})) div {hour}")
     reals = e.select(
         "event_id", "event_type", "tu",

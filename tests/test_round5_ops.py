@@ -266,6 +266,47 @@ def test_rolling_1h_inclusive_boundary(spark, tmp_path):
     assert out[4] == 16.0
 
 
+def test_rolling_1h_far_epoch_boundary(spark, tmp_path):
+    """Bucket assignment at epochs past 2^53 us (~year 2255), where the
+    pre-r11 floor(tu / DOUBLE hour) form drifts off the true hour grid
+    because the long->double cast of tu loses microseconds. The
+    integer pmod/div form is exact at any epoch; this pins the
+    boundary-adjacent frames there so a refactor back to float
+    bucketing (or any non-floor division) fails loudly."""
+    from datetime import datetime, timedelta
+
+    hour_us = 3_600_000_000
+    # 2255-06-06 00:00 UTC is hour-aligned and past 2^53 microseconds
+    t0 = datetime(2255, 6, 6, 0, 0, 0)
+    rows = [
+        Row(event_id=0, ts=t0 - timedelta(minutes=30), user_id=1,
+            event_type="x", value=1.0, props="{}"),
+        # last microsecond of the bucket before t0 — the first epoch
+        # where the double form mis-buckets (upward) vs the true grid
+        Row(event_id=1, ts=t0 - timedelta(microseconds=1), user_id=1,
+            event_type="x", value=2.0, props="{}"),
+        Row(event_id=2, ts=t0, user_id=1, event_type="x", value=4.0,
+            props="{}"),
+        Row(event_id=3, ts=t0 + timedelta(minutes=30), user_id=1,
+            event_type="x", value=8.0, props="{}"),
+    ]
+    spark.createDataFrame(rows).write.mode("overwrite").parquet(
+        f"{tmp_path}/events.parquet"
+    )
+    # sanity: the fixture really sits past the double-exact horizon
+    epoch_us = int((t0 - datetime(1970, 1, 1)).total_seconds()) * 1_000_000
+    assert epoch_us > 2**53 and epoch_us % hour_us == 0
+    out = {
+        r["event_id"]: r["rolling_1h"]
+        for r in all_queries()["ts_rolling_1h_value"](spark, str(tmp_path)).collect()
+    }
+    assert out[0] == 1.0
+    assert out[1] == 3.0   # {e0, e1}
+    assert out[2] == 7.0   # {e0, e1, e2}: e0 at exactly -1h-... inside
+    # e3's frame [t0-30min, t0+30min] keeps e0 (inclusive bound), e1, e2
+    assert out[3] == 15.0
+
+
 # ------------------------------------------------------- media resize
 
 
