@@ -1025,7 +1025,7 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     NOTE (registry contract): this builder is NOT a pure lazy plan
     constructor — it runs two small eager jobs at construction time
-    (the adaptive-bits COUNT below and the projection localCheckpoint),
+    (the adaptive-bits COUNT below and the signature localCheckpoint),
     the documented "driver-side scalar picks the plan" exception in
     ``registry``'s module docstring. Inspect plans at sf0.001.
     """
@@ -1071,32 +1071,27 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn(
         "q", F.transform("emb", lambda x: F.floor(x * 1000000).cast("long"))
     ).withColumn("nrm", F.expr(f"sqrt({sq_sum})"))
-    # One signature per table: sign bits of integer hyperplane projections.
-    # The projections are UNROLLED 64-term integer sums, not
-    # higher-order folds — HOF lambdas evaluate interpreted, and at
-    # adaptive depth the signature pass alone is corpus x tables x
-    # bits x dims lambda steps (~1.4e9 on the mutated 100x corpus).
-    # Integer addition is exactly associative, so the unroll is
-    # bit-identical. Each (table, bit) projection is its OWN small
-    # column: a single tables*bits*dims-term expression exceeds
-    # Janino's method-size limit, fails to compile, and silently
-    # drops the whole stage to interpreted mode (observed: 7168-term
-    # struct array). 64-term columns codegen cleanly; a second select
-    # folds them into per-table signatures.
-    def proj_col(t: int, j: int):
-        return F.expr(
-            " + ".join(
-                f"q[{i}] * {_emb_lcg(t, j, i, bits)}L"
-                for i in range(_EMB_DIMS)
-            )
-        ).alias(f"p_{t}_{j}")
-
-    def sig_for_table(t: int):
-        packed = " + ".join(
-            f"(case when p_{t}_{j} > 0 then {1 << j} else 0 end)"
-            for j in range(bits)
-        )
-        return F.expr(f"struct({t} as t, cast({packed} as bigint) as sig)")
+    # One signature per table: sign bits of integer hyperplane
+    # projections. The hyperplane weights are a tables*bits-row
+    # BROADCAST RELATION carrying each plane's 64 weights as DATA, so
+    # the signature stage contains exactly ONE unrolled 64-term dot
+    # expression regardless of the adaptive bit depth — HOF folds stay
+    # out of the hot path (interpreted per element), and the unroll is
+    # bit-identical because integer addition is exactly associative.
+    #
+    # WHY weights-as-data (round 11): the previous form generated
+    # tables*bits unrolled columns with INLINE LITERAL weights in one
+    # Project. Each column codegens cleanly in isolation, but
+    # whole-stage codegen fuses all of them into a single method — at
+    # 8x8 = 64 columns that is ~4096 terms, Janino dies with "Code
+    # grows beyond 64 KB", and Spark silently drops the ENTIRE
+    # signature stage to interpreted expression evaluation. Measured:
+    # 10.5 s vs the 3.7 s record at sf0.1 (quiet host, interleaved
+    # sampler, sentinel at-record), and the stage dominated the
+    # mutated-100x run (~27 min). The literal form's code also GROWS
+    # with log n through the adaptive depth, so it re-fails harder at
+    # exactly the crawl scale the adaptivity serves; the data form is
+    # a few KB at any corpus size.
 
     # ZERO-MATERIALIZATION candidate path (round 8): under 8-bit
     # tables a dup-mutated 200k-vector corpus genuinely defines
@@ -1116,30 +1111,43 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Residual cost is the streamed cosines themselves — linear in
     # candidates, the irreducible LSH rescore work, bounded in
     # production by scaling bits with log(n).
-    # localCheckpoint is a CollapseProject barrier, not (only) a
-    # lineage cut: without it Catalyst folds this projection into the
-    # signature-struct select below, reconstituting the single
-    # tables*bits*dims-term expression that Janino cannot compile —
-    # and the whole stage silently drops to interpreted mode. The
-    # materialized frame is corpus-of-DISTINCT-vectors sized.
-    projs = qv.select(
-        "vec_id",
-        "emb",
-        "nrm",
-        "members",
-        *[proj_col(t, j) for t in range(_EMB_TABLES) for j in range(bits)],
-    ).localCheckpoint()
-    banded = projs.select(
-        "vec_id",
-        "emb",
-        "nrm",
-        "members",
-        F.explode(
-            F.array(*[sig_for_table(t) for t in range(_EMB_TABLES)])
-        ).alias("ts"),
-    ).select(
-        "vec_id", "emb", "nrm", "members",
-        F.col("ts.t").alias("t"), F.col("ts.sig").alias("sig"),
+    # Signature packing is ONE map-side-complete aggregation: the
+    # (<=320-row) weight broadcast generates each vector's tables*bits
+    # projection rows in-stage, and the partial aggregate collapses
+    # them back to corpus*tables rows BEFORE the exchange — the same
+    # volume the band join shuffles anyway. The groupBy replaces the
+    # previous corpus-sized 64-extra-column localCheckpoint (which
+    # existed as a CollapseProject barrier for the literal-weight
+    # form); the narrower post-signature checkpoint keeps the lineage
+    # cut so the self-join's two scans don't recompute the
+    # projections. pw = 1 << j rides the weight row, so the packed
+    # signature is the exact integer the old column fold produced.
+    wrows = [
+        (t, j, 1 << j, [_emb_lcg(t, j, i, bits) for i in range(_EMB_DIMS)])
+        for t in range(_EMB_TABLES)
+        for j in range(bits)
+    ]
+    wrel = spark.createDataFrame(wrows, "t int, j int, pw long, w array<long>")
+    pdot = F.expr(
+        "(" + " + ".join(f"q[{i}] * w[{i}]" for i in range(_EMB_DIMS)) + ")"
+    )
+    banded = (
+        qv.crossJoin(F.broadcast(wrel))
+        .select(
+            "vec_id", "emb", "nrm", "members", "t",
+            F.when(pdot > 0, F.col("pw"))
+            .otherwise(F.lit(0).cast("long"))
+            .alias("pj"),
+        )
+        .groupBy("vec_id", "t")
+        .agg(
+            F.first("emb").alias("emb"),
+            F.first("nrm").alias("nrm"),
+            F.first("members").alias("members"),
+            F.sum("pj").alias("sig"),
+        )
+        .select("vec_id", "emb", "nrm", "members", "t", "sig")
+        .localCheckpoint()
     )
     a = banded.alias("a")
     b = banded.alias("b")

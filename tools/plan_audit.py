@@ -47,6 +47,7 @@ ALLOWED_QUADRATIC = {
     "constraint_check_summary",    # three 1-row check aggregates crossJoined
     "pipeline_train_split",        # 1-row corpus-total broadcast cross join
     "join_bloom_filtered_revenue", # 1-row Bloom-bitmap broadcast cross join
+    "dedup_embedding_cosine",      # tables*bits-row hyperplane-weight broadcast cross join (<=320 rows at any corpus)
     "rag_bm25_topk",               # 1-row corpus-stats (N, avgdl, df) broadcast
     "profile_join_key_skew",       # 1-row key-stats broadcast onto top-N keys
     "sim_pq_adc_topk",             # 1-row codebook + 1-row ADC table + 1-row query broadcasts
