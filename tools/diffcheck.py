@@ -106,6 +106,14 @@ def main() -> int:
     registry.load_all()
     names = argv[1:] or sorted(registry.QUERIES)
     spark = get_spark("diffcheck", shuffle_partitions=8)
+    # Strict codegen: a Janino compile failure (e.g. one generated
+    # method growing past 64 KB) normally falls back to interpreted
+    # evaluation SILENTLY — correct answers, multi-x slower, invisible
+    # to every value check (that is exactly how the r11 embedding-LSH
+    # defect survived three rounds). Under these confs the per-round
+    # differential turns any such fallback into a hard FAIL.
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
     con = duck_con(sf_dir)
     failed = []
     results = {}

@@ -8,7 +8,10 @@ Checks per query:
 - python: Arrow/Python evaluation nodes, allowed only for declared
   pandas-UDF operators
 - pushdown: scans with filters must show PushedFilters
-- codegen: fraction of operators inside whole-stage codegen spans
+- codegen: count of whole-stage codegen spans in the FINAL plan. Zero
+  spans on a non-Python plan means every stage runs interpreted — the
+  silent-Janino-failure shape (the r11 embedding-LSH defect) — and is
+  flagged NO-CODEGEN-SPANS.
 - global windows: a Window whose child is Exchange SinglePartition
   funnels its whole input through one task; allowed only where the
   input is provably tiny (post-limit top-k, n_bins-row offset
@@ -284,7 +287,13 @@ def _global_window(plan: str) -> bool:
 
 def audit(name: str, fn, spark, sf_dir: str) -> dict:
     df = fn(spark, sf_dir)
-    df.write.format("noop").mode("overwrite").save()  # finalize AQE plan
+    # collect() on THIS DataFrame finalizes ITS AdaptiveSparkPlanExec.
+    # (A noop write — used before r11 — executes a separate command
+    # QueryExecution and leaves this one at isFinalPlan=false: every
+    # metric below then reads the static pre-AQE plan and the codegen
+    # column is identically zero because WSCG wrapping only happens per
+    # query stage at execution.)
+    df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
     n_exchange = len(re.findall(r"Exchange (hash|range|SinglePartition)", plan))
     n_bcast = plan.count("BroadcastExchange")
@@ -302,6 +311,10 @@ def audit(name: str, fn, spark, sf_dir: str) -> dict:
         flags.append(f"MANY-SHUFFLES({n_exchange})")
     if _global_window(plan) and name not in ALLOWED_GLOBAL_WINDOW:
         flags.append("GLOBAL-WINDOW")
+    # A non-Python plan with zero WSCG spans runs fully interpreted —
+    # the silent-Janino-compile-failure shape (embedding-LSH, r11).
+    if not codegen_ids and not python:
+        flags.append("NO-CODEGEN-SPANS")
     return {
         "name": name,
         "shuffles": n_exchange,
