@@ -31,8 +31,9 @@ Scale posture (100 TB of orders):
   associative and overflow-safe in BIGINT (total mass ≤ n · SCALE),
   so the result is bit-identical across engines, partitionings, and
   retries — no IEEE summation-order drift. The iteration count is a
-  fixed small k (unrolled in the oracle); each round is one shuffle
-  of the edge list on ``src``.
+  fixed small k (unrolled in the oracle); the adjacency is hash-
+  partitioned by ``dst`` once, so every round's per-dst aggregate is
+  exchange-free (round 11 — see ``q_graph_pagerank_top20``).
 """
 
 from __future__ import annotations
@@ -339,24 +340,55 @@ def q_graph_pagerank_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("e.src", "e.dst")
     deg = adj.groupBy("src").agg(F.count(F.lit(1)).alias("degree"))
     # Materialize the adjacency ONCE. Exchange reuse does NOT dedupe
-    # it across rounds — measured directly: AQE broadcasts the small
-    # rank frame (no exchange on adj_deg to reuse), and even forcing
-    # shuffle-hash joins yields 0 ReusedExchange across the per-round
-    # AQE stages (22.7 s vs ~5 s at sf0.1). Without the checkpoint,
-    # every round re-runs edge construction from the fact table — k
-    # full scans at 100 TB. Retention cost: one edge-sized block set
-    # per invocation until ContextCleaner GC (SCALE.md).
+    # the edge-construction subtree across rounds — measured directly:
+    # without the checkpoint, every round re-runs edge construction
+    # from the fact table — k full scans at 100 TB (22.7 s vs ~5 s at
+    # sf0.1). Retention cost: one edge-sized block set per invocation
+    # until ContextCleaner GC (SCALE.md).
     adj_deg = adj.join(deg, "src").localCheckpoint()
-    ranks = adj_deg.select(F.col("src").alias("node")).distinct().select(
-        "node", F.lit(_PR_SCALE).cast("long").alias("rank")
+    # ONE dst-keyed exchange serves every round (round 11, guide §2.4):
+    # each round ends in groupBy(dst), so hash-partitioning the
+    # checkpointed adjacency by dst ONCE lets all k per-round
+    # aggregates run exchange-free (HashPartitioning(dst) satisfies
+    # the aggregate's ClusteredDistribution), and AQE stage reuse
+    # dedupes the identical repartition subtrees across rounds. The
+    # checkpoint itself cannot carry the partitioning (LogicalRDD
+    # under AQE reports UnknownPartitioning — probed on this build),
+    # hence the explicit repartition ABOVE it. Before: each round
+    # shuffled its partially-aggregated contributions (~node-sized per
+    # map partition, but a 128 MB edge split holds fewer rows than the
+    # catalog has nodes, so partial aggregation barely compacted it —
+    # effectively k edge-sized shuffles). After: the edge list crosses
+    # the wire once, rounds are shuffle-free. Plan-asserted in
+    # tests/test_graph.py::test_pagerank_rounds_are_exchange_free.
+    adj_part = adj_deg.repartition(F.col("dst"))
+    # round 1 folded into a direct aggregate: rank_0 = SCALE for every
+    # node, so the first join against a constant-rank frame is just
+    # sum(floor(SCALE / degree)) per dst — same floor-division
+    # semantics (SCALE is exactly representable, the division is the
+    # same double divide), one fewer join + one fewer node-spine
+    # distinct. The symmetrized graph has no dangling nodes (every
+    # node has degree >= 1 and receives >= 1 contribution), so the
+    # per-dst aggregate already covers the full node set.
+    ranks = (
+        adj_part.groupBy(F.col("dst").alias("node"))
+        .agg(
+            F.sum(
+                F.floor(F.lit(_PR_SCALE) / F.col("degree")).cast("long")
+            ).alias("contrib")
+        )
+        .select(
+            "node",
+            F.floor(
+                (F.lit(15 * _PR_SCALE) + 85 * F.col("contrib")) / 100
+            )
+            .cast("long")
+            .alias("rank"),
+        )
     )
-    for _ in range(_PR_ITERS):
-        # the symmetrized graph has no dangling nodes (every node has
-        # degree >= 1 and receives >= 1 contribution), so the per-dst
-        # aggregate already covers the full node set — no left join
-        # back onto a node spine is needed
+    for _ in range(_PR_ITERS - 1):
         ranks = (
-            adj_deg.join(
+            adj_part.join(
                 ranks.select(F.col("node").alias("src"), "rank"), "src"
             )
             .groupBy(F.col("dst").alias("node"))

@@ -92,6 +92,27 @@ def test_pagerank_matches_integer_reference(spark, tmp_path):
     assert max(got, key=got.get) == 3
 
 
+def test_pagerank_rounds_are_exchange_free(spark, tmp_path):
+    """Round-11 shuffle contract: the adjacency is hash-partitioned by
+    ``dst`` once, so NO planner-inserted shuffle (ENSURE_REQUIREMENTS
+    exchange) may appear anywhere in the per-round join+aggregate
+    pipeline — the only shuffles are the deliberate REPARTITION_BY_COL
+    fan-outs on dst (plus broadcasts). A regression that re-introduces
+    a per-round aggregate exchange (e.g. dropping the repartition or
+    re-keying it) shows up as an ENSURE_REQUIREMENTS exchange."""
+    _lineitem(spark, tmp_path, BASKETS)
+    df = all_queries()["graph_pagerank_top20"](spark, str(tmp_path))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    for m in re.finditer(r"Exchange (\w+)\(([^)]*)\)[^,]*, (\w+)", plan):
+        kind = m.group(3)
+        assert kind != "ENSURE_REQUIREMENTS", (
+            "planner-inserted shuffle leaked into the PageRank loop:\n"
+            + m.group(0)
+        )
+
+
 def test_substring_runs_merge_and_coverage(spark, tmp_path):
     """Two docs share one 10-token span -> its 3 overlapping 8-token
     windows merge into ONE run of exactly 10 tokens; a doc with no
