@@ -1507,7 +1507,15 @@ def q_dedup_near_unique(spark: SparkSession, sf_dir: str) -> DataFrame:
     # explicit fan-out after the collapse: AQE coalesces the small
     # post-collapse shuffle to ~1 partition, which would single-thread
     # the 100x-multiplying shingle explode + self-join downstream
-    # (measured 9.5s -> 1.5s at sf0.1)
+    # (measured 9.5s -> 1.5s at sf0.1).
+    # NOTE (round 11): fusing the two exchanges by keying the fan-out
+    # repartition on `text` BEFORE the groupBy measured 1.1 s faster
+    # at sf0.1 and was REVERTED: a pre-aggregation repartition has no
+    # map-side partial collapse, so a viral text duplicated 1e8x in a
+    # crawl would cross the wire 1e8x into ONE reducer — the exact
+    # dup-heavy regime collapse-first exists for. The groupBy exchange
+    # partial-aggregates per map task (<= 1 row per distinct text per
+    # task) and the round-robin then moves only collapsed rows.
     uniq = (
         d.groupBy("text")
         .agg(F.min("doc_id").alias("doc_id"))
@@ -1930,6 +1938,16 @@ def ppjoin_candidates(d: DataFrame) -> tuple[DataFrame, DataFrame]:
         F.explode(F.array_distinct(F.split("text", " "))).alias("w"),
     )
     freq = tok.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    # NOTE (round 11): dictionary-encoding the token arrays as global
+    # (df, token) ranks — the ``dedup_near_unique`` bijection — was
+    # implemented, verified all-exact (identical 2,074,954-candidate
+    # census at sf0.1), and REVERTED: the rank build added ~1.8 s to
+    # the representative-table checkpoint while saving nothing here —
+    # the BOUNDED path prunes the arrays out of its candidate join
+    # entirely (only the deduped pairs re-attach them), and the
+    # witness path that would benefit from primitive payloads only
+    # engages past the volume threshold, a regime the near-unique
+    # lister already demonstrates the encoding on.
     # canonical rare-first token order per doc
     toks = (
         tok.join(freq, "w")

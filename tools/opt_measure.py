@@ -38,9 +38,16 @@ def main() -> None:
         default=None,
         help="TAG:SUFFIX -> write plans/<TAG>/<name>_<SUFFIX>.txt",
     )
+    ap.add_argument(
+        "--conf",
+        action="append",
+        default=[],
+        help="extra k=v Spark conf (repeatable)",
+    )
     args = ap.parse_args()
 
-    spark = get_spark("opt-measure")
+    extra = dict(c.split("=", 1) for c in args.conf)
+    spark = get_spark("opt-measure", extra_conf=extra or None)
     queries = all_queries()
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
