@@ -672,7 +672,22 @@ def _minhash_bands_from(d: DataFrame) -> DataFrame:
         return F.array_min(F.transform("hl", apply)).alias(f"s{p}")
 
     sig_cols = [perm_min(p) for p in range(_MH_PERMS)]
-    sigs = hashed.select("doc_id", "sharr", "members", *sig_cols)
+    # Pin the signature frame ONCE before the band explode (round 11):
+    # the band self-join plans as a broadcast hash join, so there is
+    # no exchange for reuse to dedupe and BOTH sides re-ran the whole
+    # shingle + md5 + 16-permutation pipeline — sequentially, since
+    # the broadcast side materializes before the stream side runs
+    # (measured: the narrow pipeline is ~1.6 s of the row's wall at
+    # sf0.1; 3.29 s -> 2.63 s minima after the pin, interleaved
+    # sampler). Checkpointing
+    # PRE-explode keeps the materialized payload 4x smaller than the
+    # banded frame (one sharr copy per doc, not per band); each join
+    # side re-runs only the cheap explode. At lake scale this is the
+    # persisted signature table — same posture as the ``groups``
+    # checkpoint upstream.
+    sigs = hashed.select(
+        "doc_id", "sharr", "members", *sig_cols
+    ).localCheckpoint()
     # band the signature: 4 bands of 4 ints; docs sharing any band pair
     # up. The explode carries the shingle array and member list WITH
     # the band key (4 rows of ~1 KB per doc — the cheap side when
