@@ -295,6 +295,12 @@ def audit(name: str, fn, spark, sf_dir: str) -> dict:
     # query stage at execution.)
     df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
+    # A finalized AdaptiveSparkPlan prints the final plan AND an
+    # "== Initial Plan ==" section; counting the whole text doubles
+    # every exchange/scan (round 11: the first collect-based audit
+    # read 8 shuffles for cohort_weekly_retention's 4). Audit the
+    # final section only.
+    plan = plan.split("== Initial Plan ==")[0]
     n_exchange = len(re.findall(r"Exchange (hash|range|SinglePartition)", plan))
     n_bcast = plan.count("BroadcastExchange")
     quad = ("CartesianProduct" in plan) or ("BroadcastNestedLoopJoin" in plan)
@@ -313,7 +319,10 @@ def audit(name: str, fn, spark, sf_dir: str) -> dict:
         flags.append("GLOBAL-WINDOW")
     # A non-Python plan with zero WSCG spans runs fully interpreted —
     # the silent-Janino-compile-failure shape (embedding-LSH, r11).
-    if not codegen_ids and not python:
+    # Exception: a zero-row result lets AQE collapse the whole plan to
+    # EmptyRelation (decontam_minhash at sf0.01), which legitimately
+    # has no codegen spans and proves nothing about execution mode.
+    if not codegen_ids and not python and "EmptyRelation" not in plan:
         flags.append("NO-CODEGEN-SPANS")
     return {
         "name": name,
