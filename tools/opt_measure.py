@@ -54,17 +54,11 @@ def main() -> None:
     out: dict[str, float] = {}
     for name in args.names:
         q = queries[name]
-        if args.plans:
-            tag, suffix = args.plans.split(":", 1)
-            plan_dir = os.path.join(repo, "plans", tag)
-            os.makedirs(plan_dir, exist_ok=True)
-            buf = io.StringIO()
-            with redirect_stdout(buf):
-                queries[name](spark, args.sf).explain("formatted")
-            with open(os.path.join(plan_dir, f"{name}_{suffix}.txt"), "w") as f:
-                f.write(buf.getvalue())
 
         def run() -> float:
+            # Build INSIDE the timed region, like bench.py does — for
+            # queries with eager localCheckpoint builds the build IS
+            # most of the cost and must stay in the measurement.
             spark.sparkContext.setJobDescription(f"opt: {name}")
             t0 = time.time()
             q(spark, args.sf).write.format("noop").mode("overwrite").save()
@@ -75,6 +69,32 @@ def main() -> None:
         run()  # warmup: codegen + file listing
         out[name] = round(min(run() for _ in range(args.passes)), 3)
         print(f"## {name}: {out[name]}s", file=sys.stderr)
+
+        if args.plans:
+            # ONE extra build serves both the static explain and the
+            # AQE-final dump (previously explain and the timed runs each
+            # built their own frame, doubling eager-checkpoint work).
+            tag, suffix = args.plans.split(":", 1)
+            plan_dir = os.path.join(repo, "plans", tag)
+            os.makedirs(plan_dir, exist_ok=True)
+            df = q(spark, args.sf)
+            buf = io.StringIO()
+            with redirect_stdout(buf):
+                df.explain("formatted")
+            # The noop write runs its own command QueryExecution and
+            # leaves THIS DataFrame's AdaptiveSparkPlanExec at
+            # isFinalPlan=false; collect() finalizes it so the dump
+            # carries the AQE-final exchange counts / join strategies
+            # (like-for-like with tools/plan_audit.py).
+            spark.sparkContext.setJobDescription(f"opt-finalize: {name}")
+            df.collect()
+            spark.sparkContext.setJobDescription(None)
+            final = df._jdf.queryExecution().executedPlan().toString()
+            final = final.split("== Initial Plan ==")[0]
+            with open(os.path.join(plan_dir, f"{name}_{suffix}.txt"), "w") as f:
+                f.write(buf.getvalue())
+                f.write("\n\n== Final executed plan (post-collect, AQE-final) ==\n\n")
+                f.write(final)
 
     print(json.dumps({"sf": args.sf, "queries": out}))
     spark.stop()
