@@ -338,14 +338,19 @@ def q_graph_pagerank_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("e")
     ).select("e.src", "e.dst")
-    deg = adj.groupBy("src").agg(F.count(F.lit(1)).alias("degree"))
-    # Materialize the adjacency ONCE. Exchange reuse does NOT dedupe
-    # the edge-construction subtree across rounds — measured directly:
-    # without the checkpoint, every round re-runs edge construction
-    # from the fact table — k full scans at 100 TB (22.7 s vs ~5 s at
-    # sf0.1). Retention cost: one edge-sized block set per invocation
-    # until ContextCleaner GC (SCALE.md).
-    adj_deg = adj.join(deg, "src").localCheckpoint()
+    # Materialize the adjacency ONCE — (src, dst) only. Exchange reuse
+    # does NOT dedupe the edge-construction subtree across rounds —
+    # measured directly: without the checkpoint, every round re-runs
+    # edge construction from the fact table — k full scans at 100 TB
+    # (22.7 s vs ~5 s at sf0.1). Round 12: degree no longer rides the
+    # edge list — the old groupBy(src)+join put a second edge-scale
+    # consumer on the UN-pinned adjacency and re-ran its construction
+    # (build measured 3.53 s with the join vs 1.65 s without; r11
+    # misattributed the delta to the checkpoint write, which is
+    # ~0.4 s). Degree now lives in the node-sized rank frame below.
+    # Retention cost: one edge-sized block set per invocation until
+    # ContextCleaner GC (SCALE.md).
+    adj_cp = adj.localCheckpoint()
     # ONE dst-keyed exchange serves every round (round 11, guide §2.4):
     # each round ends in groupBy(dst), so hash-partitioning the
     # checkpointed adjacency by dst ONCE lets all k per-round
@@ -354,48 +359,46 @@ def q_graph_pagerank_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     # dedupes the identical repartition subtrees across rounds. The
     # checkpoint itself cannot carry the partitioning (LogicalRDD
     # under AQE reports UnknownPartitioning — probed on this build),
-    # hence the explicit repartition ABOVE it. Before: each round
-    # shuffled its partially-aggregated contributions (~node-sized per
-    # map partition, but a 128 MB edge split holds fewer rows than the
-    # catalog has nodes, so partial aggregation barely compacted it —
-    # effectively k edge-sized shuffles). After: the edge list crosses
-    # the wire once, rounds are shuffle-free. Plan-asserted in
+    # hence the explicit repartition ABOVE it. Plan-asserted in
     # tests/test_graph.py::test_pagerank_rounds_are_exchange_free.
-    adj_part = adj_deg.repartition(F.col("dst"))
-    # round 1 folded into a direct aggregate: rank_0 = SCALE for every
-    # node, so the first join against a constant-rank frame is just
-    # sum(floor(SCALE / degree)) per dst — same floor-division
-    # semantics (SCALE is exactly representable, the division is the
-    # same double divide), one fewer join + one fewer node-spine
-    # distinct. The symmetrized graph has no dangling nodes (every
-    # node has degree >= 1 and receives >= 1 contribution), so the
-    # per-dst aggregate already covers the full node set.
-    ranks = (
-        adj_part.groupBy(F.col("dst").alias("node"))
-        .agg(
-            F.sum(
-                F.floor(F.lit(_PR_SCALE) / F.col("degree")).cast("long")
-            ).alias("contrib")
-        )
-        .select(
-            "node",
-            F.floor(
-                (F.lit(15 * _PR_SCALE) + 85 * F.col("contrib")) / 100
-            )
-            .cast("long")
-            .alias("rank"),
-        )
+    adj_part = adj_cp.repartition(F.col("dst"))
+    # On the symmetrized graph in-degree == degree, so the degree table
+    # falls out of a groupBy(dst) that rides the existing partitioning
+    # — exchange-free, no src-keyed aggregate, no join back onto the
+    # adjacency (round 12; replaces the pre-checkpoint degree join).
+    deg = adj_part.groupBy(F.col("dst").alias("node")).agg(
+        F.count(F.lit(1)).alias("degree")
     )
-    for _ in range(_PR_ITERS - 1):
+    # rank_0 = SCALE for every node; degree travels IN the node-sized
+    # rank frame (each round's aggregate re-derives the receiving
+    # node's degree as count(1) — the inner join against the full rank
+    # frame keeps every adjacency row, so the count is exact).
+    ranks = deg.select(
+        "node", F.lit(_PR_SCALE).cast("long").alias("rank"), "degree"
+    )
+    for _ in range(_PR_ITERS):
+        # The broadcast hint is load-bearing: under AQE the adjacency
+        # repartition stage completes first and proves small, so the
+        # planner otherwise broadcasts the EDGE side (BuildLeft) and
+        # re-shuffles every round's aggregate (measured: 2 ENSURE
+        # exchanges, values identical, ~40% slower). The rank frame is
+        # node-sized — always the side to ship; at a catalog too big
+        # to broadcast, drop the hint and key the rank frame by dst
+        # instead (same exchange-free aggregate, one node-sized
+        # shuffle per round).
         ranks = (
             adj_part.join(
-                ranks.select(F.col("node").alias("src"), "rank"), "src"
+                F.broadcast(
+                    ranks.select(F.col("node").alias("src"), "rank", "degree")
+                ),
+                "src",
             )
             .groupBy(F.col("dst").alias("node"))
             .agg(
                 F.sum(
                     F.floor(F.col("rank") / F.col("degree")).cast("long")
-                ).alias("contrib")
+                ).alias("contrib"),
+                F.count(F.lit(1)).alias("degree"),
             )
             .select(
                 "node",
@@ -404,6 +407,7 @@ def q_graph_pagerank_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
                 .cast("long")
                 .alias("rank"),
+                "degree",
             )
         )
     return (
