@@ -2010,14 +2010,6 @@ def ppjoin_candidates(d: DataFrame) -> tuple[DataFrame, DataFrame]:
         "ws",
         plen.alias("plen"),
         F.explode(F.slice("ws", 1, plen)).alias("w"),
-    # explicit fan-out on the join key: the prefix index is INPUT-small
-    # (reps x ~3 rows) so AQE coalesces its exchange to a couple of
-    # partitions, but the self-join's OUTPUT is candidate-sized —
-    # orders of magnitude larger — and would stream near-single-
-    # threaded (measured ~7 of 32 cores on the mutated-10x sweep).
-    # An explicit repartition is exempt from AQE coalescing.
-    ).repartition(
-        d.sparkSession.sparkContext.defaultParallelism, "w"
     )
     # size filter (AllPairs/PPJoin): J >= t forces t·|y| <= |x|, so
     # pairs with >10% size difference never verify — measured 3.3x
@@ -2027,21 +2019,71 @@ def ppjoin_candidates(d: DataFrame) -> tuple[DataFrame, DataFrame]:
     ) & (F.lit(_PP_T_DEN) * F.col("b.n") >= F.lit(_PP_T_NUM) * F.col("a.n"))
     # the eager stat: exact count of ordered candidate pairs (the
     # rows surviving a.rep < b.rep; the equi-join streams ~2x this
-    # before the filter), from the prefix-bucket depth histogram (a
-    # map-side aggregate over the reps x ~plen prefix index — tiny)
-    volume = (
+    # before the filter) plus the bucket count, from the prefix-bucket
+    # depth histogram (a map-side aggregate over the reps x ~plen
+    # prefix index — tiny). Same single driver scalar as before, now
+    # also sizing the salt below.
+    vstats = (
         pref.groupBy("w")
         .agg(F.count(F.lit(1)).alias("bdf"))
-        .agg(F.sum(F.col("bdf") * (F.col("bdf") - 1) / 2).alias("v"))
-        .collect()[0]["v"]
-        or 0
+        .agg(
+            F.sum(F.col("bdf") * (F.col("bdf") - 1) / 2).alias("v"),
+            F.count(F.lit(1)).alias("nb"),
+        )
+        .collect()[0]
+    )
+    volume = vstats["v"] or 0
+    n_buckets = vstats["nb"] or 0
+    par = d.sparkSession.sparkContext.defaultParallelism
+    # Salt the candidate self-join when the vocabulary yields fewer
+    # prefix buckets than ~2 tasks/core (guide §2.5 hot-key salting):
+    # with 17 buckets hashed into 32 partitions the deep-bucket SMJ
+    # runs ~7-11 effective cores with one d²-sized straggler. The
+    # a-side gets a deterministic salt from its rep (never rand() —
+    # retried tasks must reproduce the assignment, SPARK-38388), the
+    # b-side replicates across all k salts, so every (a, b) pair
+    # still meets exactly once, at a's salt. k caps at 16: the b-side
+    # prefix index inflates k-fold (it is reps x ~plen rows — KBs).
+    # A real Zipf vocabulary has thousands of buckets and skips the
+    # salt entirely (k = 1 keeps the round-9 single-exchange shape).
+    salt_k = (
+        1
+        if n_buckets >= 2 * par
+        else min(16, max(1, -(-(4 * par) // max(n_buckets, 1))))
     )
     sides = groups.select("rep", "ws", "n", "g", "sum_ids")
     if volume <= _PP_WITNESS_THRESHOLD:
+        # explicit fan-out on the join key: the prefix index is INPUT-
+        # small (reps x ~3 rows) so AQE coalesces its exchange to a
+        # couple of partitions, but the self-join's OUTPUT is
+        # candidate-sized — orders of magnitude larger — and would
+        # stream near-single-threaded (measured ~7 of 32 cores on the
+        # mutated-10x sweep). An explicit repartition is exempt from
+        # AQE coalescing.
+        if salt_k > 1:
+            a = (
+                pref.select("rep", "n", "w")
+                .withColumn(
+                    "_s", F.pmod(F.xxhash64("rep"), F.lit(salt_k)).cast("int")
+                )
+                .repartition(par, "w", "_s")
+            )
+            b = (
+                pref.select("rep", "n", "w")
+                .withColumn(
+                    "_s", F.explode(F.sequence(F.lit(0), F.lit(salt_k - 1)))
+                )
+                .repartition(par, "w", "_s")
+            )
+            join_keys = ["w", "_s"]
+        else:
+            # one shared repartitioned index: both join sides read the
+            # SAME exchange (reuse) — keep the exact round-9 shape
+            a = b = pref.select("rep", "n", "w").repartition(par, "w")
+            join_keys = ["w"]
         cand_ids = (
-            pref.select("rep", "n", "w")
-            .alias("a")
-            .join(pref.select("rep", "n", "w").alias("b"), "w")
+            a.alias("a")
+            .join(b.alias("b"), join_keys)
             .filter((F.col("a.rep") < F.col("b.rep")) & size_ok)
             .select(F.col("a.rep").alias("da"), F.col("b.rep").alias("db"))
             .dropDuplicates(["da", "db"])
@@ -2070,9 +2112,14 @@ def ppjoin_candidates(d: DataFrame) -> tuple[DataFrame, DataFrame]:
         F.slice("a.ws", F.lit(1), F.col("a.plen")),
         F.slice("b.ws", F.lit(1), F.col("b.plen")),
     )
+    # witness path keeps the shared single repartition (both sides read
+    # one exchange); its volume regime implies a real vocabulary whose
+    # bucket count already spreads the join — salting would only
+    # replicate the heavy full-array index rows k-fold
+    pref_r = pref.repartition(par, "w")
     cand = (
-        pref.alias("a")
-        .join(pref.alias("b"), "w")
+        pref_r.alias("a")
+        .join(pref_r.alias("b"), "w")
         .filter((F.col("a.rep") < F.col("b.rep")) & size_ok)
         .select(
             F.col("a.rep").alias("da"),

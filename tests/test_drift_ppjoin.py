@@ -99,3 +99,36 @@ def test_prefix_filter_matches_naive_on_duplicate_heavy_fixture(spark, tmp_path)
             n, s = model.get(bucket, (0, 0))
             model[bucket] = (n + 1, s + a + b)
     assert got == {k: v for k, v in model.items()}
+
+
+def test_prefix_filter_salted_join_census_exact(spark, tmp_path):
+    """Round-12 salted candidate join: a corpus whose prefixes all land
+    in a handful of hot buckets (few distinct rare tokens -> n_buckets
+    < 2*parallelism, so the deterministic salt engages) must produce
+    the identical census as the naive all-pairs model — every pair
+    meets exactly once at the a-side's salt."""
+    import itertools
+
+    # 12 docs sharing a long common core, differing in 1-2 tokens:
+    # deep prefix buckets + many near-threshold pairs
+    core = [f"c{i}" for i in range(18)]
+    docs = [core + [f"v{i}"] for i in range(6)]
+    docs += [core + [f"v{i}", "extra"] for i in range(3)]
+    docs += [list(core) for _ in range(3)]
+    _write_docs(spark, tmp_path, docs)
+    got = {
+        r["bucket"]: (r["n_pairs"], r["sum_keys"])
+        for r in all_queries()["dedup_jaccard_prefix_filter"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    sets = [set(ws) for ws in docs]
+    model: dict[int, list[int]] = {}
+    for a, b in itertools.combinations(range(len(sets)), 2):
+        c = len(sets[a] & sets[b])
+        u = len(sets[a] | sets[b])
+        if 10 * c >= 9 * u:
+            bucket = int((c / u) * 20)
+            n, s = model.get(bucket, (0, 0))
+            model[bucket] = (n + 1, s + a + b)
+    assert got == model
