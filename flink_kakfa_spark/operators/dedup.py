@@ -1740,23 +1740,27 @@ def q_dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.col("seg_text").cast("binary")).alias("h"),
         F.size(F.split(F.col("seg_text"), " ")).alias("ntok"),
     )
-    shared = (
-        seg.groupBy("h")
-        .agg(F.count_distinct("doc_id").alias("nd"))
-        .filter(F.col("nd") > 1)
-        .select("h", F.lit(1).alias("is_shared"))
-    )
+    # "shared with at least one OTHER document" == the h-group's doc_id
+    # min and max differ — two constant-state window aggregates over ONE
+    # h-keyed exchange (round 12, guide §2.4; same restructure as
+    # dedup_substring_runs): the old count_distinct aggregate + LEFT
+    # join-back ran the segment split+md5 pipeline twice and shuffled
+    # the rows twice (different projections defeat exchange reuse).
+    # Per-group window buffering matches the old SMJ's equal-key run
+    # buffering at any duplicate depth.
+    hw = Window.partitionBy("h")
+    is_shared = F.min("doc_id").over(hw) != F.max("doc_id").over(hw)
     return (
-        seg.join(shared, "h", "left")
+        seg.withColumn("is_shared", is_shared)
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_segments"),
-            F.sum(F.when(F.col("is_shared").isNull(), 0).otherwise(1)).alias(
+            F.sum(F.when(F.col("is_shared"), 1).otherwise(0)).alias(
                 "n_dup_segments"
             ),
             (
                 F.sum(
-                    F.when(F.col("is_shared").isNotNull(), F.col("ntok")).otherwise(0)
+                    F.when(F.col("is_shared"), F.col("ntok")).otherwise(0)
                 ).cast("double")
                 / F.sum("ntok")
             ).alias("dup_token_fraction"),
